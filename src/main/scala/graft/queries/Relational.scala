@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** The relational query inventory, SURVEY.md §2.3 Q1–Q20.
+  *
+  * Spark side is the DataFrame API (declarative — Catalyst does pushdown,
+  * pruning, join selection); the oracle is the equivalent SQL DuckDB runs.
+  *
+  * Scale notes (100 TB design intent, verified via .explain on each):
+  *  - dimension joins (nation, region, small lookup sides) carry an explicit
+  *    broadcast() hint so no shuffle of the fact side's join key is needed;
+  *  - fact-fact joins (customer x orders, part x lineitem) are plain equi-joins
+  *    that AQE plans as shuffle joins with skew handling — correct at any SF;
+  *  - aggregations are partial (map-side combine) by construction since we use
+  *    built-in hash aggregates;
+  *  - every filter/projection sits directly on the scan so it reaches parquet
+  *    (PushedFilters / ReadSchema confirm).
+  */
+object Relational {
+
+  private def q(name: String, oracle: String, headline: Boolean = false)(
+      body: (SparkSession, String) => DataFrame): Query =
+    Query(name, body, Some(oracle), headline)
+
+  val q1_scan_project: Query = q("q1_scan_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q2_filter: Query = q("q2_filter",
+    """SELECT l_orderkey, l_partkey, ROUND(l_extendedprice, 2) AS price
+      |FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 10
+      |ORDER BY l_orderkey, l_partkey, price""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("lineitem")
+      .filter(col("l_discount") > 0.05 && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_partkey"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy("l_orderkey", "l_partkey", "price")
+  }
+
+  // Typed-cast / empty-string-null semantics (reference: spectrify/convert.py:140-144).
+  // FLOOR instead of CAST(double AS BIGINT): DuckDB rounds on that cast, Spark
+  // truncates — FLOOR is identical in both.
+  val q3_cast_null: Query = q("q3_cast_null",
+    """SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS p_int,
+      |       CAST(o_orderdate AS DATE) AS d,
+      |       COALESCE(NULLIF(o_orderpriority, ''), 'NONE') AS pri
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("orders").select(
+      col("o_orderkey"),
+      floor(col("o_totalprice")).as("p_int"),
+      col("o_orderdate").cast("date").as("d"),
+      coalesce(nullif(col("o_orderpriority"), lit("")), lit("NONE")).as("pri"))
+      .orderBy("o_orderkey")
+  }
+
+  // Filtered export (reference: examples/weekly_partitions.py:82-92) — the
+  // predicate lands in PushedFilters on the parquet scan.
+  val q4_date_range: Query = q("q4_date_range",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-01-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q5_agg: Query = q("q5_agg",
+    """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS cnt
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin, headline = true) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // Hive-style partition-key derivation (reference: examples/weekly_partitions.py:19).
+  val q6_partition_key: Query = q("q6_partition_key",
+    """SELECT CAST(o_orderdate AS DATE) AS partition_key, COUNT(*) AS cnt,
+      |       ROUND(SUM(o_totalprice), 2) AS total
+      |FROM orders GROUP BY partition_key ORDER BY partition_key""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("orders")
+      .groupBy(col("o_orderdate").cast("date").as("partition_key"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy("partition_key")
+  }
+
+  val q7_join: Query = q("q7_join",
+    """SELECT c.c_name, o.o_orderkey, ROUND(o.o_totalprice, 2) AS total
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |ORDER BY c.c_name, o.o_orderkey""".stripMargin, headline = true) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    val c = t("customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t("orders")
+    // fact-fact equi-join: shuffle join at scale; AQE may still broadcast the
+    // filtered customer side when it turns out small at runtime.
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .select(col("c_name"), col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+      .orderBy("c_name", "o_orderkey")
+  }
+
+  val q8_join3_agg: Query = q("q8_join3_agg",
+    """SELECT n.n_name, COUNT(*) AS cnt
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY n.n_name ORDER BY cnt DESC, n.n_name""".stripMargin, headline = true) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    val c = t("customer"); val n = t("nation"); val o = t("orders")
+    // nation is a bounded dimension (25 rows at every SF) — always broadcast.
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(o, o("o_custkey") === c("c_custkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("n_name"))
+  }
+
+  val q9_left_join: Query = q("q9_left_join",
+    """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_custkey ORDER BY n_orders DESC, c.c_custkey""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    val c = t("customer"); val o = t("orders")
+    c.join(o, o("o_custkey") === c("c_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("c_custkey"))
+  }
+
+  val q10_semi_join: Query = q("q10_semi_join",
+    """SELECT p.p_partkey, p.p_brand FROM part p
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 40)
+      |ORDER BY p.p_partkey""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    val p = t("part")
+    val l = t("lineitem").filter(col("l_quantity") > 40)
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+      .select("p_partkey", "p_brand")
+      .orderBy("p_partkey")
+  }
+
+  val q11_anti_join: Query = q("q11_anti_join",
+    """SELECT c.c_custkey, c.c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    val c = t("customer"); val o = t("orders")
+    c.join(o, o("o_custkey") === c("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q12_count_distinct: Query = q("q12_count_distinct",
+    """SELECT COUNT(DISTINCT l_partkey) AS dparts,
+      |       COUNT(DISTINCT l_suppkey) AS dsupps FROM lineitem""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("lineitem").agg(
+      countDistinct(col("l_partkey")).as("dparts"),
+      countDistinct(col("l_suppkey")).as("dsupps"))
+  }
+
+  val q13_rollup: Query = q("q13_rollup",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, cnt""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first, col("cnt"))
+  }
+
+  // row_number() is INT in Spark, BIGINT in DuckDB — cast to BIGINT on both.
+  val q14_window_rank: Query = q("q14_window_rank",
+    """SELECT o_custkey, o_orderkey, rnk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin, headline = true) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t("orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "rnk")
+      .orderBy("o_custkey", "rnk")
+  }
+
+  // (l_orderkey, l_linenumber) is NOT unique in the testdata — the window
+  // order carries tiebreakers down to a total order (verified unique), and the
+  // final sort includes run_qty so tied output rows are interchangeable.
+  val q15_window_frame: Query = q("q15_window_frame",
+    """SELECT l_orderkey, l_linenumber,
+      |       ROUND(SUM(l_quantity) OVER (PARTITION BY l_orderkey
+      |             ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_qty
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, run_qty""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t("lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_quantity")).over(w), 2).as("run_qty"))
+      .orderBy("l_orderkey", "l_linenumber", "run_qty")
+  }
+
+  val q16_topk: Query = q("q16_topk",
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS total FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    // orderBy+limit plans as TakeOrderedAndProject — O(k) memory per partition,
+    // no global sort, exactly what you want at 100 TB.
+    t("orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+  }
+
+  val q17_intersect: Query = q("q17_intersect",
+    """SELECT c_nationkey AS k FROM customer
+      |INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("customer").select(col("c_nationkey").as("k"))
+      .intersect(t("supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+  }
+
+  val q17_except: Query = q("q17_except",
+    """SELECT c_nationkey AS k FROM customer
+      |EXCEPT SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("customer").select(col("c_nationkey").as("k"))
+      .except(t("supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+  }
+
+  val q17_union: Query = q("q17_union",
+    """SELECT k, COUNT(*) AS cnt FROM (
+      |  SELECT c_nationkey AS k FROM customer
+      |  UNION ALL SELECT s_nationkey AS k FROM supplier) u
+      |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("customer").select(col("c_nationkey").as("k"))
+      .unionByName(t("supplier").select(col("s_nationkey").as("k")))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy("k")
+  }
+
+  // LENGTH is BIGINT in DuckDB, INT in Spark — cast both.
+  val q18_string_funcs: Query = q("q18_string_funcs",
+    """SELECT p_partkey, UPPER(p_brand) AS b, SUBSTRING(p_name, 1, 8) AS pre,
+      |       CAST(LENGTH(p_name) AS BIGINT) AS len,
+      |       CONCAT(p_brand, '#', p_type) AS tag
+      |FROM part WHERE p_name LIKE '%red%' ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("part")
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"), upper(col("p_brand")).as("b"),
+        substring(col("p_name"), 1, 8).as("pre"),
+        length(col("p_name")).cast("long").as("len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("tag"))
+      .orderBy("p_partkey")
+  }
+
+  // EXTRACT is BIGINT in DuckDB / INT in Spark; FLOOR/CEIL are DOUBLE in
+  // DuckDB / BIGINT in Spark — cast everything to BIGINT on both sides.
+  val q19_date_math: Query = q("q19_date_math",
+    """SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+      |       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+      |       ROUND(ABS(o_totalprice) / 7.0, 3) AS r,
+      |       MOD(o_orderkey, 7) AS m7,
+      |       CAST(FLOOR(o_totalprice) AS BIGINT) AS f,
+      |       CAST(CEIL(o_totalprice) AS BIGINT) AS c
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      round(abs(col("o_totalprice")) / 7.0, 3).as("r"),
+      (col("o_orderkey") % 7).as("m7"),
+      floor(col("o_totalprice")).as("f"),
+      ceil(col("o_totalprice")).as("c"))
+      .orderBy("o_orderkey")
+  }
+
+  val q20_conditional: Query = q("q20_conditional",
+    """SELECT l_orderkey, l_linenumber,
+      |       CASE WHEN l_discount > 0.06 THEN 'HI'
+      |            WHEN l_discount > 0.03 THEN 'MID' ELSE 'LO' END AS band
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      when(col("l_discount") > 0.06, "HI")
+        .when(col("l_discount") > 0.03, "MID")
+        .otherwise("LO").as("band"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val all: Seq[Query] = Seq(
+    q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
+    q6_partition_key, q7_join, q8_join3_agg, q9_left_join, q10_semi_join,
+    q11_anti_join, q12_count_distinct, q13_rollup, q14_window_rank,
+    q15_window_frame, q16_topk, q17_intersect, q17_except, q17_union,
+    q18_string_funcs, q19_date_math, q20_conditional)
+}
