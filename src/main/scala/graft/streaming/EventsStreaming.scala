@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table.
+  *
+  * The reference is batch-only (SURVEY §1.1: "no streams... everything is
+  * one-shot batch", transform.py:18-21); this module is the north-star
+  * streaming axis: the same windowed aggregations the batch inventory
+  * declares (q23/w_sliding/w_session) expressed as incremental queries, plus
+  * a custom stateful operator via mapGroupsWithState.
+  *
+  * At scale: watermarks bound state; session/tumbling state is partitioned by
+  * group key across executors; parquet-directory sources become Kafka/queue
+  * sources with no change to the transforms.
+  */
+object EventsStreaming {
+
+  /** events.parquet physical schema: ts is INT64 timestamp[ns], surfaced as
+    * LongType under spark.sql.legacy.parquet.nanosAsLong (see Sessions) and
+    * converted to a microsecond timestamp here.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+
+  /** Tumbling 1-hour windows with a watermark — streaming twin of
+    * q23_time_bucket.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("event_type"), col("cnt"), col("sv"))
+
+  /** Session windows (30 min gap) — streaming twin of w_session_window. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful aggregation via mapGroupsWithState: per-user running
+    * totals maintained in executor state across micro-batches.
+    */
+  def userRunningTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotal] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          var n = prev.n_events
+          var v = prev.total_value
+          rows.foreach { r => n += 1; v += r._2 }
+          val next = UserTotal(userId, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming query to completion against the (finite) parquet source
+    * and return the materialized result — used by tests and the batch-parity
+    * checks.
+    */
+  def runToBatch(spark: SparkSession, streamed: DataFrame, mode: OutputMode,
+                 name: String): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}
