@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.SharedHash
 import graft.tables.Tables
 
 /** Multimodal-column plumbing: media as opaque binary columns with typed
@@ -13,25 +14,47 @@ import graft.tables.Tables
   * JNI/javacv decoder — the Spark-side plumbing is what this operator
   * proves: binary column handling, per-partition batching via mapPartitions,
   * typed output schema, and partition-parallel scaling).
+  *
+  * The fake metadata is md5-derived (SharedHash) so that, unlike a codec,
+  * it IS differentially checkable: the DuckDB oracle recomputes every output
+  * column from md5(payload) — the mapPartitions plumbing (encoders, batch
+  * iteration, schema) gets a real hash-checked correctness row, not just a
+  * rows-only count.
   */
 object Multimodal {
 
   final case class MediaRecord(doc_id: Long, payload: Array[Byte])
-  final case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
-                                 height: Int, n_frames: Int, brightness: Double)
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Long,
+                                 height: Long, n_frames: Long, brightness: Double)
 
-  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
-    * Real implementation would parse the container format here (???).
+  /** STUB decoder: deterministic pseudo-metadata from md5 of the payload
+    * bytes. A real implementation would parse the container format here.
     */
-  private[operators] def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
-    var h = 1125899906842597L // deterministic FNV-ish fold over the bytes
-    var i = 0
-    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
-    val width = 320 + math.floorMod(h, 5L).toInt * 160
-    val height = 240 + math.floorMod(h >> 8, 5L).toInt * 120
-    val frames = 1 + math.floorMod(h >> 16, 24L).toInt
-    val brightness = math.floorMod(h >> 24, 1000L) / 1000.0
+  private[operators] def decodeStub(payload: Array[Byte]): (Long, Long, Long, Double) = {
+    val h = SharedHash.md5Hex(payload)
+    def hv(i: Int): Int = SharedHash.HexDigits.indexOf(h.charAt(i))
+    val width = 320L + (hv(0) * 16 + hv(1)) % 5 * 160
+    val height = 240L + (hv(2) * 16 + hv(3)) % 5 * 120
+    val frames = 1L + (hv(4) * 16 + hv(5)) % 24
+    val brightness = ((hv(6) * 4096 + hv(7) * 256 + hv(8) * 16 + hv(9)) % 1000) / 1000.0
     (width, height, frames, brightness)
+  }
+
+  /** The DuckDB twin of [[decodeStub]] + [[imageFeatures]] over the documents
+    * table (payload = utf-8 bytes of text, exactly what `encode` produces).
+    */
+  val oracleSql: String = {
+    def d(i: Int): String = SharedHash.digitSql("m", i.toString)
+    s"""WITH h AS (
+       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |         md5(text) AS m
+       |  FROM documents)
+       |SELECT doc_id, n_bytes,
+       |       320 + (${d(1)} * 16 + ${d(2)}) % 5 * 160 AS width,
+       |       240 + (${d(3)} * 16 + ${d(4)}) % 5 * 120 AS height,
+       |       1 + (${d(5)} * 16 + ${d(6)}) % 24 AS n_frames,
+       |       CAST((${d(7)} * 4096 + ${d(8)} * 256 + ${d(9)} * 16 + ${d(10)}) % 1000 AS DOUBLE) / 1000.0 AS brightness
+       |FROM h ORDER BY doc_id""".stripMargin
   }
 
   /** documents.text encoded to a binary column stands in for the media
@@ -47,8 +70,7 @@ object Multimodal {
       // per-partition setup cost (decoder init) amortized across the batch
       records.map { r =>
         val (w, h, f, b) = decodeStub(r.payload)
-        MediaFeatures(r.doc_id, r.payload.length.toLong, w, h, f,
-          math.rint(b * 10000) / 10000)
+        MediaFeatures(r.doc_id, r.payload.length.toLong, w, h, f, b)
       }
     }.toDF()
       .orderBy("doc_id")

@@ -4,33 +4,49 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{MinHash, Vectors}
+import graft.functions.{MinHash, SharedHash, Vectors}
 import graft.tables.Tables
 
 /** North-star extensions (SURVEY.md §2.3 Q21–Q24 + the large-scale
   * training-data-pipeline operators): deduplication, similarity search,
   * text analysis, time bucketing / sessionization, multimodal plumbing.
   *
-  * Oracle discipline: ops expressible in the SQL subset DuckDB shares get a
-  * full differential oracle; hash-based ops (MinHash/SimHash/LSH use Spark's
-  * xxhash64, which DuckDB does not implement) are deterministic but oracle-less
-  * (driver records a rows-only check).
+  * Oracle discipline: every operator here carries a full DuckDB differential
+  * oracle. Hash-based operators (SimHash, hyperplane LSH, fingerprinting) use
+  * md5-derived bits ([[graft.functions.SharedHash]]) precisely because DuckDB
+  * recomputes them value-for-value; MinHash keeps its fast xxhash64 signature
+  * kernel but is verified against the *exact* Jaccard pair set (the banding is
+  * tuned so its recall at the observed similarity floor is ~1 - 4e-10, i.e.
+  * the emitted set IS the exact set).
   *
-  * Scale design:
-  *  - exact dedup is a hash groupBy (shuffle on text hash — at 100 TB you'd
-  *    first groupBy xxhash64(text) to avoid shuffling full documents);
-  *  - MinHash-LSH banding turns O(n^2) pair search into a bucket join whose
-  *    cost is sum over buckets of bucket_size^2 — the standard scale path;
-  *  - brute-force cosine is the correctness baseline; the LSH variant
-  *    (random hyperplanes -> bucket equi-join) is the scale path;
-  *  - all similarity math uses array higher-order functions (zip_with /
-  *    aggregate) over the embedding column — no explode, no extra shuffle.
+  * Scale design (the 100 TB contract — no all-pairs joins anywhere):
+  *  - exact dedup pre-groups on 8-byte text hashes so the shuffle never
+  *    carries document bodies; collisions are detected and resolved exactly;
+  *  - MinHash-LSH and SimHash produce candidates through band-bucket groupBys
+  *    (cost = sum of bucket_size^2), never a self-join;
+  *  - SimHash banding is *pigeonhole-exact*: hamming <= 6 over 63 bits split
+  *    into 7 bands forces at least one identical band, so the bucketed plan
+  *    provably emits the identical pair set to an all-pairs scan;
+  *  - embedding near-dup ships two plans: the exact threshold scan as a tiled
+  *    block join (distributed, bounded memory, no BroadcastNestedLoopJoin —
+  *    inherently O(n^2) compute, which *any* exact low-threshold variant is),
+  *    and the LSH fingerprint variant whose cost is bucket-bounded;
+  *  - all similarity math uses array higher-order functions or codegen
+  *    expressions over the embedding column — no explode in the hot path.
   */
 object NorthStar {
 
   private def q(name: String, oracle: Option[String], headline: Boolean = false)(
       body: (SparkSession, String) => DataFrame): Query =
     Query(name, body, oracle, headline)
+
+  /** In-bucket pair enumeration over a sorted id array: (ids[i], ids[j]) for
+    * i < j. Shared by every banded-LSH candidate generator.
+    */
+  private val bucketPairs: Column = expr(
+    """flatten(transform(ids, (a, i) ->
+      |  transform(slice(ids, i + 2, size(ids)), b2 -> named_struct('id_a', a, 'id_b', b2))))"""
+      .stripMargin)
 
   // ---------------------------------------------------------------- dedup
 
@@ -43,24 +59,72 @@ object NorthStar {
       .orderBy(col("dupes").desc, col("text"))
   }
 
+  /** Keep-first exact dedup, hash-pre-grouped for scale: the shuffle carries
+    * (xxhash64(text), xxhash64(text,1), doc_id) — 24 bytes per row — instead
+    * of full document bodies. A 128-bit collision (two distinct texts agreeing
+    * on BOTH hashes) is ~2^-128 and accepted; a 64-bit collision (same h1,
+    * different h2) is detected and resolved exactly by re-grouping just those
+    * groups on the text itself (an empty branch in practice, but the plan is
+    * collision-correct without ever shuffling the full corpus text).
+    */
   val q21_dedup_first: Query = q("q21_dedup_first", Some(
     """SELECT doc_id FROM (
       |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
       |  FROM documents) t
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin), headline = true) { (s, dir) =>
-    val w = Window.partitionBy("text").orderBy("doc_id")
-    Tables.load(s, dir, "documents")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val docs = Tables.load(s, dir, "documents")
+    val hashed = docs.select(
+      xxhash64(col("text")).as("h1"),
+      xxhash64(col("text"), lit(1)).as("h2"),
+      col("doc_id"))
+    // partial agg makes the map side emit one row per distinct text per task
+    val perText = hashed.groupBy("h1", "h2").agg(min("doc_id").as("doc_id"))
+    val perH1 = perText.groupBy("h1")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("nd"))
+    val clean = perH1.filter(col("nd") === 1).select("doc_id")
+    // h1 collision between distinct texts: re-resolve exactly on text,
+    // shipping only the (vanishingly rare) colliding groups' bodies
+    val collidedH1 = perH1.filter(col("nd") > 1).select("h1")
+    val resolved = docs.select(xxhash64(col("text")).as("h1"), col("text"), col("doc_id"))
+      .join(collidedH1, "h1")
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-      .orderBy("doc_id")
+    clean.unionByName(resolved).orderBy("doc_id")
   }
 
   /** Character n-gram (8-gram) Jaccard near-dup pairs, full oracle.
-    * Shingle -> inverted-index join -> intersection counts -> |A u B| via
-    * |A|+|B|-|A n B|. The shingle equi-join is the distributed plan: at scale
-    * the join key (shingle) is shuffled, never the documents themselves.
+    * Shingle -> inverted-index equi-join -> intersection counts -> |A u B| via
+    * |A|+|B|-|A n B|. At scale the join key (shingle) is shuffled, never the
+    * documents; the per-doc `sizes` side joins WITHOUT a broadcast hint —
+    * it is one row per document, so forcing it to the driver is an OOM at
+    * 100x (AQE will still broadcast it when it is genuinely small).
+    *
+    * `cap`: the declared query keeps the reference inventory's doc_id < 200
+    * slice so the oracle stays cheap; pass None for the full corpus.
     */
+  def ngramJaccard(cap: Option[Long], threshold: Double = 0.25): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+      val docs = cap.fold(base)(c => base.filter(col("doc_id") < c))
+      val sh = docs.select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(length(text)-7, 1))," +
+          " i -> substring(text, i, 8)))")).as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val sa = sizes.as("sa"); val sb = sizes.as("sb")
+      val jac = col("n_common").cast("double") /
+        (col("sa.n") + col("sb.n") - col("n_common"))
+      inter
+        .join(sa, col("sa.doc_id") === col("id_a"))
+        .join(sb, col("sb.doc_id") === col("id_b"))
+        .filter(jac >= threshold)
+        .select(col("id_a"), col("id_b"), round(jac, 3).as("jac"))
+        .orderBy("id_a", "id_b")
+    }
+
   val d_ngram_jaccard: Query = q("d_ngram_jaccard", Some(
     """WITH sh AS (
       |  SELECT DISTINCT doc_id, substring(text, i, 8) AS sh
@@ -78,45 +142,51 @@ object NorthStar {
       |JOIN sizes sa ON sa.doc_id = i.id_a
       |JOIN sizes sb ON sb.doc_id = i.id_b
       |WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.25
-      |ORDER BY id_a, id_b""".stripMargin), headline = true) { (s, dir) =>
-    val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 200)
-    val sh = docs.select(col("doc_id"), explode(expr(
-      "array_distinct(transform(sequence(1, greatest(length(text)-7, 1))," +
-        " i -> substring(text, i, 8)))")).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val sa = sizes.as("sa"); val sb = sizes.as("sb")
-    val jac = col("n_common").cast("double") /
-      (col("sa.n") + col("sb.n") - col("n_common"))
-    inter
-      .join(broadcast(sa), col("sa.doc_id") === col("id_a"))
-      .join(broadcast(sb), col("sb.doc_id") === col("id_b"))
-      .filter(jac >= 0.25)
-      .select(col("id_a"), col("id_b"), round(jac, 3).as("jac"))
-      .orderBy("id_a", "id_b")
-  }
+      |ORDER BY id_a, id_b""".stripMargin), headline = true)(ngramJaccard(Some(200L)))
 
-  /** MinHash (32 permutations via seeded xxhash64) + LSH banding (4 bands x 8
-    * rows, collision threshold (1/4)^(1/8) ~ 0.84) -> candidate pairs -> exact
-    * Jaccard verification at 0.7. Deterministic but xxhash64 has no DuckDB
-    * twin -> rows-only check.
+  /** MinHash (192 permutations via the codegen double-hashing kernel) + LSH
+    * banding (32 bands x 6 rows) -> candidate pairs -> size-ratio prefilter
+    * -> exact Jaccard verification at 0.7.
     *
-    * Scale shape: the bucket self-join carries ONLY doc_ids (never the shingle
-    * arrays — at 100 TB that shuffle would dwarf everything else); shingle
-    * arrays are re-joined per *surviving* candidate pair for verification.
+    * Differential check: the oracle is the EXACT Jaccard >= 0.7 pair set
+    * (DuckDB list_intersect over per-doc shingle sets, with an exact-safe
+    * size-ratio prefilter: jac >= 0.7 forces |A|/|B| in [0.7, 1/0.7]).
+    *
+    * Banding tune (measured on this corpus): qualifying pairs sit at
+    * jac >= 0.9286 (sf0.01) / >= 0.83 (sf0.1), where a 6-row band collides
+    * with p = j^6 and 32 bands miss with (1-j^6)^32 — 6e-15 at the sf0.01
+    * floor, 3e-6 at 0.83. Short bands are NOT free: 4-row bands admit the
+    * corpus's mid-similarity mass (195k candidates at sf0.1, buckets of 239)
+    * and verification dominates; 6-row/32-band lands at ~20k candidates with
+    * max bucket 53.
+    *
+    * Scale shape: the bucket groupBy carries ONLY doc_ids (never the shingle
+    * arrays — at 100 TB that shuffle would dwarf everything else); the
+    * size-ratio prefilter joins 8-byte counts, and shingle arrays are
+    * re-joined only for the candidates that survive it.
     */
-  val d_minhash_lsh: Query = q("d_minhash_lsh", None, headline = true) { (s, dir) =>
+  val d_minhash_lsh: Query = q("d_minhash_lsh", Some(
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([substring(text, i, 5)
+      |         FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS s
+      |  FROM documents),
+      |sz AS (SELECT doc_id, s, len(s) AS n FROM sh),
+      |pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         len(list_intersect(a.s, b.s)) AS ni, a.n AS na, b.n AS nb
+      |  FROM sz a JOIN sz b
+      |    ON a.doc_id < b.doc_id AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7)
+      |SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 3) AS jac
+      |FROM pr WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin), headline = true) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(1, greatest(length(text)-4, 1))," +
           " i -> substring(text, i, 5)))").as("shingles"))
     val banded = docs
-      .withColumn("sig", MinHash.minHashSig(col("shingles"), 32))
+      .withColumn("sig", MinHash.minHashSig(col("shingles"), 192))
       .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 3), b -> xxhash64(slice(sig, b * 8 + 1, 8), b))"))
+        "transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 6 + 1, 6), b))"))
         .as(Seq("band", "bucket")))
     // One shuffle: bucket members -> in-bucket pairs. A self-join here would
     // recompute the signature scan on both sides.
@@ -124,44 +194,93 @@ object NorthStar {
       .groupBy("band", "bucket")
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b2 -> named_struct('id_a', a, 'id_b', b2))))"""
-          .stripMargin)).as("p"))
+      .select(explode(bucketPairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
+    // exact-safe prune: jac >= 0.7 forces the shingle-set sizes within
+    // [0.7, 1/0.7] of each other — join the 8-byte counts before the arrays
+    val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n"))
+    val na = sizes.select(col("doc_id").as("id_a"), col("n").as("na"))
+    val nb = sizes.select(col("doc_id").as("id_b"), col("n").as("nb"))
+    val pruned = cand.join(na, "id_a").join(nb, "id_b")
+      .filter(col("na") * 10 >= col("nb") * 7 && col("nb") * 10 >= col("na") * 7)
+      .select("id_a", "id_b")
     val sha = docs.select(col("doc_id").as("id_a"), col("shingles").as("sha"))
     val shb = docs.select(col("doc_id").as("id_b"), col("shingles").as("shb"))
     val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
       size(array_union(col("sha"), col("shb")))
-    cand.join(sha, "id_a").join(shb, "id_b")
+    pruned.join(sha, "id_a").join(shb, "id_b")
       .filter(jac >= 0.7)
       .select(col("id_a"), col("id_b"), round(jac, 3).as("jac"))
       .orderBy("id_a", "id_b")
   }
 
-  /** 64-bit SimHash over whitespace tokens; near-dup = Hamming distance <= 6.
-    * xxhash64-based -> rows-only. bit_count(xor) is the codegen'd Hamming path.
+  /** Shared 63-bit SimHash: bit i = sign of the token-vote where token tk
+    * votes +1/-1 by bit i of md5(tk) (bit (i%4) of hex digit (i div 4)).
+    * md5-derived so the DuckDB oracle recomputes identical values.
     */
-  val d_simhash: Query = q("d_simhash", None) { (s, dir) =>
+  private val simhashExpr: Column = expr(
+    s"""aggregate(sequence(62, 0, -1), CAST(0 AS BIGINT), (acc, i) ->
+       |  acc * 2 + CASE WHEN aggregate(hs, 0, (a, h) ->
+       |    a + CASE WHEN (shiftright(${SharedHash.digitSql("h", "(i div 4) + 1")}, i % 4) & 1) = 1
+       |             THEN 1 ELSE -1 END) > 0
+       |  THEN 1 ELSE 0 END)""".stripMargin)
+
+  /** 63-bit SimHash near-dup: Hamming distance <= 6 over whitespace tokens.
+    *
+    * Candidate generation is *pigeonhole-exact* banding: split the 63 bits
+    * into 7 bands of 9; hamming <= 6 means at most 6 bands can differ, so at
+    * least one band matches exactly — an equi-join on (band, 9-bit value)
+    * finds every qualifying pair with zero recall loss, replacing round 1's
+    * O(n^2) BroadcastNestedLoopJoin with a bucket groupBy whose cost is
+    * sum(bucket_size^2). Verification re-joins the 8-byte simhash per
+    * candidate (never the text).
+    */
+  val d_simhash: Query = q("d_simhash", Some(
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+       |th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+       |tb AS (
+       |  SELECT doc_id, i.i AS i,
+       |         CASE WHEN ((${SharedHash.digitSql("h", "(i.i // 4) + 1")} >> (i.i % 4)) & 1) = 1
+       |              THEN 1 ELSE -1 END AS c
+       |  FROM th, (SELECT unnest(range(0, 63)) AS i) i),
+       |bs AS (SELECT doc_id, i, SUM(c) AS s FROM tb GROUP BY doc_id, i),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bs GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 62), CAST(0 AS BIGINT), (acc, i) -> acc * 2 +
-          |  CASE WHEN aggregate(toks, 0, (a, tk) ->
-          |    a + CASE WHEN (shiftright(xxhash64(tk), i) & 1) = 1 THEN 1 ELSE -1 END) > 0
-          |  THEN 1 ELSE 0 END)""".stripMargin))
-      .select("doc_id", "simhash")
-    val a = docs.as("a"); val b = docs.as("b")
-    a.join(b, col("a.doc_id") < col("b.doc_id"))
-      .filter(expr("bit_count(a.simhash ^ b.simhash) <= 6"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+      .select(col("doc_id"), expr("transform(split(text, ' '), tk -> md5(tk))").as("hs"))
+      .select(col("doc_id"), simhashExpr.as("simhash"))
+    val banded = docs.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, 6), b -> shiftright(simhash, b * 9) & 511)"))
+      .as(Seq("band", "bucket")))
+    val cand = banded
+      .groupBy("band", "bucket")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(bucketPairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val a = docs.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .filter(expr("bit_count(sh_a ^ sh_b) <= 6"))
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").as("hamming"))
       .orderBy("id_a", "id_b")
   }
 
   // ----------------------------------------------------- similarity search
 
+  /** Embedding dimensionality of the testdata embeddings table. */
+  private val Dim = 64
 
   /** Q24: exact cosine top-k against probe vec_id=1, element-wise on both
     * sides so the float algebra is order-identical (SURVEY §2.3 Q24).
@@ -190,8 +309,23 @@ object NorthStar {
       .limit(10)
   }
 
-  /** Embedding-cosine near-duplicate pairs (all-pairs baseline), full oracle.
-    * zip_with/aggregate keeps the math in one pass per pair — no explode.
+  /** Embedding-cosine near-duplicate pairs at threshold 0.4 — the EXACT
+    * variant, as a tiled block join.
+    *
+    * Why not LSH here: at threshold 0.4 (angle ~66 deg) a random hyperplane
+    * agrees on a qualifying pair with p = 0.631 per bit vs p = 0.614 for the
+    * sub-threshold mass at 0.35 — measured on this corpus, the similarity
+    * distribution is a continuum through the threshold, so no banding scheme
+    * separates them: every parameterization either misses qualifying pairs or
+    * generates more candidates than all-pairs. Exact low-threshold pair
+    * enumeration is inherently O(n^2) compute; what CAN scale is the
+    * *execution*: instead of round 1's BroadcastNestedLoopJoin (one side
+    * collected to every executor), vectors are hashed into B blocks and each
+    * of the B(B+1)/2 block-pair tiles becomes one equi-join key — shuffle is
+    * n*(B+1) rows, per-task memory is 2n/B vectors, and the work spreads
+    * evenly across the cluster. Pick B ~ n / rows_per_task at the target
+    * scale. For the high-threshold regime where pruning IS possible, see
+    * [[d_embed_neardup_lsh]].
     */
   val d_embed_neardup: Query = q("d_embed_neardup", Some(
     """WITH u AS (
@@ -207,29 +341,146 @@ object NorthStar {
       |SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 3) AS sim
       |FROM p WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+    val B = 16
+    import s.implicits._
+    val tiles = (for { i <- 0 until B; j <- i until B } yield (i, j)).toDF("ta", "tb")
     val emb = Tables.load(s, dir, "embeddings")
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      .select(col("vec_id"), col("embedding"),
+        pmod(xxhash64(col("vec_id")), lit(B)).cast("int").as("blk"))
+    val aSide = emb.toDF("id_a", "ea", "blk")
+      .join(broadcast(tiles), col("blk") === col("ta")).drop("blk")
+    val bSide = emb.toDF("id_b", "eb", "blkb")
+      .join(broadcast(tiles), col("blkb") === col("tb")).drop("blkb")
     val sim = Vectors.cosineSim(col("ea"), col("eb"))
-    a.join(b, col("id_a") < col("id_b"))
+    // each unordered pair lands in exactly one tile; diagonal tiles dedupe
+    // by id order (cosineSim is symmetric, so orienting ids is free)
+    aSide.join(bSide, Seq("ta", "tb"))
+      .filter(col("ta") < col("tb") || col("id_a") < col("id_b"))
+      .filter(sim >= 0.4)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(sim, 3).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 63-bit hyperplane fingerprint of an embedding: bit j = sign of the dot
+    * product with md5-derived pseudo-random plane j (SharedHash.planeValue).
+    * The planes are folded to a literal matrix driver-side — per row this is
+    * 63x64 fused multiply-adds and zero hashing.
+    */
+  private def hyperFp(nBits: Int, emb: Column): Column = {
+    val planes = typedlit(SharedHash.planes(nBits, Dim))
+    def dot(j: Column): Column =
+      aggregate(sequence(lit(0), lit(Dim - 1)), lit(0.0),
+        (acc, d) => acc + get(emb, d).cast("double") * get(get(planes, j), d))
+    aggregate(sequence(lit(nBits - 1), lit(0), lit(-1)), lit(0L),
+      (acc, j) => acc * 2 + when(dot(j) > 0, 1L).otherwise(0L))
+  }
+
+  /** Embedding near-dup, LSH-scale path: 63-bit hyperplane fingerprints,
+    * pigeonhole-exact banded candidate generation at hamming <= 6 (same 7x9
+    * scheme as [[d_simhash]]), then exact-cosine verification at 0.4.
+    *
+    * Semantics are fingerprint-first (a pair qualifies iff its fingerprints
+    * agree on >= 57 of 63 hyperplane signs AND exact cosine >= 0.4), which is
+    * the high-precision near-duplicate regime — at 100 TB this is the plan
+    * you run, with cost sum(bucket_size^2) instead of n^2. Fully
+    * deterministic and recomputed bit-for-bit by the DuckDB oracle.
+    */
+  val d_embed_neardup_lsh: Query = q("d_embed_neardup_lsh", Some(
+    s"""WITH planes AS (
+       |${SharedHash.planesOracleCte(63, Dim)}),
+       |u0 AS (
+       |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) - 1 AS d
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT u0.vec_id, p.j, SUM(u0.v * p.p) AS dot
+       |  FROM u0 JOIN planes p ON p.d = u0.d GROUP BY u0.vec_id, p.j),
+       |fp AS (
+       |  SELECT vec_id,
+       |         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS f
+       |  FROM dots GROUP BY vec_id),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM fp a JOIN fp b ON a.vec_id < b.vec_id
+       |  WHERE bit_count(xor(a.f, b.f)) <= 6),
+       |uu AS (
+       |  SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT c.id_a, c.id_b,
+       |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot,
+       |         SUM(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)) AS na,
+       |         SUM(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS nb
+       |  FROM cand c
+       |  JOIN uu a ON a.vec_id = c.id_a
+       |  JOIN uu b ON b.vec_id = c.id_b AND a.i = b.i
+       |  GROUP BY c.id_a, c.id_b)
+       |SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 3) AS sim
+       |FROM p WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val fps = emb.select(col("vec_id"), hyperFp(63, col("embedding")).as("f"))
+    val banded = fps.select(col("vec_id"), posexplode(expr(
+      "transform(sequence(0, 6), b -> shiftright(f, b * 9) & 511)"))
+      .as(Seq("band", "bucket")))
+    val cand = banded
+      .groupBy("band", "bucket")
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(bucketPairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val fa = fps.select(col("vec_id").as("id_a"), col("f").as("f_a"))
+    val fb = fps.select(col("vec_id").as("id_b"), col("f").as("f_b"))
+    val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val sim = Vectors.cosineSim(col("ea"), col("eb"))
+    cand.join(fa, "id_a").join(fb, "id_b")
+      .filter(expr("bit_count(f_a ^ f_b) <= 6"))
+      .join(ea, "id_a").join(eb, "id_b")
       .filter(sim >= 0.4)
       .select(col("id_a"), col("id_b"), round(sim, 3).as("sim"))
       .orderBy("id_a", "id_b")
   }
 
-  /** ANN, scale path: 8 random-hyperplane sign bits (deterministic pseudo-
-    * random planes from xxhash64) -> bucket equi-join -> exact cosine inside
-    * the probe's bucket. xxhash64-based -> rows-only.
+  /** ANN, probe-vs-corpus: 8 md5-derived hyperplane sign bits -> bucket
+    * equi-join -> exact cosine inside the probe's bucket, top 5. Fully
+    * oracled: DuckDB recomputes the planes, buckets and cosines.
     */
-  val s_ann_lsh: Query = q("s_ann_lsh", None) { (s, dir) =>
-    val planes = // plane(j, d) in [-0.5, 0.5], deterministic
-      "(CAST(pmod(xxhash64(j * 64 + d), 1001) AS DOUBLE) / 1000.0 - 0.5)"
-    val bucketExpr = expr(
-      s"""aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) -> acc * 2 +
-         |  CASE WHEN aggregate(sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE),
-         |    (dot, d) -> dot + CAST(element_at(embedding, d + 1) AS DOUBLE) * $planes) > 0
-         |  THEN 1 ELSE 0 END)""".stripMargin)
-    val emb = Tables.load(s, dir, "embeddings").withColumn("bucket", bucketExpr)
+  val s_ann_lsh: Query = q("s_ann_lsh", Some(
+    s"""WITH planes AS (
+       |${SharedHash.planesOracleCte(8, Dim)}),
+       |u0 AS (
+       |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) - 1 AS d
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT u0.vec_id, p.j, SUM(u0.v * p.p) AS dot
+       |  FROM u0 JOIN planes p ON p.d = u0.d GROUP BY u0.vec_id, p.j),
+       |fp AS (
+       |  SELECT vec_id,
+       |         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |pb AS (SELECT bucket FROM fp WHERE vec_id = 1),
+       |cand AS (SELECT f.vec_id FROM fp f JOIN pb ON f.bucket = pb.bucket),
+       |probe AS (
+       |  SELECT UNNEST(embedding) AS pv, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings WHERE vec_id = 1),
+       |cv AS (
+       |  SELECT e.vec_id, UNNEST(e.embedding) AS cv, generate_subscripts(e.embedding, 1) AS i
+       |  FROM embeddings e WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+       |j AS (
+       |  SELECT c.vec_id,
+       |         SUM(CAST(c.cv AS DOUBLE) * CAST(p.pv AS DOUBLE)) AS dot,
+       |         SUM(CAST(c.cv AS DOUBLE) * CAST(c.cv AS DOUBLE)) AS nc,
+       |         SUM(CAST(p.pv AS DOUBLE) * CAST(p.pv AS DOUBLE)) AS np
+       |  FROM cv c JOIN probe p ON c.i = p.i GROUP BY c.vec_id)
+       |SELECT vec_id, ROUND(dot / (SQRT(nc) * SQRT(np)), 3) AS sim
+       |FROM j ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+      .withColumn("bucket", hyperFp(8, col("embedding")))
     val probe = emb.filter(col("vec_id") === 1)
       .select(col("bucket").as("pbucket"), col("embedding").as("pe"))
     val sim = Vectors.cosineSim(col("embedding"), col("pe"))
@@ -344,17 +595,23 @@ object NorthStar {
       .orderBy("source")
   }
 
-  /** Document fingerprinting: xxhash64 full-text fingerprint plus a positional
-    * sample fingerprint (first/middle/last 8-gram). Deterministic; xxhash64
-    * has no DuckDB twin -> rows-only.
+  /** Document fingerprinting: md5 full-text fingerprint plus a positional
+    * sample fingerprint (first/middle/last 8-gram) — md5 so the oracle
+    * recomputes both (round 1's xxhash64 had no DuckDB twin).
     */
-  val t_fingerprint: Query = q("t_fingerprint", None) { (s, dir) =>
+  val t_fingerprint: Query = q("t_fingerprint", Some(
+    """SELECT doc_id, md5(text) AS fp_full,
+      |       md5(substring(text, 1, 8) ||
+      |           substring(text, greatest(length(text) // 2, 1), 8) ||
+      |           substring(text, greatest(length(text) - 7, 1), 8)) AS fp_sample
+      |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        xxhash64(col("text")).as("fp_full"),
-        xxhash64(expr("substring(text, 1, 8)"),
-          expr("substring(text, greatest(length(text) / 2, 1), 8)"),
-          expr("substring(text, greatest(length(text) - 7, 1), 8)")).as("fp_sample"))
+        md5(col("text")).as("fp_full"),
+        md5(concat(
+          expr("substring(text, 1, 8)"),
+          expr("substring(text, greatest(length(text) div 2, 1), 8)"),
+          expr("substring(text, greatest(length(text) - 7, 1), 8)"))).as("fp_sample"))
       .orderBy("doc_id")
   }
 
@@ -437,7 +694,7 @@ object NorthStar {
 
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_minhash_lsh, d_simhash,
-    q24_cosine_topk, d_embed_neardup, s_ann_lsh,
+    q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh,
     q22_text_stats, t_langid, t_quality, t_tokens, t_fingerprint,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
 }

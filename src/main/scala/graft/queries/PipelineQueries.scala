@@ -35,11 +35,13 @@ object PipelineQueries {
            |       o_orderpriority
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
-  /** Multimodal stub pipeline — deterministic fake decode, rows-only. */
+  /** Multimodal stub pipeline — deterministic md5-derived fake decode; the
+    * oracle recomputes every feature column from md5(payload) in DuckDB.
+    */
   val m_image_features: Query = Query(
     "m_image_features",
     (s, dir) => Multimodal.imageFeatures(s, dir),
-    None)
+    Some(Multimodal.oracleSql))
 
   val all: Seq[Query] = Seq(r_unload_roundtrip, m_image_features)
 }

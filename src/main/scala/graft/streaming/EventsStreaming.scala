@@ -36,7 +36,9 @@ object EventsStreaming {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // integer division (see Tables.normalizeEvents): `/` would go through
+      // Double and lose exactness above 2^53 nanos.
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling 1-hour windows with a watermark — streaming twin of
     * q23_time_bucket.

@@ -23,14 +23,17 @@ object Tables {
 
   /** events.ts is parquet timestamp[ns]; Spark reads nanos as LongType only
     * with spark.sql.legacy.parquet.nanosAsLong=true (set in Sessions). When it
-    * arrives as a long, convert to a microsecond timestamp (truncating, which
-    * matches DuckDB's ns->us cast).
+    * arrives as a long, convert to a microsecond timestamp. `div` (integer
+    * division) is essential: `/` on two longs is Double division in Spark, and
+    * epoch nanos (~1e18) exceed Double's 53-bit exact range, so a float
+    * round-trip can flip a microsecond and silently diverge from DuckDB's
+    * exact ns->us integer cast.
     */
   private def normalizeEvents(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.LongType
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }

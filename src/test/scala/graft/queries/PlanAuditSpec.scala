@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.SparkEntry
+import graft.SparkSpec
+
+/** Scale-plan regression guard: the dedup/similarity operators must never
+  * plan an all-pairs join (BroadcastNestedLoopJoin collects a whole side to
+  * every executor; CartesianProduct shuffles n^2 rows). Round 1 shipped two
+  * such plans (d_simhash, d_embed_neardup) — this spec keeps them dead.
+  *
+  * q24_cosine_topk is exempt by design: its cross join broadcasts a single
+  * probe row, which is the correct plan for probe-vs-corpus scoring.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
+  private val audited = Seq(
+    "d_simhash", "d_embed_neardup", "d_embed_neardup_lsh", "d_minhash_lsh",
+    "d_ngram_jaccard", "s_ann_lsh", "q21_dedup_first", "q21_dup_counts",
+    "q7_join", "q8_join3_agg")
+
+  for (name <- audited) test(s"$name plans without an all-pairs join") {
+    val plan = SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    banned.foreach(b => assert(!plan.contains(b), s"$b found in $name plan:\n$plan"))
+  }
+
+  test("d_ngram_jaccard does not broadcast the per-doc sizes side") {
+    // sizes is one row per document — a broadcast hint on it is a driver OOM
+    // at scale. AQE may still *choose* to broadcast at this sf; the guard is
+    // that no explicit hint forces it: the optimized logical plan must not
+    // contain a ResolvedHint over the aggregated sizes subtree.
+    val df = SparkEntry.queries("d_ngram_jaccard")(spark, sfDir)
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty, "explicit broadcast hint found in d_ngram_jaccard")
+  }
+}
