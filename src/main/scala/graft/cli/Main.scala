@@ -1,52 +1,98 @@
 package graft.cli
 
+import org.apache.spark.sql.SparkSession
+
+import graft.ddl.SpectrumDdl
 import graft.engine.Sessions
 import graft.pipeline.{PathConfig, TableTransformer}
 
 /** CLI entry (reference operator R12, main.py:16-95). Subcommands mirror the
-  * reference: transform | export | convert | create_table.
+  * reference: transform | export | convert | create_table | add_part.
   *
   * Usage:
-  *   graft.cli.Main transform   <source.parquet> <basePath> <schema> <table>
-  *   graft.cli.Main export      <source.parquet> <basePath>
-  *   graft.cli.Main convert     <source.parquet> <basePath>
-  *   graft.cli.Main create_table <source.parquet> <basePath> <schema> <table>
+  *   graft.cli.Main transform    [--yes] <source.parquet> <basePath> <schema> <table>
+  *   graft.cli.Main export       <source.parquet> <basePath>
+  *   graft.cli.Main convert      <source.parquet> <basePath>
+  *   graft.cli.Main create_table [--yes] <source.parquet> <basePath> <schema> <table>
+  *   graft.cli.Main add_part     <basePath> <schema> <table> <partition_key> <value>
+  *
+  * transform/create_table echo the DDL and ask for confirmation before
+  * executing (the reference's log_query + click.confirm flow,
+  * create.py:66-73); `--yes` skips the prompt. add_part renders the
+  * ALTER TABLE ... ADD PARTITION DDL for the Hive-style partition directory
+  * (reference main.py:92-95 declares the subcommand but leaves it a stub;
+  * the rendering is examples/weekly_partitions.py:107-129).
   */
 object Main {
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { println(usage); sys.exit(2) }
     val spark = Sessions.local()
-    try {
-      args.toList match {
-        case "transform" :: src :: base :: schema :: table :: Nil =>
-          val t = new TableTransformer(spark, src, PathConfig(base), schema, table)
-          val ddl = t.transform()
-          println("*** CREATE TABLE SQL ***")
-          println(ddl)
-        case "export" :: src :: base :: Nil =>
-          val t = new TableTransformer(spark, src, PathConfig(base), "", "")
-          val parts = t.exportToCsv()
-          println(s"Exported ${parts.size} part file(s) + manifest under $base/csv/")
-        case "convert" :: src :: base :: Nil =>
-          val t = new TableTransformer(spark, src, PathConfig(base), "", "")
-          t.convertToParquet()
-          println(s"Converted to parquet under $base/spectrum/")
-        case "create_table" :: src :: base :: schema :: table :: Nil =>
-          val t = new TableTransformer(spark, src, PathConfig(base), schema, table)
-          println(t.createTableDdl())
-        case other =>
-          System.err.println(s"Unknown or malformed command: ${other.mkString(" ")}")
-          println(usage)
-          sys.exit(2)
-      }
-    } finally spark.stop()
+    val code = try run(args.toList, spark) finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Testable core: returns the process exit code instead of calling it. */
+  def run(args: List[String], spark: SparkSession,
+          confirm: () => Boolean = stdinConfirm): Int = {
+    val (yes, rest) = args.partition(_ == "--yes")
+    val skipConfirm = yes.nonEmpty
+    rest match {
+      case "transform" :: src :: base :: schema :: table :: Nil =>
+        val t = new TableTransformer(spark, src, PathConfig(base), schema, table)
+        t.exportToCsv()
+        t.convertToParquet()
+        logQuery(t.createTableDdl())
+        if (skipConfirm || confirm()) {
+          val name = t.createTable()
+          println(s"Created table $name over ${PathConfig(base).spectrumDir}")
+          0
+        } else { println("Aborted."); 1 }
+      case "export" :: src :: base :: Nil =>
+        val t = new TableTransformer(spark, src, PathConfig(base), "", "")
+        val parts = t.exportToCsv()
+        println(s"Exported ${parts.size} part file(s) + manifest under $base/csv/")
+        0
+      case "convert" :: src :: base :: Nil =>
+        val t = new TableTransformer(spark, src, PathConfig(base), "", "")
+        t.convertToParquet()
+        println(s"Converted to parquet under $base/spectrum/")
+        0
+      case "create_table" :: src :: base :: schema :: table :: Nil =>
+        val t = new TableTransformer(spark, src, PathConfig(base), schema, table)
+        logQuery(t.createTableDdl())
+        if (skipConfirm || confirm()) {
+          val name = t.createTable()
+          println(s"Created table $name over ${PathConfig(base).spectrumDir}")
+          0
+        } else { println("Aborted."); 1 }
+      case "add_part" :: base :: schema :: table :: key :: value :: Nil =>
+        val location = s"${PathConfig(base).spectrumDir}/$key=$value"
+        logQuery(SpectrumDdl.addPartition(schema, table, key, value, location))
+        0
+      case other =>
+        System.err.println(s"Unknown or malformed command: ${other.mkString(" ")}")
+        println(usage)
+        2
+    }
+  }
+
+  private def logQuery(ddl: String): Unit = {
+    println("*** CREATE TABLE SQL ***")
+    println(ddl)
+  }
+
+  private def stdinConfirm(): Boolean = {
+    print("Continue? [y/N] ")
+    Option(scala.io.StdIn.readLine()).exists(l => l.trim.equalsIgnoreCase("y"))
   }
 
   private val usage: String =
     """Usage:
-      |  transform    <source.parquet> <basePath> <schema> <table>   export+convert+DDL
+      |  transform    [--yes] <source.parquet> <basePath> <schema> <table>  export+convert+create
       |  export       <source.parquet> <basePath>                    table -> unload CSV + manifest
       |  convert      <source.parquet> <basePath>                    CSV + manifest -> typed parquet
-      |  create_table <source.parquet> <basePath> <schema> <table>   print external-table DDL
+      |  create_table [--yes] <source.parquet> <basePath> <schema> <table>  render+execute DDL
+      |  add_part     <basePath> <schema> <table> <partition_key> <value>   render ADD PARTITION DDL
       |""".stripMargin
 }

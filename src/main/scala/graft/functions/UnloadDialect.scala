@@ -63,7 +63,46 @@ case class UnloadSplit(child: Expression, delimiter: Char, numFields: Int)
     copy(child = newChild)
 }
 
+/** Writer-side twin of [[UnloadSplit]]: one linear scan placing a backslash
+  * before the delimiter, backslash, LF and CR — the exact UNLOAD ESCAPE
+  * character set (reference export.py:10-17's ESCAPE option; the reader at
+  * convert.py:83-89 unescapes with escapechar='\\').
+  */
+object UnloadEscapeImpl {
+  def escape(s: UTF8String, delim: Char): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length + 8)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c == '\\' || c == delim || c == '\n' || c == '\r') sb.append('\\')
+      sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+case class UnloadEscape(child: Expression, delimiter: Char)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unload_escape"
+
+  override def nullSafeEval(input: Any): Any =
+    UnloadEscapeImpl.escape(input.asInstanceOf[UTF8String], delimiter)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UnloadEscapeImpl.escape($c, (char) ${delimiter.toInt})")
+
+  override protected def withNewChildInternal(newChild: Expression): UnloadEscape =
+    copy(child = newChild)
+}
+
 object UnloadDialect {
   def unloadSplit(line: Column, delimiter: Char, numFields: Int): Column =
     Bridge.column(UnloadSplit(Bridge.expression(line), delimiter, numFields))
+
+  def unloadEscape(value: Column, delimiter: Char): Column =
+    Bridge.column(UnloadEscape(Bridge.expression(value), delimiter))
 }

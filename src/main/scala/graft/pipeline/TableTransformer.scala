@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DateType, TimestampType}
 
 import graft.ddl.SpectrumDdl
+import graft.functions.UnloadDialect
 import graft.schema.TableSchema
 import graft.sinks.ParquetSink
-import graft.sources.UnloadCsv
+import graft.sources.{JdbcSource, UnloadCsv}
 
 /** Output-path layout mirroring the reference's SimpleS3Config
   * (utils/s3.py:51-78): `{base}/csv/` (+ `manifest`), `{base}/spectrum/`.
@@ -24,14 +25,25 @@ final case class PathConfig(basePath: String) {
 
 /** Unload-style CSV export (reference operator R1 re-expressed): instead of a
   * remote `UNLOAD` statement, any DataFrame is written in the exact unload
-  * dialect (pipe-delimited, backslash-escaped, unquoted, gzip, 't'/'f'
-  * booleans, empty-as-null) plus the JSON manifest enumerating part files
-  * (export.py:10-17's output contract, manifest shape convert.py:97-99).
+  * dialect (pipe-delimited, backslash-escaped delimiter/backslash/LF/CR,
+  * unquoted, gzip, 't'/'f' booleans, empty-as-null) plus the JSON manifest
+  * enumerating part files (export.py:10-17's output contract, manifest shape
+  * convert.py:97-99).
   */
 object CsvExporter {
 
+  /** UNLOAD's MAXFILESIZE default (export.py:16, HISTORY.rst v2.0.0). */
+  val DefaultMaxFileBytes: Long = 256L * 1024 * 1024
+
+  /** Export to unload-dialect gzip CSV + manifest. Output files are bounded
+    * at ~`maxFileBytes` of record data: average line width is measured on a
+    * small sample and converted to a `maxRecordsPerFile` cap (an estimate —
+    * UNLOAD bounds the stored bytes exactly because it writes serially; a
+    * parallel writer bounds per-task, and gzip makes the stored files
+    * smaller than the bound, never larger). Pass 0 to disable.
+    */
   def export(df: DataFrame, paths: PathConfig,
-             maxRecordsPerFile: Long = 0L): Seq[String] = {
+             maxFileBytes: Long = DefaultMaxFileBytes): Seq[String] = {
     val spark = df.sparkSession
     val stringified = df.select(df.schema.fields.toSeq.map { f =>
       val c = col(f.name)
@@ -42,16 +54,18 @@ object CsvExporter {
         case _ => c.cast("string")
       }).as(f.name)
     }: _*)
-    // UNLOAD ESCAPE semantics: backslash-escape backslash + delimiter in
-    // unquoted fields, NULL -> '' (embedded newlines are out of scope — the
-    // reader is line-oriented, as is the reference's CSV stream).
+    // UNLOAD ESCAPE semantics, one codegen scan per field: backslash-escape
+    // backslash, delimiter, LF and CR in unquoted fields; NULL -> ''.
     val escaped = stringified.schema.fieldNames.toSeq.map { n =>
-      coalesce(regexp_replace(regexp_replace(col(n),
-        "\\\\", "\\\\\\\\"), "\\|", "\\\\|"), lit(""))
+      coalesce(UnloadDialect.unloadEscape(col(n), '|'), lit(""))
     }
     val lines = stringified.select(concat_ws("|", escaped: _*).as("value"))
     var w = lines.write.mode("overwrite").option("compression", "gzip")
-    if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    if (maxFileBytes > 0) {
+      val sampled = lines.limit(4096).agg(avg(length(col("value")))).collect()(0)
+      val avgBytes = Option(sampled.get(0)).fold(100.0)(_.asInstanceOf[Double]) + 1.0
+      w = w.option("maxRecordsPerFile", math.max(1L, (maxFileBytes / avgBytes).toLong))
+    }
     w.text(paths.csvDir)
     writeManifest(spark, paths)
   }
@@ -72,22 +86,30 @@ object CsvExporter {
 /** The flagship three-stage pipeline (reference operator R11, transform.py:
   * 9-41): export -> convert -> create, sharing one reflected schema.
   *
-  * Stage boundaries in Spark terms: each stage is a distributed job; the
-  * reference's per-file multiprocessing Pool (R7) becomes task scheduling.
+  * The source is any DataFrame producer — a parquet path (the testdata
+  * layout) or a live JDBC table (the reference's actual stage-1 input,
+  * export.py:28-34), via the companion constructors. Stage boundaries in
+  * Spark terms: each stage is a distributed job; the reference's per-file
+  * multiprocessing Pool (R7) becomes task scheduling.
   */
-final class TableTransformer(spark: SparkSession, sourceParquet: String,
-                             paths: PathConfig, schemaName: String, tableName: String) {
+final class TableTransformer(spark: SparkSession, source: () => DataFrame,
+                             paths: PathConfig, schemaName: String, tableName: String,
+                             maxFileBytes: Long = CsvExporter.DefaultMaxFileBytes) {
+
+  /** Parquet-path source (the driver-testdata layout). */
+  def this(spark: SparkSession, sourceParquet: String, paths: PathConfig,
+           schemaName: String, tableName: String) =
+    this(spark, () => spark.read.parquet(sourceParquet), paths, schemaName, tableName)
 
   /** Schema reflected once from the source, shared by all stages
     * (transform.py:16) — validated against the supported-type whitelist.
     */
-  lazy val schema: TableSchema =
-    TableSchema.fromStructType(spark.read.parquet(sourceParquet).schema)
+  lazy val schema: TableSchema = TableSchema.fromStructType(source().schema)
 
   /** Stage 1: source table -> unload-dialect CSV + manifest. */
   def exportToCsv(): Seq[String] = {
     schema // force fail-fast validation before any work (schema.py:38-44)
-    CsvExporter.export(spark.read.parquet(sourceParquet), paths)
+    CsvExporter.export(source(), paths, maxFileBytes)
   }
 
   /** Stage 2: manifest-driven CSV -> typed, gzip, INT96 Parquet. */
@@ -96,16 +118,53 @@ final class TableTransformer(spark: SparkSession, sourceParquet: String,
     ParquetSink.write(typed, paths.spectrumDir)
   }
 
-  /** Stage 3: external-table DDL over the converted data. */
+  /** Stage 3a: the Redshift-dialect external-table DDL (rendered text, as
+    * the reference's golden tests pin it).
+    */
   def createTableDdl(): String =
     SpectrumDdl.parquetTable(schemaName, tableName, schema, paths.spectrumDir)
 
-  /** Run all three stages; returns the DDL (the reference executes it against
-    * Redshift after an interactive confirm — here the caller decides).
+  /** Stage 3b: EXECUTE the equivalent Spark DDL — the reference renders and
+    * then runs its CREATE against the warehouse (create.py:59-73); here the
+    * converted output is registered as an external parquet table in the
+    * session catalog, queryable by name. Returns the qualified name.
+    */
+  def createTable(): String = {
+    val qualified = s"$schemaName.${tableName.replace('.', '_')}"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $schemaName")
+    spark.sql(s"DROP TABLE IF EXISTS $qualified")
+    spark.sql(SpectrumDdl.sparkParquetTable(schemaName, tableName, paths.spectrumDir))
+    qualified
+  }
+
+  /** Run all three stages (export, convert, create+register); returns the
+    * rendered Redshift-dialect DDL (the executed Spark DDL's twin).
     */
   def transform(): String = {
     exportToCsv()
     convertToParquet()
+    createTable()
     createTableDdl()
   }
+}
+
+object TableTransformer {
+
+  def fromParquet(spark: SparkSession, sourceParquet: String, paths: PathConfig,
+                  schemaName: String, tableName: String): TableTransformer =
+    new TableTransformer(spark, sourceParquet, paths, schemaName, tableName)
+
+  /** Live-DB source (reference export.py:28-34): reads `table` over JDBC with
+    * Catalyst filter/column pushdown; `options` may carry
+    * [[JdbcSource.partitionOptions]] for parallel extraction.
+    */
+  def fromJdbc(spark: SparkSession, url: String, sourceTable: String,
+               options: Map[String, String], paths: PathConfig,
+               schemaName: String, tableName: String): TableTransformer =
+    new TableTransformer(spark, () => JdbcSource.read(spark, url, sourceTable, options),
+      paths, schemaName, tableName)
+
+  def ofDataFrame(spark: SparkSession, df: => DataFrame, paths: PathConfig,
+                  schemaName: String, tableName: String): TableTransformer =
+    new TableTransformer(spark, () => df, paths, schemaName, tableName)
 }

@@ -6,34 +6,76 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Multimodal
 import graft.pipeline.{PathConfig, TableTransformer}
+import graft.sources.JdbcSource
+import graft.tables.Tables
 
-/** The reference's own pipeline (R1/R2/R3/R4/R5/R6/R11) exposed as a
-  * differentially-checked query: orders -> unload-dialect gzip CSV + manifest
-  * -> typed conversion -> gzip/INT96 parquet -> read back. If any stage
-  * mangles a value (dialect, escaping, ''-null rule, timestamp parse, INT96
-  * write), the DuckDB oracle (identity projection of the source) catches it.
+/** The reference's own pipeline (R1/R2/R3/R4/R5/R6/R11) exposed as
+  * differentially-checked queries.
   */
 object PipelineQueries {
 
+  /** orders (+ a derived BOOLEAN column, so the 't'/'f'/''-null dialect rule
+    * is hash-checked, not just unit-tested) -> unload-dialect gzip CSV +
+    * manifest -> typed conversion -> gzip/INT96 parquet -> registered
+    * external table -> read back BY NAME through the session catalog
+    * (stage 3 executes its DDL, reference create.py:59-73). If any stage
+    * mangles a value (dialect, escaping, ''-null rule, bool parse, timestamp
+    * parse, INT96 write, catalog registration), the DuckDB oracle (identity
+    * projection of the source) catches it.
+    */
   val r_unload_roundtrip: Query = Query(
     "r_unload_roundtrip",
     (s, dir) => {
       val base = Files.createTempDirectory("graft_roundtrip_").toString
-      val t = new TableTransformer(s, s"$dir/orders.parquet", PathConfig(base), "spectrum", "orders")
+      val t = TableTransformer.ofDataFrame(s,
+        s.read.parquet(s"$dir/orders.parquet")
+          .withColumn("o_flag", (col("o_orderkey") % 2) === 0),
+        PathConfig(base), "spectrum", "orders_rt")
       t.exportToCsv()
       t.convertToParquet()
-      s.read.parquet(PathConfig(base).spectrumDir)
+      val name = t.createTable()
+      s.table(name)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           round(col("o_totalprice"), 2).as("price"),
           date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od"),
-          col("o_orderpriority"))
+          col("o_orderpriority"), col("o_flag"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
            |       ROUND(o_totalprice, 2) AS price,
            |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
-           |       o_orderpriority
+           |       o_orderpriority, (o_orderkey % 2 = 0) AS o_flag
            |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** Live-source path (reference R1's actual stage 1 is a DB connection,
+    * export.py:28-34): orders is loaded into an embedded Derby database over
+    * JDBC, then read back through [[JdbcSource]] with a range predicate that
+    * Catalyst pushes into the remote SQL. The oracle is the equivalent scan
+    * of the original parquet — divergence anywhere in the JDBC write/read
+    * dialect (types, nulls, timestamps) breaks the hash.
+    */
+  val r_jdbc_roundtrip: Query = Query(
+    "r_jdbc_roundtrip",
+    (s, dir) => {
+      val dbDir = Files.createTempDirectory("graft_derby_").toString
+      val url = s"jdbc:derby:$dbDir/db;create=true"
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .write.format("jdbc")
+        .option("url", url).option("dbtable", "orders_src").save()
+      JdbcSource.read(s, url, "orders_src")
+        .filter(col("o_custkey") < 500) // pushed into the remote WHERE
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price,
+           |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
+           |       o_orderpriority
+           |FROM orders WHERE o_custkey < 500 ORDER BY o_orderkey""".stripMargin))
 
   /** Multimodal stub pipeline — deterministic md5-derived fake decode; the
     * oracle recomputes every feature column from md5(payload) in DuckDB.
@@ -43,5 +85,5 @@ object PipelineQueries {
     (s, dir) => Multimodal.imageFeatures(s, dir),
     Some(Multimodal.oracleSql))
 
-  val all: Seq[Query] = Seq(r_unload_roundtrip, m_image_features)
+  val all: Seq[Query] = Seq(r_unload_roundtrip, r_jdbc_roundtrip, m_image_features)
 }

@@ -1,29 +1,80 @@
 package graft.sources
 
+import java.io.{BufferedReader, InputStreamReader, Reader}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PgBool, UnloadDialect}
 import graft.schema.{RedshiftType, TableSchema}
 
+/** Record iterator over the unload dialect's character stream: records are
+  * separated by an UNESCAPED newline; a backslash escapes the next character,
+  * so backslash-escaped LF/CR (as UNLOAD ESCAPE emits for embedded newlines)
+  * stay inside the record — a line-oriented reader would mis-split them,
+  * which is why this is not `spark.read.text`. The emitted record string
+  * keeps its escapes; UnloadSplit unescapes while splitting fields.
+  */
+private[sources] final class UnloadRecordIterator(in: Reader) extends Iterator[String] {
+  private var nextRecord: String = _
+  private var eof = false
+
+  private def advance(): Unit = {
+    if (eof) { nextRecord = null; return }
+    val sb = new java.lang.StringBuilder(128)
+    var c = in.read()
+    if (c < 0) { eof = true; in.close(); nextRecord = null; return }
+    var done = false
+    while (!done && c >= 0) {
+      c match {
+        case '\\' =>
+          sb.append('\\')
+          val n = in.read()
+          if (n >= 0) sb.append(n.toChar) else { eof = true; in.close() }
+        case '\n' => done = true
+        case '\r' => // CRLF also terminates a record (never emitted by the
+          // exporter, which escapes CR); a lone CR stays record content
+          val n = in.read()
+          if (n >= 0 && n != '\n') sb.append('\r').append(n.toChar)
+          else done = true
+          if (n < 0) { eof = true; in.close() }
+        case ch => sb.append(ch.toChar)
+      }
+      if (!done) c = in.read()
+      if (c < 0 && !eof) { eof = true; in.close() }
+    }
+    nextRecord = sb.toString
+  }
+
+  advance()
+  override def hasNext: Boolean = nextRecord != null
+  override def next(): String = { val r = nextRecord; advance(); r }
+}
+
 /** Reader for the Redshift-unload CSV dialect (reference operators R2/R3/R4):
-  * pipe-delimited, backslash-escaped, unquoted, gzipped, empty-string-as-NULL,
-  * 't'/'f' booleans, ISO-8601 timestamps — optionally enumerated by a JSON
-  * manifest {"entries": [{"url": ...}]} (reference spectrify/convert.py:97-99,
+  * pipe-delimited, backslash-escaped (delimiter, backslash, LF, CR),
+  * unquoted, gzipped, empty-string-as-NULL, 't'/'f' booleans, ISO-8601
+  * timestamps — optionally enumerated by a JSON manifest
+  * {"entries": [{"url": ...}]} (reference spectrify/convert.py:97-99,
   * utils/s3.py:81-123).
   *
-  * Scale notes: the file list feeds one DataFrameReader.csv(paths*) — Spark
-  * schedules one task per split (the reference's multiprocessing.Pool
-  * becomes task scheduling, R7); decompression streams (O6); the typed cast
-  * layer is a per-column projection fused into the scan stage by codegen.
-  * Corrupt values fail the job (FAILFAST + ANSI casts), matching the
-  * reference's ValueError-on-bad-cell policy (convert.py:55).
+  * Scale notes: gzip members are unsplittable, so the unit of parallelism is
+  * the file either way — binaryFiles gives one streamed task per file (the
+  * reference's multiprocessing.Pool becomes task scheduling, R7);
+  * decompression streams in 64 KB blocks (O6), never materializing a file;
+  * the typed cast layer is a per-column projection fused by codegen.
+  * Corrupt values fail the job (ANSI casts + field-count checks), matching
+  * the reference's ValueError-on-bad-cell policy (convert.py:55).
   */
 object UnloadCsv {
 
   /** Parse a JSON manifest into its entry URLs. Spark-side JSON reader keeps
-    * this distributed-storage-agnostic (works on any Hadoop FS scheme).
+    * this distributed-storage-agnostic (works on any Hadoop FS scheme). The
+    * collect is a file LIST (one short URL per part file — the reference
+    * holds the same list in memory, convert.py:221-230), not data.
     */
   def manifestEntries(spark: SparkSession, manifestPath: String): Seq[String] = {
     import spark.implicits._
@@ -36,16 +87,28 @@ object UnloadCsv {
       .toSeq
   }
 
+  /** Escape-aware record scan: one streaming task per file. */
+  private def readRecords(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val rdd = spark.sparkContext
+      .binaryFiles(paths.mkString(","), minPartitions = paths.length)
+      .flatMap { case (path, pds) =>
+        val raw = pds.open()
+        val in = if (path.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16) else raw
+        new UnloadRecordIterator(
+          new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8), 1 << 16))
+      }
+    spark.createDataset(rdd)(Encoders.STRING).toDF("value")
+  }
+
   /** Read unload-dialect CSV files, applying the typed conversion layer.
-    * The dialect (unquoted + backslash escapes) is parsed by the UnloadSplit
-    * kernel over a plain text scan — general CSV parsers only honor escapes
-    * inside quotes. Gzip decompression streams per split; empty -> NULL and
-    * fail-fast-on-garbage live in the kernel + ANSI casts.
+    * The dialect (unquoted + backslash escapes, including escaped newlines)
+    * is parsed by the escape-aware record scan + the UnloadSplit kernel —
+    * general CSV parsers only honor escapes inside quotes.
     */
   def read(spark: SparkSession, schema: TableSchema, paths: Seq[String],
            delimiter: Char = '|'): DataFrame = {
     val n = schema.fields.length
-    val raw = spark.read.text(paths: _*)
+    val raw = readRecords(spark, paths)
       .select(UnloadDialect.unloadSplit(col("value"), delimiter, n).as("f"))
     val named = raw.select(schema.names.zipWithIndex.map {
       case (name, i) => col("f").getItem(i).as(name)

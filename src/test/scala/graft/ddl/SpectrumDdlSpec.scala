@@ -29,7 +29,8 @@ class SpectrumDdlSpec extends AnyFunSuite {
     val got = SpectrumDdl.openCsvSerdeTable(
       "schema", "table",
       TableSchema(Seq("int_col_1" -> RsInteger)),
-      "s3://some_bucket/prefix/csv/manifest")
+      csvDir = "s3://some_bucket/prefix/csv",
+      manifestPath = "s3://some_bucket/prefix/csv/manifest")
     assert(got == expected)
   }
 
@@ -39,7 +40,7 @@ class SpectrumDdlSpec extends AnyFunSuite {
       TableSchema(Seq("id" -> RsBigInt, "price" -> RsDoublePrecision)),
       "s3://bucket/base/spectrum/")
     assert(got.contains("create external table spectrum.events ("))
-    assert(got.contains("id BIGINT,\n        price FLOAT"))
+    assert(got.contains("id BIGINT,\n    price FLOAT"))
     assert(got.contains("stored as parquet"))
     assert(got.contains("location 's3://bucket/base/spectrum/'"))
   }
@@ -59,7 +60,30 @@ class SpectrumDdlSpec extends AnyFunSuite {
 
   test("non-gzip compression renders 'none'") {
     val got = SpectrumDdl.openCsvSerdeTable("s", "t",
-      TableSchema(Seq("a" -> RsInteger)), "s3://x/", gzipped = false)
+      TableSchema(Seq("a" -> RsInteger)), "s3://x/csv", "s3://x/csv/manifest",
+      gzipped = false)
     assert(got.contains("'compression_type'='none'"))
+  }
+
+  test("use_manifest switches the location (create.py:125,145-150)") {
+    val schema = TableSchema(Seq("a" -> RsInteger))
+    val withManifest = SpectrumDdl.openCsvSerdeTable("s", "t", schema,
+      "s3://x/csv", "s3://x/csv/manifest")
+    assert(withManifest.contains("location 's3://x/csv/manifest'"))
+    val withoutManifest = SpectrumDdl.openCsvSerdeTable("s", "t", schema,
+      "s3://x/csv", "s3://x/csv/manifest", useManifest = false)
+    assert(withoutManifest.contains("location 's3://x/csv'"))
+  }
+
+  test("multi-column continuation joins with 4 spaces (create.py:53)") {
+    val got = SpectrumDdl.parquetTable("s", "t",
+      TableSchema(Seq("a" -> RsInteger, "b" -> RsBigInt, "c" -> RsText)), "s3://x/")
+    assert(got.contains("        a INTEGER,\n    b BIGINT,\n    c TEXT\n"))
+  }
+
+  test("single quotes in interpolated values are doubled") {
+    val got = SpectrumDdl.addPartition("s", "t", "k", "o'brien", "s3://x/k=o'brien/")
+    assert(got.contains("add partition (k='o''brien')"))
+    assert(got.contains("location 's3://x/k=o''brien/'"))
   }
 }
