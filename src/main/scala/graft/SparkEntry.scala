@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{NorthStar, PipelineQueries, Query, Relational}
+import graft.queries.{NorthStar, PipelineQueries, Query, Relational, StreamingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{NorthStar, PipelineQueries, Query, Relational}
   */
 object SparkEntry {
 
-  val catalog: Seq[Query] = Relational.all ++ NorthStar.all ++ PipelineQueries.all
+  val catalog: Seq[Query] =
+    Relational.all ++ NorthStar.all ++ PipelineQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

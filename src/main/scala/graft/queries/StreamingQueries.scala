@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventsStreaming
+
+/** Structured Streaming operators under the DuckDB differential gate: each
+  * streaming query runs to completion against the finite events source
+  * (readStream -> transform -> memory sink) and its materialized output must
+  * hash-match the equivalent batch SQL.
+  *
+  * Mode discipline: tumbling counts re-emit full results per trigger
+  * (Complete — watermarked aggregation state is still bounded); session
+  * windows and mapGroupsWithState emit per-key updates (Update), which for
+  * the finite source equal the final state of every touched key.
+  */
+object StreamingQueries {
+
+  val st_tumbling: Query = Query(
+    "st_tumbling",
+    (s, dir) => {
+      val out = EventsStreaming.runToBatch(s,
+        EventsStreaming.tumblingCounts(EventsStreaming.readStream(s, dir)),
+        OutputMode.Complete, "q_st_tumbling")
+      out.orderBy("h", "event_type")
+    },
+    // 1-hour tumbling windows == date_trunc('hour') buckets
+    Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS h,
+           |       event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv
+           |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin),
+    headline = false)
+
+  /** Session windows stream in Append mode only: a session is emitted once
+    * the event-time watermark (max ts - 2h) passes its end (last event +
+    * 30 min gap). The oracle mirrors exactly that — the gaps-and-islands
+    * sessions whose end closed at or below the final watermark. Sessions
+    * still open when a finite source drains are (correctly) never emitted.
+    */
+  val st_session: Query = Query(
+    "st_session",
+    (s, dir) => {
+      val out = EventsStreaming.runToBatch(s,
+        EventsStreaming.sessionCounts(EventsStreaming.readStream(s, dir)),
+        OutputMode.Append, "q_st_session")
+      out.orderBy("user_id", "session_start")
+    },
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |x AS (
+           |  SELECT *, CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           |                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           |                      >= INTERVAL 30 MINUTE
+           |            THEN 1 ELSE 0 END AS brk FROM e),
+           |y AS (
+           |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |            ROWS UNBOUNDED PRECEDING) AS sess FROM x),
+           |sess AS (
+           |  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
+           |         COUNT(*) AS n_events
+           |  FROM y GROUP BY user_id, sess)
+           |SELECT user_id, strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           |       n_events
+           |FROM sess
+           |WHERE session_last + INTERVAL 30 MINUTE
+           |      <= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 2 HOUR
+           |ORDER BY user_id, session_start""".stripMargin))
+
+  val st_user_totals: Query = Query(
+    "st_user_totals",
+    (s, dir) => {
+      val out = EventsStreaming.runToBatch(s,
+        EventsStreaming.userRunningTotals(s,
+          EventsStreaming.readStream(s, dir)).toDF(),
+        OutputMode.Update, "q_st_user_totals")
+      out.select(col("user_id"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals)
+}

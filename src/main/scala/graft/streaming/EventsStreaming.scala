@@ -63,23 +63,43 @@ object EventsStreaming {
 
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
-  /** Custom stateful aggregation via mapGroupsWithState: per-user running
+  /** Custom stateful aggregation via flatMapGroupsWithState: per-user running
     * totals maintained in executor state across micro-batches.
+    *
+    * State is BOUNDED: an event-time timeout expires users idle for
+    * `idleTimeoutMs` past the watermark — without a timeout, per-key state
+    * grows with the key universe forever (on an unbounded user population
+    * that is an executor OOM; this is the streaming analog of never
+    * compacting). Event-time (not processing-time) timeouts keep the query
+    * deterministic and let a finite source drain: processing-time timeouts
+    * keep scheduling wall-clock batches, so processAllAvailable never
+    * returns.
     */
-  def userRunningTotals(spark: SparkSession, events: DataFrame): Dataset[UserTotal] = {
+  def userRunningTotals(spark: SparkSession, events: DataFrame,
+                        idleTimeoutMs: Long = 30 * 60 * 1000L): Dataset[UserTotal] = {
     import spark.implicits._
-    events.select(col("user_id"), col("value"))
-      .as[(Long, Double)]
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("value"), col("ts"))
+      .as[(Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotal]) =>
-          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
-          var n = prev.n_events
-          var v = prev.total_value
-          rows.foreach { r => n += 1; v += r._2 }
-          val next = UserTotal(userId, n, v)
-          state.update(next)
-          next
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+         state: GroupState[UserTotal]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle key: release state, nothing new to emit
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+            var n = prev.n_events
+            var v = prev.total_value
+            var maxTs = 0L
+            rows.foreach { r => n += 1; v += r._2; maxTs = math.max(maxTs, r._3.getTime) }
+            val next = UserTotal(userId, n, v)
+            state.update(next)
+            state.setTimeoutTimestamp(maxTs + idleTimeoutMs)
+            Iterator.single(next)
+          }
       }
   }
 
