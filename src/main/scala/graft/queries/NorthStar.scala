@@ -364,18 +364,12 @@ object NorthStar {
   }
 
   /** 63-bit hyperplane fingerprint of an embedding: bit j = sign of the dot
-    * product with md5-derived pseudo-random plane j (SharedHash.planeValue).
-    * The planes are folded to a literal matrix driver-side — per row this is
-    * 63x64 fused multiply-adds and zero hashing.
+    * product with md5-derived pseudo-random plane j (SharedHash.planeValue),
+    * via the codegen [[graft.functions.HyperFp]] kernel (nBits x dim fused
+    * multiply-adds per row, zero hashing — the planes fold once per JVM).
     */
-  private def hyperFp(nBits: Int, emb: Column): Column = {
-    val planes = typedlit(SharedHash.planes(nBits, Dim))
-    def dot(j: Column): Column =
-      aggregate(sequence(lit(0), lit(Dim - 1)), lit(0.0),
-        (acc, d) => acc + get(emb, d).cast("double") * get(get(planes, j), d))
-    aggregate(sequence(lit(nBits - 1), lit(0), lit(-1)), lit(0L),
-      (acc, j) => acc * 2 + when(dot(j) > 0, 1L).otherwise(0L))
-  }
+  private def hyperFp(nBits: Int, emb: Column): Column =
+    graft.functions.HyperFp.hyperFp(emb, nBits)
 
   /** Embedding near-dup, LSH-scale path: 63-bit hyperplane fingerprints,
     * pigeonhole-exact banded candidate generation at hamming <= 6 (same 7x9
