@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{MinHash, SharedHash, Vectors}
+import graft.functions.{CharNgrams, MinHash, SharedHash, Vectors}
 import graft.tables.Tables
 
 /** North-star extensions (SURVEY.md §2.3 Q21–Q24 + the large-scale
@@ -106,9 +106,8 @@ object NorthStar {
     (s, dir) => {
       val base = Tables.load(s, dir, "documents")
       val docs = cap.fold(base)(c => base.filter(col("doc_id") < c))
-      val sh = docs.select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, greatest(length(text)-7, 1))," +
-          " i -> substring(text, i, 8)))")).as("sh"))
+      val sh = docs.select(col("doc_id"),
+        explode(CharNgrams.charNgrams(col("text"), 8)).as("sh"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = sh.as("a"); val b = sh.as("b")
       val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -180,38 +179,48 @@ object NorthStar {
       |FROM pr WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.7
       |ORDER BY id_a, id_b""".stripMargin), headline = true) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, greatest(length(text)-4, 1))," +
-          " i -> substring(text, i, 5)))").as("shingles"))
+      .select(col("doc_id"), CharNgrams.charNgrams(col("text"), 5).as("shingles"))
+    // banding rows carry the shingle count (8 bytes) so the size-ratio prune
+    // needs no extra scan or join: jac >= 0.7 forces the set sizes within
+    // [0.7, 1/0.7] of each other — exact-safe
     val banded = docs
       .withColumn("sig", MinHash.minHashSig(col("shingles"), 192))
-      .select(col("doc_id"), posexplode(expr(
+      .select(col("doc_id"), size(col("shingles")).as("n"), posexplode(expr(
         "transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 6 + 1, 6), b))"))
         .as(Seq("band", "bucket")))
     // One shuffle: bucket members -> in-bucket pairs. A self-join here would
     // recompute the signature scan on both sides.
     val cand = banded
       .groupBy("band", "bucket")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(bucketPairs).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // exact-safe prune: jac >= 0.7 forces the shingle-set sizes within
-    // [0.7, 1/0.7] of each other — join the 8-byte counts before the arrays
-    val sizes = docs.select(col("doc_id"), size(col("shingles")).as("n"))
-    val na = sizes.select(col("doc_id").as("id_a"), col("n").as("na"))
-    val nb = sizes.select(col("doc_id").as("id_b"), col("n").as("nb"))
-    val pruned = cand.join(na, "id_a").join(nb, "id_b")
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b2 -> named_struct('a', a, 'b', b2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a.doc_id").as("id_a"), col("p.a.n").as("na"),
+        col("p.b.doc_id").as("id_b"), col("p.b.n").as("nb"))
       .filter(col("na") * 10 >= col("nb") * 7 && col("nb") * 10 >= col("na") * 7)
       .select("id_a", "id_b")
-    val sha = docs.select(col("doc_id").as("id_a"), col("shingles").as("sha"))
-    val shb = docs.select(col("doc_id").as("id_b"), col("shingles").as("shb"))
+      .dropDuplicates("id_a", "id_b")
+    // verification with ONE more shingle scan (not one per pair side): melt
+    // pairs to (pair, doc_id) rows, join docs once — AQE broadcasts the
+    // small candidate side so the corpus streams join-side-free — and fold
+    // the two matched arrays back per pair
+    val sides = cand
+      .select(struct(col("id_a"), col("id_b")).as("pair"))
+      .select(col("pair"), explode(array(col("pair.id_a"), col("pair.id_b"))).as("doc_id"))
+    val pairsSh = sides.join(docs, "doc_id")
+      .groupBy("pair")
+      .agg(
+        first(when(col("doc_id") === col("pair.id_a"), col("shingles")), ignoreNulls = true).as("sha"),
+        first(when(col("doc_id") === col("pair.id_b"), col("shingles")), ignoreNulls = true).as("shb"))
     val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
       size(array_union(col("sha"), col("shb")))
-    pruned.join(sha, "id_a").join(shb, "id_b")
+    pairsSh
       .filter(jac >= 0.7)
-      .select(col("id_a"), col("id_b"), round(jac, 3).as("jac"))
+      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"),
+        round(jac, 3).as("jac"))
       .orderBy("id_a", "id_b")
   }
 
