@@ -57,6 +57,56 @@ object Multimodal {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB twin of [[resizePlan]] over [[imageFeatures]]. */
+  val resizeOracleSql: String = {
+    def d(i: Int): String = SharedHash.digitSql("m", i.toString)
+    s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+       |dd AS (SELECT doc_id,
+       |       320 + (${d(1)} * 16 + ${d(2)}) % 5 * 160 AS width,
+       |       240 + (${d(3)} * 16 + ${d(4)}) % 5 * 120 AS height
+       |       FROM h)
+       |SELECT doc_id, width, height,
+       |       CASE WHEN width >= height THEN 224 ELSE (width * 224) // height END AS out_w,
+       |       CASE WHEN height >= width THEN 224 ELSE (height * 224) // width END AS out_h
+       |FROM dd ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[frameSample]] over [[imageFeatures]]. */
+  val frameSampleOracleSql: String = {
+    def d(i: Int): String = SharedHash.digitSql("m", i.toString)
+    s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+       |dd AS (SELECT doc_id, 1 + (${d(5)} * 16 + ${d(6)}) % 24 AS n_frames FROM h),
+       |f AS (SELECT doc_id, n_frames, unnest(range(0, least(n_frames, 4))) AS i FROM dd)
+       |SELECT doc_id, n_frames, (i * n_frames) // least(n_frames, 4) AS frame_idx
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
+  /** Aspect-preserving resize planning: given decoded (width, height), the
+    * target box is 224x224; the scaled dims keep aspect ratio (long side =
+    * 224) using exact integer arithmetic — `(short * 224) div long` — so the
+    * DuckDB oracle reproduces it bit-for-bit. The arithmetic IS the real
+    * resize-plan logic; only the pixel resample behind it is codec work.
+    */
+  def resizePlan(features: DataFrame, target: Int = 224): DataFrame =
+    features.select(col("doc_id"), col("width"), col("height"),
+      // `div`, not `/`: Spark `/` on BIGINT is Double division
+      expr(s"CASE WHEN width >= height THEN CAST($target AS BIGINT) " +
+        s"ELSE (width * $target) div height END").as("out_w"),
+      expr(s"CASE WHEN height >= width THEN CAST($target AS BIGINT) " +
+        s"ELSE (height * $target) div width END").as("out_h"))
+
+  /** Deterministic frame sampling: up to 4 evenly-spaced frame indices from
+    * [0, n_frames) — `i * n_frames div 4` for i < min(n_frames, 4) — the
+    * index math a video pipeline runs before handing offsets to the decoder.
+    * One output row per (doc, frame): the explode is the Spark-side shape
+    * (frame-level rows downstream of clip-level rows).
+    */
+  def frameSample(features: DataFrame, maxFrames: Int = 4): DataFrame =
+    features.select(col("doc_id"), col("n_frames"),
+      explode(expr(
+        s"transform(sequence(0, CAST(least(n_frames, $maxFrames) - 1 AS INT))," +
+          s" i -> (i * n_frames) div least(n_frames, $maxFrames))")).as("frame_idx"))
+
   /** documents.text encoded to a binary column stands in for the media
     * payload; the operator shape (binary in -> struct of features out, one
     * decoder instance per partition) is the real thing.

@@ -493,6 +493,87 @@ object NorthStar {
       .limit(5)
   }
 
+  /** ANN, IVF path: coarse-quantize every vector to its nearest of K=16
+    * centroid lists (argmax cosine, ties to the smaller centroid id), then
+    * search only the probe's nProbe=2 nearest lists with exact cosine.
+    *
+    * The codebook "training" is a deterministic stub — the first K vectors
+    * by vec_id (real IVF k-means-trains it); the index STRUCTURE is the real
+    * thing: a bounded driver-side codebook (codebooks live on the driver in
+    * real systems too), per-row assignment against broadcast centroids (no
+    * shuffle), and probe-time work proportional to nProbe/K of the corpus.
+    * Fully differential: DuckDB recomputes assignment, probe lists and
+    * scores from the same algebra.
+    */
+  val s_ann_ivf: Query = {
+    val K = 16; val NProbe = 2
+    q("s_ann_ivf", Some(
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id <= $K),
+         |u AS (
+         |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         |         generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings),
+         |cu AS (
+         |  SELECT cid, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         |         generate_subscripts(embedding, 1) AS i
+         |  FROM cent),
+         |sims AS (
+         |  SELECT u.vec_id, cu.cid,
+         |         SUM(u.v * cu.v) / (SQRT(SUM(u.v * u.v)) * SQRT(SUM(cu.v * cu.v))) AS sim
+         |  FROM u JOIN cu ON u.i = cu.i GROUP BY u.vec_id, cu.cid),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+         |    FROM sims) r WHERE rn = 1),
+         |probe_c AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, ROW_NUMBER() OVER (ORDER BY sim DESC, cid) AS rn
+         |    FROM sims WHERE vec_id = 1) r WHERE rn <= $NProbe),
+         |cand AS (SELECT a.vec_id FROM assign a JOIN probe_c p ON a.cid = p.cid),
+         |probe AS (
+         |  SELECT UNNEST(embedding) AS pv, generate_subscripts(embedding, 1) AS i
+         |  FROM embeddings WHERE vec_id = 1),
+         |cv AS (
+         |  SELECT e.vec_id, UNNEST(e.embedding) AS cv, generate_subscripts(e.embedding, 1) AS i
+         |  FROM embeddings e WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+         |j AS (
+         |  SELECT c.vec_id,
+         |         SUM(CAST(c.cv AS DOUBLE) * CAST(p.pv AS DOUBLE)) AS dot,
+         |         SUM(CAST(c.cv AS DOUBLE) * CAST(c.cv AS DOUBLE)) AS nc,
+         |         SUM(CAST(p.pv AS DOUBLE) * CAST(p.pv AS DOUBLE)) AS np
+         |  FROM cv c JOIN probe p ON c.i = p.i GROUP BY c.vec_id)
+         |SELECT vec_id, ROUND(dot / (SQRT(nc) * SQRT(np)), 3) AS sim
+         |FROM j ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      // bounded codebook collect (K rows) — the coarse quantizer
+      val cents: Array[(Long, Seq[Float])] = emb.filter(col("vec_id") <= K)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      // per-row argmax over the centroid array: ties resolve to the smaller
+      // centroid id via the (sim, -cid) lexicographic max
+      val simStructs = cents.map { case (cid, v) =>
+        struct(Vectors.cosineSim(col("embedding"), typedlit(v)).as("sim"),
+          lit(-cid).as("ncid"))
+      }
+      val assigned = emb.withColumn("centroid",
+        -array_max(array(simStructs.toSeq: _*)).getField("ncid"))
+      val probeLists = emb.filter(col("vec_id") === 1)
+        .select(explode(array(simStructs.toSeq: _*)).as("s"))
+        .orderBy(col("s.sim").desc, col("s.ncid").desc)
+        .limit(NProbe)
+        .select((-col("s.ncid")).as("pcentroid"))
+      val probeVec = emb.filter(col("vec_id") === 1).select(col("embedding").as("pe"))
+      val sim = Vectors.cosineSim(col("embedding"), col("pe"))
+      assigned
+        .join(broadcast(probeLists), col("centroid") === col("pcentroid"))
+        .crossJoin(broadcast(probeVec))
+        .select(col("vec_id"), round(sim, 3).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(5)
+    }
+  }
+
   // ------------------------------------------------------- text analysis
 
   val q22_text_stats: Query = q("q22_text_stats", Some(
@@ -697,7 +778,7 @@ object NorthStar {
 
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_minhash_lsh, d_simhash,
-    q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh,
+    q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     q22_text_stats, t_langid, t_quality, t_tokens, t_fingerprint,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
 }

@@ -85,5 +85,19 @@ object PipelineQueries {
     (s, dir) => Multimodal.imageFeatures(s, dir),
     Some(Multimodal.oracleSql))
 
-  val all: Seq[Query] = Seq(r_unload_roundtrip, r_jdbc_roundtrip, m_image_features)
+  /** Resize planning downstream of decode (aspect-preserving integer math). */
+  val m_resize: Query = Query(
+    "m_resize",
+    (s, dir) => Multimodal.resizePlan(Multimodal.imageFeatures(s, dir)).orderBy("doc_id"),
+    Some(Multimodal.resizeOracleSql))
+
+  /** Evenly-spaced frame sampling downstream of decode (one row per frame). */
+  val m_frame_sample: Query = Query(
+    "m_frame_sample",
+    (s, dir) => Multimodal.frameSample(Multimodal.imageFeatures(s, dir))
+      .orderBy("doc_id", "frame_idx"),
+    Some(Multimodal.frameSampleOracleSql))
+
+  val all: Seq[Query] = Seq(r_unload_roundtrip, r_jdbc_roundtrip, m_image_features,
+    m_resize, m_frame_sample)
 }

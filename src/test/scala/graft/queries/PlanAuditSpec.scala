@@ -15,10 +15,13 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
-  private val audited = Seq(
-    "d_simhash", "d_embed_neardup", "d_embed_neardup_lsh", "d_minhash_lsh",
-    "d_ngram_jaccard", "s_ann_lsh", "q21_dedup_first", "q21_dup_counts",
-    "q7_join", "q8_join3_agg")
+  // exempt: q24/s_ann_* broadcast a single probe row/vector by design;
+  // streaming + pipeline-execution queries run side effects on plan access
+  private val exempt = Set("q24_cosine_topk", "s_ann_lsh", "s_ann_ivf",
+    "st_tumbling", "st_session", "st_user_totals",
+    "r_unload_roundtrip", "r_jdbc_roundtrip")
+  private val audited =
+    graft.SparkEntry.catalog.map(_.name).filterNot(exempt)
 
   for (name <- audited) test(s"$name plans without an all-pairs join") {
     val plan = SparkEntry.queries(name)(spark, sfDir)
