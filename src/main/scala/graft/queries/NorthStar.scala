@@ -40,13 +40,11 @@ object NorthStar {
       body: (SparkSession, String) => DataFrame): Query =
     Query(name, body, oracle, headline)
 
-  /** In-bucket pair enumeration over a sorted id array: (ids[i], ids[j]) for
-    * i < j. Shared by every banded-LSH candidate generator.
-    */
-  private val bucketPairs: Column = expr(
-    """flatten(transform(ids, (a, i) ->
-      |  transform(slice(ids, i + 2, size(ids)), b2 -> named_struct('id_a', a, 'id_b', b2))))"""
-      .stripMargin)
+  // Banded-LSH candidate generators share one shape: bucket rows carry
+  // (id, <8-byte aux>) structs; in-bucket pairs (ids[i], ids[j]) for i < j
+  // are enumerated by a flatten(transform(..., slice(...))) expression so
+  // the aux value (shingle count, simhash, fingerprint) verifies inline
+  // without re-joining (and thus re-computing) the per-doc hashes.
 
   // ---------------------------------------------------------------- dedup
 
@@ -267,22 +265,24 @@ object NorthStar {
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"), expr("transform(split(text, ' '), tk -> md5(tk))").as("hs"))
       .select(col("doc_id"), simhashExpr.as("simhash"))
-    val banded = docs.select(col("doc_id"), posexplode(expr(
+    // ONE corpus scan total: banding rows carry the 8-byte simhash, so
+    // candidate pairs verify hamming inline — no re-join, no second pass
+    // over the md5 token hashing
+    val banded = docs.select(col("doc_id"), col("simhash"), posexplode(expr(
       "transform(sequence(0, 6), b -> shiftright(simhash, b * 9) & 511)"))
       .as(Seq("band", "bucket")))
-    val cand = banded
+    banded
       .groupBy("band", "bucket")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(bucketPairs).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .dropDuplicates("id_a", "id_b")
-    val a = docs.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val b = docs.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    cand.join(a, "id_a").join(b, "id_b")
-      .filter(expr("bit_count(sh_a ^ sh_b) <= 6"))
-      .select(col("id_a"), col("id_b"),
-        expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").as("hamming"))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b2 -> named_struct('a', a, 'b', b2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+        expr("CAST(bit_count(p.a.simhash ^ p.b.simhash) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .dropDuplicates() // hamming is pair-determined, so all-column dedupe == pair dedupe
       .orderBy("id_a", "id_b")
   }
 
@@ -424,27 +424,39 @@ object NorthStar {
        |FROM p WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.4
        |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
-    val fps = emb.select(col("vec_id"), hyperFp(63, col("embedding")).as("f"))
-    val banded = fps.select(col("vec_id"), posexplode(expr(
-      "transform(sequence(0, 6), b -> shiftright(f, b * 9) & 511)"))
-      .as(Seq("band", "bucket")))
+    // banding rows carry the 8-byte fingerprint: hamming verifies inline
+    // during pair expansion (no fingerprint re-join / re-computation)
+    val banded = emb
+      .select(col("vec_id"), hyperFp(63, col("embedding")).as("f"))
+      .select(col("vec_id"), col("f"), posexplode(expr(
+        "transform(sequence(0, 6), b -> shiftright(f, b * 9) & 511)"))
+        .as(Seq("band", "bucket")))
     val cand = banded
       .groupBy("band", "bucket")
-      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .agg(sort_array(collect_set(struct(col("vec_id"), col("f")))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(bucketPairs).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b2 -> named_struct('a', a, 'b', b2))))"""
+          .stripMargin)).as("p"))
+      .filter(expr("bit_count(p.a.f ^ p.b.f) <= 6"))
+      .select(col("p.a.vec_id").as("id_a"), col("p.b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val fa = fps.select(col("vec_id").as("id_a"), col("f").as("f_a"))
-    val fb = fps.select(col("vec_id").as("id_b"), col("f").as("f_b"))
-    val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    // exact-cosine verification with ONE embedding re-scan via the melt
+    // shape (see d_minhash_lsh): AQE broadcasts the small candidate side
+    val sides = cand
+      .select(struct(col("id_a"), col("id_b")).as("pair"))
+      .select(col("pair"), explode(array(col("pair.id_a"), col("pair.id_b"))).as("vec_id"))
+    val pairsEmb = sides.join(emb, "vec_id")
+      .groupBy("pair")
+      .agg(
+        first(when(col("vec_id") === col("pair.id_a"), col("embedding")), ignoreNulls = true).as("ea"),
+        first(when(col("vec_id") === col("pair.id_b"), col("embedding")), ignoreNulls = true).as("eb"))
     val sim = Vectors.cosineSim(col("ea"), col("eb"))
-    cand.join(fa, "id_a").join(fb, "id_b")
-      .filter(expr("bit_count(f_a ^ f_b) <= 6"))
-      .join(ea, "id_a").join(eb, "id_b")
+    pairsEmb
       .filter(sim >= 0.4)
-      .select(col("id_a"), col("id_b"), round(sim, 3).as("sim"))
+      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"),
+        round(sim, 3).as("sim"))
       .orderBy("id_a", "id_b")
   }
 
