@@ -195,6 +195,17 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first, col("cnt"))
   }
 
+  val q13_cube: Query = q("q13_cube",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, cnt""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first, col("cnt"))
+  }
+
   // row_number() is INT in Spark, BIGINT in DuckDB — cast to BIGINT on both.
   val q14_window_rank: Query = q("q14_window_rank",
     """SELECT o_custkey, o_orderkey, rnk FROM (
@@ -229,6 +240,27 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"),
         round(sum(col("l_quantity")).over(w), 2).as("run_qty"))
       .orderBy("l_orderkey", "l_linenumber", "run_qty")
+  }
+
+  /** lag/lead across each customer's order history (ordered by date with a
+    * key tiebreak down to a total order).
+    */
+  val q14b_lag_lead: Query = q("q14b_lag_lead",
+    """SELECT o_custkey, o_orderkey,
+      |       LAG(o_orderkey) OVER w AS prev_ok,
+      |       LEAD(o_orderkey) OVER w AS next_ok,
+      |       ROUND(o_totalprice - LAG(o_totalprice) OVER w, 2) AS delta
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t("orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+      lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+      round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("delta"))
+      .orderBy("o_custkey", "o_orderkey")
   }
 
   val q16_topk: Query = q("q16_topk",
@@ -270,6 +302,45 @@ object Relational {
     t("customer").select(col("c_nationkey").as("k"))
       .unionByName(t("supplier").select(col("s_nationkey").as("k")))
       .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy("k")
+  }
+
+  /** Multiset set-ops (ALL variants — bag semantics, unlike q17's distinct). */
+  val q17_except_all: Query = q("q17_except_all",
+    """SELECT c_nationkey AS k FROM customer
+      |EXCEPT ALL SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("customer").select(col("c_nationkey").as("k"))
+      .exceptAll(t("supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+  }
+
+  val q17_intersect_all: Query = q("q17_intersect_all",
+    """SELECT c_nationkey AS k FROM customer
+      |INTERSECT ALL SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("customer").select(col("c_nationkey").as("k"))
+      .intersectAll(t("supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+  }
+
+  /** Full outer join with unmatched rows on BOTH sides (each input filtered
+    * to a half-overlapping key range).
+    */
+  val q9b_full_join: Query = q("q9b_full_join",
+    """WITH a AS (SELECT c_custkey AS k, c_name FROM customer WHERE c_custkey < 600),
+      |b AS (SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders
+      |      WHERE o_custkey > 300 GROUP BY o_custkey)
+      |SELECT COALESCE(a.k, b.k) AS k, a.c_name, b.cnt
+      |FROM a FULL JOIN b ON a.k = b.k
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    val a = t("customer").filter(col("c_custkey") < 600)
+      .select(col("c_custkey").as("ka"), col("c_name"))
+    val b = t("orders").filter(col("o_custkey") > 300)
+      .groupBy(col("o_custkey").as("kb")).agg(count(lit(1)).as("cnt"))
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .select(coalesce(col("ka"), col("kb")).as("k"), col("c_name"), col("cnt"))
       .orderBy("k")
   }
 
@@ -326,8 +397,9 @@ object Relational {
 
   val all: Seq[Query] = Seq(
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
-    q6_partition_key, q7_join, q8_join3_agg, q9_left_join, q10_semi_join,
-    q11_anti_join, q12_count_distinct, q13_rollup, q14_window_rank,
-    q15_window_frame, q16_topk, q17_intersect, q17_except, q17_union,
+    q6_partition_key, q7_join, q8_join3_agg, q9_left_join, q9b_full_join,
+    q10_semi_join, q11_anti_join, q12_count_distinct, q13_rollup, q13_cube,
+    q14_window_rank, q14b_lag_lead, q15_window_frame, q16_topk,
+    q17_intersect, q17_except, q17_union, q17_except_all, q17_intersect_all,
     q18_string_funcs, q19_date_math, q20_conditional)
 }
