@@ -599,22 +599,37 @@ object NorthStar {
       .orderBy("lang")
   }
 
-  /** Stopword-profile language ID (n-gram heuristic), full oracle: occurrence
-    * counting via the length/replace identity, identical in both engines.
+  /** Shared text-scoring formulas (language ID + quality) — one definition
+    * feeding t_langid, t_quality AND the composed cleaning pipeline, in both
+    * engines' dialects (the SQL is dialect-neutral by construction).
     */
-  val t_langid: Query = {
+  private[queries] object TextScoring {
     def occSql(kw: String): String =
       s"(length(p) - length(replace(p, ' $kw ', ''))) / CAST(${kw.length + 2} AS DOUBLE)"
-    val scores = Map(
+    val scores: Map[String, Seq[String]] = Map(
       "en" -> Seq("the", "and", "of"),
       "de" -> Seq("der", "und", "die"),
       "es" -> Seq("el", "la", "los"),
       "fr" -> Seq("le", "et", "les"))
     def scoreSql(lang: String): String = scores(lang).map(occSql).mkString(" + ")
-    val caseSql =
+    val caseSql: String =
       s"""CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
          |     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
          |     WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END""".stripMargin
+    // logistic composite over whitespace-token stats (see t_quality)
+    val qualitySql: String =
+      """1.0 / (1.0 + EXP(-(
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |    (length(text) - length(replace(text, ' ', '')) + 1)
+        |  - 4.0 + (length(text) - length(replace(text, ' ', '')) + 1) / 50.0)))"""
+        .stripMargin
+  }
+
+  /** Stopword-profile language ID (n-gram heuristic), full oracle: occurrence
+    * counting via the length/replace identity, identical in both engines.
+    */
+  val t_langid: Query = {
+    import TextScoring.{caseSql, scoreSql}
     q("t_langid", Some(
       s"""WITH p0 AS (SELECT doc_id, CONCAT(' ', LOWER(text), ' ') AS p FROM documents),
          |sc AS (SELECT doc_id, ${scoreSql("en")} AS s_en, ${scoreSql("de")} AS s_de,
@@ -711,6 +726,46 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** The composed training-data cleaning pass — what a corpus pipeline
+    * actually runs: language filter (en) + quality floor + length floor +
+    * exact keep-first dedup, in one declarative plan. Catalyst fuses the
+    * three per-row scores into the scan projection, the filters prune before
+    * the dedup shuffle, and only surviving rows shuffle for the window.
+    */
+  val p_clean_corpus: Query = {
+    import TextScoring._
+    q("p_clean_corpus", Some(
+      s"""WITH p0 AS (SELECT doc_id, text, CONCAT(' ', LOWER(text), ' ') AS p FROM documents),
+         |sc AS (SELECT doc_id, text, ${scoreSql("en")} AS s_en, ${scoreSql("de")} AS s_de,
+         |              ${scoreSql("es")} AS s_es, ${scoreSql("fr")} AS s_fr FROM p0),
+         |lj AS (SELECT doc_id, text, $caseSql AS pred_lang,
+         |              $qualitySql AS quality FROM sc),
+         |flt AS (SELECT * FROM lj
+         |        WHERE pred_lang = 'en' AND quality >= 0.5 AND length(text) >= 100),
+         |dd AS (SELECT doc_id, pred_lang, quality,
+         |              ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |       FROM flt)
+         |SELECT doc_id, pred_lang, ROUND(quality, 4) AS quality
+         |FROM dd WHERE rn = 1 ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val scored = Tables.load(s, dir, "documents")
+        .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
+        .withColumn("s_en", expr(scoreSql("en")))
+        .withColumn("s_de", expr(scoreSql("de")))
+        .withColumn("s_es", expr(scoreSql("es")))
+        .withColumn("s_fr", expr(scoreSql("fr")))
+        .withColumn("pred_lang", expr(caseSql))
+        .withColumn("quality", expr(qualitySql))
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.5 &&
+          length(col("text")) >= 100)
+      val w = Window.partitionBy("text").orderBy("doc_id")
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("pred_lang"), round(col("quality"), 4).as("quality"))
+        .orderBy("doc_id")
+    }
+  }
+
   // ------------------------------------------------ time windows (events)
 
   val q23_time_bucket: Query = q("q23_time_bucket", Some(
@@ -791,6 +846,6 @@ object NorthStar {
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_minhash_lsh, d_simhash,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
-    q22_text_stats, t_langid, t_quality, t_tokens, t_fingerprint,
+    q22_text_stats, t_langid, t_quality, t_tokens, t_fingerprint, p_clean_corpus,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** Evidence for the 100 TB techniques that don't show up in the oracle gate:
+  * bucketed co-located joins (no shuffle), AQE skew-join splitting, and
+  * approximate sketches vs their exact twins.
+  */
+class ScaleTechniquesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("bucketed tables join with ZERO shuffle exchanges") {
+    val wh = Files.createTempDirectory("graft_wh_").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS buckets LOCATION '$wh'")
+    Tables.load(spark, sfDir, "customer")
+      .write.format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("buckets.customer_b")
+    Tables.load(spark, sfDir, "orders")
+      .withColumnRenamed("o_custkey", "c_custkey")
+      .write.format("parquet").bucketBy(8, "c_custkey")
+      .mode("overwrite").saveAsTable("buckets.orders_b")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the co-located (bucket-wise) join is observable
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("buckets.customer_b")
+        .join(spark.table("buckets.orders_b"), "c_custkey")
+      val n = joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan should be bucket-aware:\n$plan")
+      assert(n == Tables.load(spark, sfDir, "orders").join(
+        Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+  }
+
+  test("AQE splits a skewed join") {
+    import spark.implicits._
+    // one key holds ~90% of the rows
+    val skewed = (1 to 200000).map(i => (if (i % 10 == 0) i.toLong else 7L, i.toLong))
+      .toDF("k", "v")
+    val dim = (1L to 200000L).map(k => (k, s"d$k")).toDF("k", "name")
+    val prev = spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevC = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    try {
+      // thresholds low enough for test-sized data to register as skew;
+      // broadcast disabled so a shuffle join is actually planned
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = skewed.join(dim, "k")
+      joined.collect() // run through joined's own QueryExecution so the
+      // adaptive plan below is the FINAL one
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected AQE skew handling:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevC)
+    }
+  }
+
+  test("approx_count_distinct (HLL++) lands within 5% of exact") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect()(0)
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("approx_percentile brackets the exact median") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val approx = li.agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)"))
+      .collect()(0).getDouble(0)
+    val bounds = li.agg(
+      expr("percentile(l_extendedprice, 0.45)").as("lo"),
+      expr("percentile(l_extendedprice, 0.55)").as("hi")).collect()(0)
+    assert(approx >= bounds.getDouble(0) && approx <= bounds.getDouble(1))
+  }
+}
