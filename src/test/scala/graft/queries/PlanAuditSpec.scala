@@ -29,6 +29,16 @@ class PlanAuditSpec extends SparkSpec {
     banned.foreach(b => assert(!plan.contains(b), s"$b found in $name plan:\n$plan"))
   }
 
+  test("filters reach the parquet scan (PushedFilters)") {
+    for (name <- Seq("q2_filter", "q4_date_range")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val pushed = "PushedFilters: \\[[^\\]]".r // non-empty filter list
+      assert(pushed.findFirstIn(plan).isDefined,
+        s"$name scan lost its pushed filters:\n$plan")
+    }
+  }
+
   test("d_ngram_jaccard does not broadcast the per-doc sizes side") {
     // sizes is one row per document — a broadcast hint on it is a driver OOM
     // at scale. AQE may still *choose* to broadcast at this sf; the guard is
