@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native MinHash signature kernel.
   *
@@ -16,8 +17,8 @@ import org.apache.spark.sql.types._
   * machinery) is ~30x slower — measured 61s -> <1s on 5k docs x 500 shingles.
   */
 object MinHashImpl {
-  private val Seed1 = 42L
-  private val Seed2 = 7L
+  private[functions] val Seed1 = 42L
+  private[functions] val Seed2 = 7L
 
   def sig(arr: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
@@ -37,6 +38,62 @@ object MinHashImpl {
     }
     new GenericArrayData(mins)
   }
+}
+
+/** Fused text -> MinHash kernel: computes the signature directly from the
+  * distinct character n-grams of the input in ONE pass, without ever
+  * materializing the shingle array (MinHash is duplicate-insensitive — min
+  * over a multiset equals min over its set — so only the dedup bookkeeping
+  * needs the set). Returns struct(n: int, sig: array<bigint>) where n is the
+  * distinct-shingle count (feeds the exact-safe size-ratio prune).
+  * Signature values are identical to MinHashImpl.sig over
+  * CharNgramsImpl.ngrams (same shingles, same double-hash).
+  */
+object MinHashNgramImpl {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def sig(s: UTF8String, n: Int, k: Int): InternalRow = {
+    val chars = s.numChars()
+    val count = math.max(chars - n + 1, 1)
+    val seen = new java.util.HashSet[UTF8String](count * 2)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 1 // substringSQL is 1-based
+    while (i <= count) {
+      val sh = s.substringSQL(i, n)
+      if (seen.add(sh)) {
+        val h1 = XxHash64Function.hash(sh, StringType, MinHashImpl.Seed1)
+        val h2 = XxHash64Function.hash(sh, StringType, MinHashImpl.Seed2)
+        var j = 0
+        while (j < k) {
+          val v = h1 + j * h2
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](seen.size, new GenericArrayData(mins)))
+  }
+}
+
+/** `min_hash_ngram_sig(string, n, k)` -> `struct<n: int, sig: array<bigint>>`. */
+case class MinHashNgramSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  require(n > 0 && k > 0, "min_hash_ngram_sig: n and k must be positive")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "min_hash_ngram_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashNgramImpl.sig(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashNgramImpl.sig($c, $n, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashNgramSig =
+    copy(child = newChild)
 }
 
 /** `min_hash_sig(array<string>, k)` -> `array<bigint>` — whole-stage-codegen
@@ -62,4 +119,8 @@ object MinHash {
   /** Column API: MinHash signature of a shingle array with k permutations. */
   def minHashSig(shingles: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), k))
+
+  /** Fused text -> (distinct n-gram count, signature) kernel. */
+  def ngramSig(text: Column, n: Int, k: Int): Column =
+    Bridge.column(MinHashNgramSig(Bridge.expression(text), n, k))
 }

@@ -176,15 +176,16 @@ object NorthStar {
       |SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 3) AS jac
       |FROM pr WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.7
       |ORDER BY id_a, id_b""".stripMargin), headline = true) { (s, dir) =>
-    val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), CharNgrams.charNgrams(col("text"), 5).as("shingles"))
-    // banding rows carry the shingle count (8 bytes) so the size-ratio prune
+    val raw = Tables.load(s, dir, "documents")
+    // ONE fused pass: text -> (distinct-shingle count, 192-perm signature)
+    // without materializing shingle arrays (MinHash is duplicate-insensitive)
+    val sigs = raw.select(col("doc_id"), MinHash.ngramSig(col("text"), 5, 192).as("ns"))
+    // banding rows carry the shingle count (4 bytes) so the size-ratio prune
     // needs no extra scan or join: jac >= 0.7 forces the set sizes within
     // [0.7, 1/0.7] of each other — exact-safe
-    val banded = docs
-      .withColumn("sig", MinHash.minHashSig(col("shingles"), 192))
-      .select(col("doc_id"), size(col("shingles")).as("n"), posexplode(expr(
-        "transform(sequence(0, 31), b -> xxhash64(slice(sig, b * 6 + 1, 6), b))"))
+    val banded = sigs
+      .select(col("doc_id"), col("ns.n").as("n"), posexplode(expr(
+        "transform(sequence(0, 31), b -> xxhash64(slice(ns.sig, b * 6 + 1, 6), b))"))
         .as(Seq("band", "bucket")))
     // One shuffle: bucket members -> in-bucket pairs. A self-join here would
     // recompute the signature scan on both sides.
@@ -201,14 +202,19 @@ object NorthStar {
       .filter(col("na") * 10 >= col("nb") * 7 && col("nb") * 10 >= col("na") * 7)
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    // verification with ONE more shingle scan (not one per pair side): melt
-    // pairs to (pair, doc_id) rows, join docs once — AQE broadcasts the
-    // small candidate side so the corpus streams join-side-free — and fold
-    // the two matched arrays back per pair
+    // verification with ONE shingle-array scan: melt pairs to (pair, doc_id)
+    // rows, join the corpus once — AQE broadcasts the small candidate side so
+    // the corpus streams join-side-free — and fold the two matched arrays
+    // back per pair. (Restricting the corpus to candidate ids first would
+    // semi-join against `cand`, and since `cand` feeds both sides of that
+    // join the whole candidate pipeline would execute twice — measured
+    // slower than just streaming the corpus scan.)
     val sides = cand
       .select(struct(col("id_a"), col("id_b")).as("pair"))
       .select(col("pair"), explode(array(col("pair.id_a"), col("pair.id_b"))).as("doc_id"))
-    val pairsSh = sides.join(docs, "doc_id")
+    val candShingles = raw
+      .select(col("doc_id"), CharNgrams.charNgrams(col("text"), 5).as("shingles"))
+    val pairsSh = sides.join(candShingles, "doc_id")
       .groupBy("pair")
       .agg(
         first(when(col("doc_id") === col("pair.id_a"), col("shingles")), ignoreNulls = true).as("sha"),
