@@ -140,6 +140,45 @@ object Relational {
       .orderBy(col("cnt").desc, col("n_name"))
   }
 
+  /** TPC-H Q5-shaped 5-way join: bounded dims (region, nation) broadcast;
+    * the three fact joins shuffle with AQE.
+    */
+  val q8b_region_rev: Query = q("q8b_region_rev",
+    """SELECT r.r_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      |       COUNT(*) AS cnt
+      |FROM region r
+      |JOIN nation n ON n.n_regionkey = r.r_regionkey
+      |JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    t("region").as("r")
+      .join(broadcast(t("nation").as("n")), col("n.n_regionkey") === col("r.r_regionkey"))
+      .join(t("customer").as("c"), col("c.c_nationkey") === col("n.n_nationkey"))
+      .join(t("orders").as("o"), col("o.o_custkey") === col("c.c_custkey"))
+      .join(t("lineitem").as("l"), col("l.l_orderkey") === col("o.o_orderkey"))
+      .groupBy("r_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("r_name")
+  }
+
+  /** Semi-structured props: JSON field extraction + typed aggregation. */
+  val q25_json_extract: Query = q("q25_json_extract",
+    """SELECT event_type,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |       COUNT(*) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    t("events")
+      .groupBy("event_type")
+      .agg(sum(k).as("sum_k"), max(k).as("max_k"), count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
   val q9_left_join: Query = q("q9_left_join",
     """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
       |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
@@ -397,9 +436,9 @@ object Relational {
 
   val all: Seq[Query] = Seq(
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
-    q6_partition_key, q7_join, q8_join3_agg, q9_left_join, q9b_full_join,
+    q6_partition_key, q7_join, q8_join3_agg, q8b_region_rev, q9_left_join, q9b_full_join,
     q10_semi_join, q11_anti_join, q12_count_distinct, q13_rollup, q13_cube,
     q14_window_rank, q14b_lag_lead, q15_window_frame, q16_topk,
     q17_intersect, q17_except, q17_union, q17_except_all, q17_intersect_all,
-    q18_string_funcs, q19_date_math, q20_conditional)
+    q18_string_funcs, q19_date_math, q20_conditional, q25_json_extract)
 }
