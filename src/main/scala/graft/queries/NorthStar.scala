@@ -201,7 +201,8 @@ object NorthStar {
         col("p.b.doc_id").as("id_b"), col("p.b.n").as("nb"))
       .filter(col("na") * 10 >= col("nb") * 7 && col("nb") * 10 >= col("na") * 7)
       .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    // no dropDuplicates: the verification groupBy(pair) below folds pairs
+    // that collided in several bands — one fewer shuffle stage
     // verification with ONE shingle-array scan: melt pairs to (pair, doc_id)
     // rows, join the corpus once — AQE broadcasts the small candidate side so
     // the corpus streams join-side-free — and fold the two matched arrays
@@ -447,7 +448,8 @@ object NorthStar {
           .stripMargin)).as("p"))
       .filter(expr("bit_count(p.a.f ^ p.b.f) <= 6"))
       .select(col("p.a.vec_id").as("id_a"), col("p.b.vec_id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // no dropDuplicates: the verification groupBy(pair) folds multi-band
+    // collisions — one fewer shuffle stage
     // exact-cosine verification with ONE embedding re-scan via the melt
     // shape (see d_minhash_lsh): AQE broadcasts the small candidate side
     val sides = cand
