@@ -104,19 +104,21 @@ object NorthStar {
     (s, dir) => {
       val base = Tables.load(s, dir, "documents")
       val docs = cap.fold(base)(c => base.filter(col("doc_id") < c))
-      val sh = docs.select(col("doc_id"),
-        explode(CharNgrams.charNgrams(col("text"), 8)).as("sh"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // shingle rows carry the per-doc distinct count, so |A| and |B| ride
+      // through the inverted-index join and no separate sizes joins (each a
+      // full shingle re-scan) are needed; the self-join's two sides have
+      // identical subplans, so ReuseExchange writes the shingle shuffle once
+      val sh = docs
+        .select(col("doc_id"), CharNgrams.charNgrams(col("text"), 8).as("ng"))
+        .select(col("doc_id"), size(col("ng")).as("n"), explode(col("ng")).as("sh"))
       val a = sh.as("a"); val b = sh.as("b")
       val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("n_common"))
-      val sa = sizes.as("sa"); val sb = sizes.as("sb")
+        .agg(count(lit(1)).as("n_common"),
+          first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       val jac = col("n_common").cast("double") /
-        (col("sa.n") + col("sb.n") - col("n_common"))
+        (col("na") + col("nb") - col("n_common"))
       inter
-        .join(sa, col("sa.doc_id") === col("id_a"))
-        .join(sb, col("sb.doc_id") === col("id_b"))
         .filter(jac >= threshold)
         .select(col("id_a"), col("id_b"), round(jac, 3).as("jac"))
         .orderBy("id_a", "id_b")
