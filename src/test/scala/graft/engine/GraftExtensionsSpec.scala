@@ -1,0 +1,45 @@
+package graft.engine
+
+import graft.SparkSpec
+
+/** The kernels must be reachable from plain SQL via the injected
+  * FunctionRegistry entries (SparkSessionExtensions).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  private def one(sql: String): Any =
+    spark.sql(s"SELECT $sql AS v").collect()(0).get(0)
+
+  test("char_ngrams from SQL") {
+    assert(one("char_ngrams('abab', 2)").asInstanceOf[scala.collection.Seq[_]].toSeq
+      == Seq("ab", "ba"))
+  }
+
+  test("min_hash_ngram_sig from SQL agrees with the array kernel") {
+    val fused = spark.sql(
+      "SELECT min_hash_ngram_sig('hello world', 5, 8).sig AS s").collect()(0).getSeq[Long](0)
+    val viaArray = spark.sql(
+      "SELECT min_hash_sig(char_ngrams('hello world', 5), 8) AS s").collect()(0).getSeq[Long](0)
+    assert(fused == viaArray)
+  }
+
+  test("hyper_fp, cosine_sim, pg_bool from SQL") {
+    assert(one("hyper_fp(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 8)")
+      .isInstanceOf[Long])
+    assert(one("ROUND(cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))), 3)") == 1.0)
+    assert(one("pg_bool('t')") == true && one("pg_bool('')") == null)
+  }
+
+  test("unload dialect kernels from SQL round-trip") {
+    val parts = spark.sql(
+      raw"SELECT unload_split(unload_escape('a|b\\c', '|') || '|' || 'x', '|', 2) AS v")
+      .collect()(0).getSeq[String](0)
+    assert(parts == Seq("a|b\\c", "x"))
+  }
+
+  test("non-literal config args are rejected with a clear error") {
+    val e = intercept[Exception](spark.sql("SELECT char_ngrams('x', length('ab'))").collect())
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+}
