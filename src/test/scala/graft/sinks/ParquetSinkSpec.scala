@@ -68,6 +68,15 @@ class ParquetSinkSpec extends SparkSpec {
     assert(parts >= 4)
   }
 
+  test("maxFileBytes bounds parquet part files (MAXFILESIZE analog)") {
+    val out = Files.createTempDirectory("parquet_sink_").toString + "/t"
+    val df = (1 to 20000).map(i => (i.toLong, "y" * 200)).toDF("id", "payload").coalesce(1)
+    ParquetSink.write(df, out, maxFileBytes = 128 * 1024)
+    val parts = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts > 1, s"expected multiple bounded part files, got $parts")
+    assert(spark.read.parquet(out).count() == 20000)
+  }
+
   test("hive-style partitionBy layout (R14)") {
     val out = Files.createTempDirectory("parquet_sink_").toString + "/t"
     val df = Seq((1, "2020-01-01"), (2, "2020-01-02"), (3, "2020-01-01"))
