@@ -698,28 +698,35 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
-  /** Token counting per source: whitespace tokens + regex word tokens,
+  /** Token counting per source: whitespace tokens, regex word tokens, and a
+    * BPE-ish subword estimate (LLM-tokenizer budgeting rule of thumb:
+    * ~4 chars/token, word-boundary pieces counted via the regex splits),
     * aggregated. DuckDB SUM(BIGINT) is HUGEINT -> cast back.
     */
   val t_tokens: Query = q("t_tokens", Some(
     """WITH m AS (
       |  SELECT source,
       |         length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
-      |         len(regexp_extract_all(text, '[a-z]+')) AS word_tokens
+      |         len(regexp_extract_all(text, '[a-z]+')) AS word_tokens,
+      |         CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est_tokens
       |  FROM documents)
       |SELECT source, COUNT(*) AS docs,
       |       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
       |       CAST(SUM(word_tokens) AS BIGINT) AS total_word_tokens,
+      |       CAST(SUM(bpe_est_tokens) AS BIGINT) AS total_bpe_est,
       |       ROUND(AVG(word_tokens), 2) AS avg_word_tokens
       |FROM m GROUP BY source ORDER BY source""".stripMargin)) { (s, dir) =>
     val ws = (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
     val words = size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
+    val bpe = ceil(length(col("text")).cast("double") / 4.0).cast("long")
     Tables.load(s, dir, "documents")
-      .select(col("source"), ws.as("ws_tokens"), words.as("word_tokens"))
+      .select(col("source"), ws.as("ws_tokens"), words.as("word_tokens"),
+        bpe.as("bpe_est_tokens"))
       .groupBy("source")
       .agg(count(lit(1)).as("docs"),
         sum(col("ws_tokens")).as("total_ws_tokens"),
         sum(col("word_tokens")).as("total_word_tokens"),
+        sum(col("bpe_est_tokens")).as("total_bpe_est"),
         round(avg(col("word_tokens")), 2).as("avg_word_tokens"))
       .orderBy("source")
   }
