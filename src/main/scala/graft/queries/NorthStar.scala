@@ -791,6 +791,35 @@ object NorthStar {
     }
   }
 
+  /** Deterministic hash-based sampling + train/val splitting — the standard
+    * reproducible alternative to rand(): each doc's bucket in [0,100) comes
+    * from md5(doc_id), so membership is stable across runs/machines and
+    * recomputable by the oracle. 90/10 split, plus a 10% sample flag;
+    * aggregated per (lang, split) to exercise the downstream accounting.
+    */
+  val t_sample_split: Query = {
+    val bucket = s"(${SharedHash.digitSql("m", "1")} * 16 + ${SharedHash.digitSql("m", "2")}) % 100"
+    q("t_sample_split", Some(
+      s"""WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         |b AS (SELECT doc_id, lang, $bucket AS bucket FROM h),
+         |s AS (SELECT lang, CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split,
+         |             CASE WHEN bucket < 10 THEN 1 ELSE 0 END AS sampled
+         |      FROM b)
+         |SELECT lang, split, COUNT(*) AS docs, CAST(SUM(sampled) AS BIGINT) AS n_sampled
+         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin)) { (s, dir) =>
+      val b = expr(bucket)
+      Tables.load(s, dir, "documents")
+        .withColumn("m", md5(col("doc_id").cast("string")))
+        .withColumn("bucket", b)
+        .select(col("lang"),
+          when(col("bucket") < 90, "train").otherwise("val").as("split"),
+          when(col("bucket") < 10, 1).otherwise(0).as("sampled"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("docs"), sum(col("sampled")).cast("long").as("n_sampled"))
+        .orderBy("lang", "split")
+    }
+  }
+
   // ------------------------------------------------ time windows (events)
 
   val q23_time_bucket: Query = q("q23_time_bucket", Some(
@@ -871,6 +900,7 @@ object NorthStar {
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_minhash_lsh, d_simhash,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
-    q22_text_stats, t_langid, t_quality, t_tokens, t_fingerprint, p_clean_corpus,
+    q22_text_stats, t_langid, t_quality, t_tokens, t_fingerprint, t_sample_split,
+    p_clean_corpus,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
 }
