@@ -36,7 +36,10 @@ object HyperFpImpl {
       var dot = 0.0
       var d = 0
       while (d < dim) { dot += arr.getFloat(d).toDouble * pj(d); d += 1 }
-      if (dot > 0) acc |= 1L << j
+      // sign decided on the 9-dp-quantized dot so a summation-order rounding
+      // difference vs the oracle's (order-free) SUM can't flip a bit when a
+      // dot sits within float noise of 0 — both engines compare ROUND(dot, 9)
+      if (math.rint(dot * 1e9) > 0.0) acc |= 1L << j
       j += 1
     }
     acc

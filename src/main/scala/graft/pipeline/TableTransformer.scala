@@ -62,7 +62,9 @@ object CsvExporter {
     val lines = stringified.select(concat_ws("|", escaped: _*).as("value"))
     var w = lines.write.mode("overwrite").option("compression", "gzip")
     if (maxFileBytes > 0) {
-      val sampled = lines.limit(4096).agg(avg(length(col("value")))).collect()(0)
+      // octet_length, not length: the bound is on stored BYTES, and
+      // character count under-estimates multibyte-heavy rows
+      val sampled = lines.limit(4096).agg(avg(octet_length(col("value")))).collect()(0)
       val avgBytes = Option(sampled.get(0)).fold(100.0)(_.asInstanceOf[Double]) + 1.0
       w = w.option("maxRecordsPerFile", math.max(1L, (maxFileBytes / avgBytes).toLong))
     }

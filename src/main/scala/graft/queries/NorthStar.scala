@@ -411,7 +411,7 @@ object NorthStar {
        |  FROM u0 JOIN planes p ON p.d = u0.d GROUP BY u0.vec_id, p.j),
        |fp AS (
        |  SELECT vec_id,
-       |         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS f
+       |         CAST(SUM(CASE WHEN ROUND(dot, 9) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS f
        |  FROM dots GROUP BY vec_id),
        |cand AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -489,7 +489,7 @@ object NorthStar {
        |  FROM u0 JOIN planes p ON p.d = u0.d GROUP BY u0.vec_id, p.j),
        |fp AS (
        |  SELECT vec_id,
-       |         CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+       |         CAST(SUM(CASE WHEN ROUND(dot, 9) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM dots GROUP BY vec_id),
        |pb AS (SELECT bucket FROM fp WHERE vec_id = 1),
        |cand AS (SELECT f.vec_id FROM fp f JOIN pb
@@ -549,7 +549,7 @@ object NorthStar {
          |  FROM cent),
          |sims AS (
          |  SELECT u.vec_id, cu.cid,
-         |         SUM(u.v * cu.v) / (SQRT(SUM(u.v * u.v)) * SQRT(SUM(cu.v * cu.v))) AS sim
+         |         ROUND(SUM(u.v * cu.v) / (SQRT(SUM(u.v * u.v)) * SQRT(SUM(cu.v * cu.v))), 9) AS sim
          |  FROM u JOIN cu ON u.i = cu.i GROUP BY u.vec_id, cu.cid),
          |assign AS (
          |  SELECT vec_id, cid FROM (
@@ -581,9 +581,11 @@ object NorthStar {
         .orderBy("vec_id").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
       // per-row argmax over the centroid array: ties resolve to the smaller
-      // centroid id via the (sim, -cid) lexicographic max
+      // centroid id via the (sim, -cid) lexicographic max; sims quantized to
+      // 9 dp on BOTH sides so a near-tied assignment can't flip on
+      // summation-order float noise (the oracle's SUM has no order guarantee)
       val simStructs = cents.map { case (cid, v) =>
-        struct(Vectors.cosineSim(col("embedding"), typedlit(v)).as("sim"),
+        struct(round(Vectors.cosineSim(col("embedding"), typedlit(v)), 9).as("sim"),
           lit(-cid).as("ncid"))
       }
       val assigned = emb.withColumn("centroid",
@@ -655,14 +657,21 @@ object NorthStar {
          |SELECT doc_id, $caseSql AS pred_lang,
          |       ROUND(GREATEST(s_en, s_de, s_es, s_fr), 4) AS top_score
          |FROM sc ORDER BY doc_id""".stripMargin), headline = true) { (s, dir) =>
+      // argmax as ONE array_max over (score, priority, lang) structs: each
+      // language score appears once per consumer in the plan. The
+      // withColumn + CASE-chain + GREATEST formulation collapsed into a
+      // projection inlining every score ~5x — a ~100-expression tree whose
+      // one-time Janino compile dominated its bench slot (3.3 s cold vs
+      // 0.65 s warm). Tie-break: priority en > de > es > fr, identical to
+      // the oracle's CASE order.
+      val best = array_max(array(
+        Seq("en" -> 3, "de" -> 2, "es" -> 1, "fr" -> 0).map { case (l, pri) =>
+          struct(expr(scoreSql(l)).as("s"), lit(pri).as("pri"), lit(l).as("lang"))
+        }: _*))
       Tables.load(s, dir, "documents")
         .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
-        .withColumn("s_en", expr(scoreSql("en")))
-        .withColumn("s_de", expr(scoreSql("de")))
-        .withColumn("s_es", expr(scoreSql("es")))
-        .withColumn("s_fr", expr(scoreSql("fr")))
-        .select(col("doc_id"), expr(caseSql).as("pred_lang"),
-          round(greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")), 4).as("top_score"))
+        .select(col("doc_id"), best.getField("lang").as("pred_lang"),
+          round(best.getField("s"), 4).as("top_score"))
         .orderBy("doc_id")
     }
   }

@@ -29,22 +29,32 @@ private[sources] final class UnloadRecordIterator(in: Reader) extends Iterator[S
     if (c < 0) { eof = true; in.close(); nextRecord = null; return }
     var done = false
     while (!done && c >= 0) {
+      // a lone CR's lookahead re-enters the match below (it may itself open
+      // an escape or terminate the record) instead of being appended raw
+      var lookahead = Int.MinValue
       c match {
         case '\\' =>
-          sb.append('\\')
           val n = in.read()
-          if (n >= 0) sb.append(n.toChar) else { eof = true; in.close() }
+          if (n < 0) {
+            eof = true; in.close()
+            throw new IllegalArgumentException(
+              "unload dialect: dangling escape ('\\') at end of stream — " +
+                "input is truncated or not ESCAPE-dialect CSV")
+          }
+          sb.append('\\').append(n.toChar)
         case '\n' => done = true
         case '\r' => // CRLF also terminates a record (never emitted by the
           // exporter, which escapes CR); a lone CR stays record content
           val n = in.read()
-          if (n >= 0 && n != '\n') sb.append('\r').append(n.toChar)
-          else done = true
-          if (n < 0) { eof = true; in.close() }
+          if (n < 0) { eof = true; in.close(); done = true }
+          else if (n == '\n') done = true
+          else { sb.append('\r'); lookahead = n }
         case ch => sb.append(ch.toChar)
       }
-      if (!done) c = in.read()
-      if (c < 0 && !eof) { eof = true; in.close() }
+      if (!done) {
+        c = if (lookahead != Int.MinValue) lookahead else in.read()
+        if (c < 0) { eof = true; in.close() }
+      }
     }
     nextRecord = sb.toString
   }

@@ -74,6 +74,15 @@ object EventsStreaming {
     * deterministic and let a finite source drain: processing-time timeouts
     * keep scheduling wall-clock batches, so processAllAvailable never
     * returns.
+    *
+    * Semantics under expiry: "running totals" are per state lifetime. A key
+    * whose state expired restarts from zero when it next appears, so on a
+    * stream where a user idles > idleTimeoutMs past the watermark, later
+    * totals are per-burst, not whole-history (the deliberate trade for
+    * bounded state — whole-history exactness at 100 TB means state per key
+    * forever). The st_user_totals batch-parity check holds because the
+    * finite test source drains in one micro-batch, where no state expires
+    * mid-stream.
     */
   def userRunningTotals(spark: SparkSession, events: DataFrame,
                         idleTimeoutMs: Long = 30 * 60 * 1000L): Dataset[UserTotal] = {

@@ -77,6 +77,22 @@ class UnloadCsvSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("dangling escape at EOF fails with a dialect error, not a closed-stream read") {
+    val e = intercept[IllegalArgumentException] {
+      val it = new UnloadRecordIterator(new java.io.StringReader("a|b\\"))
+      while (it.hasNext) it.next()
+    }
+    assert(e.getMessage.contains("dangling escape"))
+  }
+
+  test("lone CR lookahead re-enters the dialect match (CR before escaped LF)") {
+    // "x\r" + "\\\n" + "y\n": the escaped LF after the lone CR must stay
+    // record content (one record), not terminate it
+    val it = new UnloadRecordIterator(new java.io.StringReader("x\r\\\ny\n"))
+    val recs = it.toList
+    assert(recs == List("x\r\\\ny"))
+  }
+
   test("corrupt cell fails the job (convert.py:55 ValueError analog)") {
     val dir = Files.createTempDirectory("unload_csv_").toString
     gzipFile(dir, "bad.csv.gz", "notanumber|t\n")
