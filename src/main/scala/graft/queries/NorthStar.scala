@@ -740,6 +740,56 @@ object NorthStar {
       .orderBy("source")
   }
 
+  /** Corpus vocabulary: top-50 tokens by term frequency with document
+    * frequency — the global token-stats pass a tokenizer/vocab pipeline
+    * runs. Plan shape at scale: explode feeds a partial (map-side) agg so
+    * the shuffle carries one row per distinct token per task, not one per
+    * token occurrence; the top-k is TakeOrderedAndProject (O(k) per
+    * partition), never a global sort.
+    */
+  val t_vocab: Query = q("t_vocab", Some(
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |FROM t GROUP BY tok ORDER BY tf DESC, tok LIMIT 50""".stripMargin),
+    headline = true) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(50)
+  }
+
+  /** Repetition quality signals (the Gopher-rules family): duplicate-token
+    * and duplicate-bigram fractions per document — high values flag
+    * boilerplate/spam for corpus filtering. Pure per-row array math
+    * (no explode, no shuffle); docs under 2 tokens are excluded (bigram
+    * fraction undefined).
+    */
+  val t_repetition: Query = q("t_repetition", Some(
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |m AS (SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS ndt,
+      |      [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS bgs
+      |      FROM t WHERE len(toks) >= 2)
+      |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+      |       ROUND(1 - CAST(ndt AS DOUBLE) / nt, 4) AS tok_rep,
+      |       ROUND(1 - CAST(len(list_distinct(bgs)) AS DOUBLE) / (nt - 1), 4) AS bigram_rep
+      |FROM m ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), size(col("toks")).as("nt"),
+        size(array_distinct(col("toks"))).as("ndt"),
+        expr("""transform(sequence(1, size(toks) - 1),
+                |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin).as("bgs"))
+      .select(col("doc_id"), col("nt").cast("long").as("n_tokens"),
+        round(lit(1) - col("ndt").cast("double") / col("nt"), 4).as("tok_rep"),
+        round(lit(1) - size(array_distinct(col("bgs"))).cast("double") / (col("nt") - 1), 4)
+          .as("bigram_rep"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: md5 full-text fingerprint plus a positional
     * sample fingerprint (first/middle/last 8-gram) — md5 so the oracle
     * recomputes both (round 1's xxhash64 had no DuckDB twin).
@@ -909,7 +959,7 @@ object NorthStar {
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_minhash_lsh, d_simhash,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
-    q22_text_stats, t_langid, t_quality, t_tokens, t_fingerprint, t_sample_split,
-    p_clean_corpus,
+    q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition,
+    t_fingerprint, t_sample_split, p_clean_corpus,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
 }

@@ -434,11 +434,82 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Pivot: order-priority counts spread to columns per status. Spark's
+    * pivot with explicit values keeps the plan a single hash aggregation
+    * (no second pass to discover the pivot domain — at 100 TB you always
+    * pass the values); absent combinations are 0 like the oracle's
+    * COUNT(*) FILTER.
+    */
+  val q28_pivot: Query = q("q28_pivot",
+    """SELECT o_orderstatus,
+      |       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+      |       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+      |       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium,
+      |       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+      |       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p_low
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val vals = Seq("1-URGENT" -> "p_urgent", "2-HIGH" -> "p_high",
+      "3-MEDIUM" -> "p_medium", "4-NOT SPECIFIED" -> "p_notspec", "5-LOW" -> "p_low")
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", vals.map(_._1))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +:
+        vals.map { case (v, n) => coalesce(col(v), lit(0L)).as(n) }: _*)
+      .orderBy("o_orderstatus")
+  }
+
+  /** Unpivot (melt): four measure columns to (metric, val) rows — the
+    * inverse reshape, one scan, no shuffle before the output sort.
+    */
+  val q29_unpivot: Query = q("q29_unpivot",
+    """SELECT l_orderkey, l_linenumber, metric, val FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+      |         ROUND(l_quantity, 2) AS val FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+      |         ROUND(l_extendedprice, 2) FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+      |         ROUND(l_discount, 2) FROM lineitem
+      |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+      |         ROUND(l_tax, 2) FROM lineitem) u
+      |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+        round(col("val"), 2).as("val"))
+      .orderBy("l_orderkey", "l_linenumber", "metric", "val")
+  }
+
+  /** Exact interpolated quantiles per group (Spark percentile == DuckDB
+    * quantile_cont, both linear interpolation). Exact quantiles materialize
+    * each group's distribution — right for bounded groups like this; at
+    * 100 TB cardinalities switch to approx_percentile (t-digest, mergeable,
+    * bounded memory), evidence-tested in ScaleTechniquesSpec.
+    */
+  val q30_quantile: Query = q("q30_quantile",
+    """SELECT l_returnflag,
+      |       ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+      |       ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+      |       ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
+      |       ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    def pct(p: Double) = expr(s"percentile(l_extendedprice, CAST($p AS DOUBLE))")
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(pct(0.25), 2).as("p25"), round(pct(0.5), 2).as("p50"),
+        round(pct(0.75), 2).as("p75"), round(pct(0.95), 2).as("p95"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Query] = Seq(
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
     q6_partition_key, q7_join, q8_join3_agg, q8b_region_rev, q9_left_join, q9b_full_join,
     q10_semi_join, q11_anti_join, q12_count_distinct, q13_rollup, q13_cube,
     q14_window_rank, q14b_lag_lead, q15_window_frame, q16_topk,
     q17_intersect, q17_except, q17_union, q17_except_all, q17_intersect_all,
-    q18_string_funcs, q19_date_math, q20_conditional, q25_json_extract)
+    q18_string_funcs, q19_date_math, q20_conditional, q25_json_extract,
+    q28_pivot, q29_unpivot, q30_quantile)
 }

@@ -79,5 +79,22 @@ object StreamingQueries {
     Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
-  val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals)
+  /** Stream-static enrichment join (events x customer segment dim) with a
+    * downstream aggregation; batch-parity oracle joins the same tables.
+    */
+  val st_enriched: Query = Query(
+    "st_enriched",
+    (s, dir) => {
+      val dim = graft.tables.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val out = EventsStreaming.runToBatch(s,
+        EventsStreaming.enrichedSegmentTotals(EventsStreaming.readStream(s, dir), dim),
+        OutputMode.Complete, "q_st_enriched")
+      out.orderBy("c_mktsegment")
+    },
+    Some("""SELECT c.c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(e.value), 2) AS sv
+           |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+           |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin))
+
+  val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched)
 }

@@ -61,6 +61,18 @@ object EventsStreaming {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"))
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (customer segment), then aggregated. The static side is
+    * broadcast — each micro-batch joins map-side with no stream shuffle
+    * before the aggregation, the canonical enrichment plan at scale (the
+    * dimension re-reads per micro-batch and may be refreshed between them).
+    */
+  def enrichedSegmentTotals(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), "user_id")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom stateful aggregation via flatMapGroupsWithState: per-user running
