@@ -19,14 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CharNgramsImpl {
   def ngrams(s: UTF8String, n: Int): GenericArrayData = {
-    val chars = s.numChars()
-    val count = math.max(chars - n + 1, 1)
-    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
-    var i = 1 // substringSQL is 1-based
-    while (i <= count) {
-      seen.add(s.substringSQL(i, n))
-      i += 1
-    }
+    val seen = new java.util.LinkedHashSet[UTF8String](64)
+    Shingling.foreachNgram(s, n)(seen.add(_))
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var j = 0

@@ -54,13 +54,9 @@ object MinHashNgramImpl {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
   def sig(s: UTF8String, n: Int, k: Int): InternalRow = {
-    val chars = s.numChars()
-    val count = math.max(chars - n + 1, 1)
-    val seen = new java.util.HashSet[UTF8String](count * 2)
+    val seen = new java.util.HashSet[UTF8String](256)
     val mins = Array.fill(k)(Long.MaxValue)
-    var i = 1 // substringSQL is 1-based
-    while (i <= count) {
-      val sh = s.substringSQL(i, n)
+    Shingling.foreachNgram(s, n) { sh =>
       if (seen.add(sh)) {
         val h1 = XxHash64Function.hash(sh, StringType, MinHashImpl.Seed1)
         val h2 = XxHash64Function.hash(sh, StringType, MinHashImpl.Seed2)
@@ -71,7 +67,6 @@ object MinHashNgramImpl {
           j += 1
         }
       }
-      i += 1
     }
     new GenericInternalRow(Array[Any](seen.size, new GenericArrayData(mins)))
   }

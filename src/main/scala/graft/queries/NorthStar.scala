@@ -186,9 +186,9 @@ object NorthStar {
     // needs no extra scan or join: jac >= 0.7 forces the set sizes within
     // [0.7, 1/0.7] of each other — exact-safe
     val banded = sigs
-      .select(col("doc_id"), col("ns.n").as("n"), posexplode(expr(
-        "transform(sequence(0, 31), b -> xxhash64(slice(ns.sig, b * 6 + 1, 6), b))"))
-        .as(Seq("band", "bucket")))
+      .select(col("doc_id"), col("ns.n").as("n"),
+        posexplode(graft.functions.BandHash.bandHashes(col("ns.sig"), 32, 6))
+          .as(Seq("band", "bucket")))
     // One shuffle: bucket members -> in-bucket pairs. A self-join here would
     // recompute the signature scan on both sides.
     val cand = banded
