@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF (the `Aggregator[IN, BUF, OUT]` axis of SURVEY §2.2): the
+  * element-wise mean of a vector column — per-label centroids of the
+  * embeddings table.
+  *
+  * Mergeable by construction (partial sums + count), so Spark plans it as a
+  * partial aggregation: each task emits one (sum vector, n) per group and
+  * only those merge across the shuffle — at 100 TB the shuffle carries
+  * K x dim doubles per task, never rows. This is also exactly the shape
+  * k-means M-steps / embedding-pool reducers need.
+  */
+final case class VecMeanBuf(var sum: Array[Double], var n: Long)
+
+object VecMeanAgg extends Aggregator[Seq[Float], VecMeanBuf, Seq[Double]] {
+
+  override def zero: VecMeanBuf = VecMeanBuf(Array.emptyDoubleArray, 0L)
+
+  override def reduce(b: VecMeanBuf, a: Seq[Float]): VecMeanBuf = {
+    if (b.sum.length == 0) b.sum = new Array[Double](a.length)
+    var i = 0
+    while (i < b.sum.length && i < a.length) { b.sum(i) += a(i); i += 1 }
+    b.n += 1
+    b
+  }
+
+  override def merge(x: VecMeanBuf, y: VecMeanBuf): VecMeanBuf = {
+    if (x.sum.length == 0) y
+    else if (y.sum.length == 0) x
+    else {
+      var i = 0
+      while (i < x.sum.length && i < y.sum.length) { x.sum(i) += y.sum(i); i += 1 }
+      x.n += y.n
+      x
+    }
+  }
+
+  override def finish(b: VecMeanBuf): Seq[Double] =
+    if (b.n == 0) Seq.empty else b.sum.map(_ / b.n).toSeq
+
+  override def bufferEncoder: Encoder[VecMeanBuf] = Encoders.product[VecMeanBuf]
+  override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CharNgrams, MinHash, SharedHash, Vectors}
+import graft.functions.{CharNgrams, MinHash, SharedHash, VecMeanAgg, Vectors}
 import graft.tables.Tables
 
 /** North-star extensions (SURVEY.md §2.3 Q21–Q24 + the large-scale
@@ -606,6 +606,29 @@ object NorthStar {
     }
   }
 
+  /** Per-label embedding centroids via the typed Aggregator UDAF
+    * ([[graft.functions.VecMeanAgg]]) — the embedding-pool/k-means-M-step
+    * reduction. Mergeable partial sums: the shuffle carries one
+    * (sum vector, count) per label per task, never rows. Output in long
+    * (label, dim, mean) form so the oracle is a plain grouped AVG.
+    */
+  val s_label_centroid: Query = q("s_label_centroid", Some(
+    """WITH u AS (
+      |  SELECT label, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings)
+      |SELECT label, CAST(i AS BIGINT) AS i, ROUND(AVG(v), 4) AS m
+      |FROM u GROUP BY label, i ORDER BY label, i""".stripMargin)) { (s, dir) =>
+    val vm = udaf(VecMeanAgg)
+    Tables.load(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(vm(col("embedding")).as("mv"))
+      .select(col("label"), posexplode(col("mv")).as(Seq("i", "m")))
+      .select(col("label"), (col("i") + 1).cast("long").as("i"),
+        round(col("m"), 4).as("m"))
+      .orderBy("label", "i")
+  }
+
   // ------------------------------------------------------- text analysis
 
   val q22_text_stats: Query = q("q22_text_stats", Some(
@@ -959,6 +982,7 @@ object NorthStar {
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_minhash_lsh, d_simhash,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
+    s_label_centroid,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition,
     t_fingerprint, t_sample_split, p_clean_corpus,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)

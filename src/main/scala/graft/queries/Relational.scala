@@ -245,6 +245,21 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first, col("cnt"))
   }
 
+  /** Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices) — the
+    * SQL boundary: the engine accepts SQL verbatim where the DataFrame API
+    * has no native combinator.
+    */
+  val q13_gsets: Query = q("q13_gsets",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, cnt""".stripMargin) { (s, dir) =>
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+         |FROM parquet.`$dir/lineitem.parquet`
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, cnt""".stripMargin)
+  }
+
   // row_number() is INT in Spark, BIGINT in DuckDB — cast to BIGINT on both.
   val q14_window_rank: Query = q("q14_window_rank",
     """SELECT o_custkey, o_orderkey, rnk FROM (
@@ -507,7 +522,7 @@ object Relational {
   val all: Seq[Query] = Seq(
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
     q6_partition_key, q7_join, q8_join3_agg, q8b_region_rev, q9_left_join, q9b_full_join,
-    q10_semi_join, q11_anti_join, q12_count_distinct, q13_rollup, q13_cube,
+    q10_semi_join, q11_anti_join, q12_count_distinct, q13_rollup, q13_cube, q13_gsets,
     q14_window_rank, q14b_lag_lead, q15_window_frame, q16_topk,
     q17_intersect, q17_except, q17_union, q17_except_all, q17_intersect_all,
     q18_string_funcs, q19_date_math, q20_conditional, q25_json_extract,
