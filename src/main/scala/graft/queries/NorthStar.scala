@@ -295,6 +295,78 @@ object NorthStar {
       .orderBy("id_a", "id_b")
   }
 
+  /** Weighted SimHash bit assembly over (token-hash, weight) structs: bit i
+    * = sign of sum(+-w) where the sign is bit i of the token's md5.
+    */
+  private val weightedSimhashExpr: Column = expr(
+    s"""aggregate(sequence(62, 0, -1), CAST(0 AS BIGINT), (acc, i) ->
+       |  acc * 2 + CASE WHEN aggregate(hws, 0, (a, x) ->
+       |    a + CASE WHEN (shiftright(${SharedHash.digitSql("x.h", "(i div 4) + 1")}, i % 4) & 1) = 1
+       |             THEN x.w ELSE -x.w END) > 0
+       |  THEN 1 ELSE 0 END)""".stripMargin)
+
+  /** Sublinear-tf weighted SimHash near-dup (the variant actually used for
+    * web-scale dedup, e.g. Manku et al. WWW'07: weight repeated terms, but
+    * dampen so boilerplate tokens can't dominate the fingerprint). Each
+    * DISTINCT token votes with weight bitlength(tf) = floor(log2(tf)) + 1 —
+    * integer weights, so sign decisions are exact on both engines.
+    *
+    * Distributed shape differs from [[d_simhash]]'s per-row expression: tf
+    * needs a (doc_id, token-hash) aggregation, so the plan is explode ->
+    * count -> collect per doc -> 63-bit assembly -> the same
+    * pigeonhole-exact 7x9 banding. The token shuffle carries (doc_id,
+    * 32-char h, int) — never the text — and stays linear in corpus size;
+    * banding keeps candidate generation at sum(bucket_size^2) instead of
+    * O(n^2).
+    */
+  val d_simhash_weighted: Query = q("d_simhash_weighted", Some(
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+       |tf AS (SELECT doc_id, md5(tk) AS h, COUNT(*) AS tf FROM tok GROUP BY doc_id, md5(tk)),
+       |tw AS (SELECT doc_id, h, LENGTH(bin(tf)) AS w FROM tf),
+       |tb AS (
+       |  SELECT doc_id, i.i AS i,
+       |         CASE WHEN ((${SharedHash.digitSql("h", "(i.i // 4) + 1")} >> (i.i % 4)) & 1) = 1
+       |              THEN w ELSE -w END AS c
+       |  FROM tw, (SELECT unnest(range(0, 63)) AS i) i),
+       |bs AS (SELECT doc_id, i, SUM(c) AS s FROM tb GROUP BY doc_id, i),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bs GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+    val tf = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("doc_id"), md5(col("tk")).as("h"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("h"),
+        length(conv(col("tf"), 10, 2)).as("w"))
+    val docs = tf
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("h"), col("w"))).as("hws"))
+      .select(col("doc_id"), weightedSimhashExpr.as("simhash"))
+    val banded = docs.select(col("doc_id"), col("simhash"), posexplode(expr(
+      "transform(sequence(0, 6), b -> shiftright(simhash, b * 9) & 511)"))
+      .as(Seq("band", "bucket")))
+    banded
+      .groupBy("band", "bucket")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b2 -> named_struct('a', a, 'b', b2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+        expr("CAST(bit_count(p.a.simhash ^ p.b.simhash) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .dropDuplicates()
+      .orderBy("id_a", "id_b")
+  }
+
   // ----------------------------------------------------- similarity search
 
   /** Embedding dimensionality of the testdata embeddings table. */
@@ -981,6 +1053,7 @@ object NorthStar {
 
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_minhash_lsh, d_simhash,
+    d_simhash_weighted,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_label_centroid,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition,

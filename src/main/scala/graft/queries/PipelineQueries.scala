@@ -98,6 +98,55 @@ object PipelineQueries {
       .orderBy("doc_id", "frame_idx"),
     Some(Multimodal.frameSampleOracleSql))
 
-  val all: Seq[Query] = Seq(r_unload_roundtrip, r_jdbc_roundtrip, m_image_features,
-    m_resize, m_frame_sample)
+  /** JSONL source/sink roundtrip — the interchange format of web-scrape
+    * corpora (and the reference CSV path's modern sibling): orders -> gzip
+    * JSON-lines -> read back under an EXPLICIT schema -> projected scan.
+    * The explicit schema matters at 100 TB: schema inference is a full
+    * extra pass over the data before the real job starts; a declared
+    * schema makes the read single-pass with one task per gzip file.
+    * Timestamps roundtrip through ISO-8601 under the session's UTC zone;
+    * the DuckDB oracle (identity scan of the source) catches any
+    * serialization drift.
+    */
+  val r_jsonl_roundtrip: Query = Query(
+    "r_jsonl_roundtrip",
+    (s, dir) => {
+      val base = Files.createTempDirectory("graft_jsonl_").toString
+      val src = s.read.parquet(s"$dir/orders.parquet")
+      src.write.mode("overwrite").option("compression", "gzip").json(s"$base/json")
+      s.read.schema(src.schema).json(s"$base/json")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+           |       ROUND(o_totalprice, 2) AS price,
+           |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** ORC source/sink roundtrip — the second columnar format Spark ships
+    * natively (zlib, column pruning + predicate pushdown like parquet).
+    * The pushed range predicate on the read side is the part worth
+    * checking: the filter must reach the ORC scan, and the values must
+    * survive the format conversion bit-exactly vs the parquet-scan oracle.
+    */
+  val r_orc_roundtrip: Query = Query(
+    "r_orc_roundtrip",
+    (s, dir) => {
+      val base = Files.createTempDirectory("graft_orc_").toString
+      s.read.parquet(s"$dir/customer.parquet")
+        .write.mode("overwrite").option("compression", "zlib").orc(s"$base/orc")
+      s.read.orc(s"$base/orc")
+        .filter(col("c_acctbal") > 0) // pushed to the ORC scan
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("bal"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 2) AS bal,
+           |       c_mktsegment
+           |FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin))
+
+  val all: Seq[Query] = Seq(r_unload_roundtrip, r_jdbc_roundtrip, r_jsonl_roundtrip,
+    r_orc_roundtrip, m_image_features, m_resize, m_frame_sample)
 }

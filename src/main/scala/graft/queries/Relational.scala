@@ -519,6 +519,82 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Salted two-phase aggregation — the manual skew-mitigation pattern.
+    * l_returnflag has 3 distinct values, so a naive groupBy at 100 TB sends
+    * ~n/3 rows to 3 reducer partitions (a straggler by construction; AQE
+    * skew handling covers joins, not aggregations). Salting splits every
+    * key into 32 uniform subkeys (xxhash64 of the row identity), aggregates
+    * partials per (key, salt) — bounded work per reducer regardless of key
+    * skew — then combines the 3x32 partial rows in a second, tiny
+    * aggregation. The result is provably identical to the plain groupBy:
+    * count/sum/min/max are commutative monoids and avg recombines as
+    * sum-of-sums over sum-of-counts, which is exactly what the plain-SQL
+    * oracle computes.
+    */
+  val q31_salted_agg: Query = q("q31_salted_agg",
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |       ROUND(MIN(l_extendedprice), 2) AS min_price,
+      |       ROUND(MAX(l_extendedprice), 2) AS max_price,
+      |       ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val partial = Tables.load(s, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(32)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(count(lit(1)).as("c"), sum(col("l_quantity")).as("sq"),
+        min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"),
+        sum(col("l_extendedprice")).as("sp"))
+    partial
+      .groupBy("l_returnflag")
+      .agg(sum(col("c")).as("cnt"), round(sum(col("sq")), 2).as("sum_qty"),
+        round(min(col("mn")), 2).as("min_price"), round(max(col("mx")), 2).as("max_price"),
+        round(sum(col("sp")) / sum(col("c")), 4).as("avg_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** HLL++ sketch distinct-count under a tolerance gate. The exact
+    * COUNT(DISTINCT) column is hash-checked against DuckDB; the sketch
+    * column is checked as a boolean bound (|approx - exact| <= 5% of
+    * exact, with the sketch configured at rsd=2%). HLL++ registers merge
+    * commutatively, so the approx value — and hence the boolean — is
+    * deterministic for a given input regardless of partitioning. At 100 TB
+    * the sketch is the only viable plan: fixed ~kB state per group vs the
+    * exact path's shuffle of every distinct value (q12's Expand).
+    */
+  val q32_approx_distinct: Query = q("q32_approx_distinct",
+    """SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+      |       TRUE AS within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_nd"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_nd"))
+      .select(col("l_returnflag"), col("exact_nd"),
+        (abs(col("approx_nd") - col("exact_nd")).cast("double") <=
+          col("exact_nd").cast("double") * 0.05).as("within_5pct"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Mergeable quantile sketch under a tolerance gate, same contract shape
+    * as q32: the exact interpolated median is hash-checked, the
+    * approx_percentile sketch (accuracy 10000 -> rank error <= 1e-4) must
+    * land within 1% of it. The sketch is the 100 TB path q30's scaladoc
+    * points at: bounded memory, map-side mergeable, no per-group
+    * materialization of the distribution.
+    */
+  val q33_approx_quantile: Query = q("q33_approx_quantile",
+    """SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+      |       TRUE AS within_1pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, CAST(0.5 AS DOUBLE))").as("ep50"),
+        expr("approx_percentile(l_extendedprice, CAST(0.5 AS DOUBLE), 10000)").as("ap50"))
+      .select(col("l_returnflag"), round(col("ep50"), 2).as("exact_p50"),
+        (abs(col("ap50") - col("ep50")) <= col("ep50") * 0.01).as("within_1pct"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Query] = Seq(
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
     q6_partition_key, q7_join, q8_join3_agg, q8b_region_rev, q9_left_join, q9b_full_join,
@@ -526,5 +602,6 @@ object Relational {
     q14_window_rank, q14b_lag_lead, q15_window_frame, q16_topk,
     q17_intersect, q17_except, q17_union, q17_except_all, q17_intersect_all,
     q18_string_funcs, q19_date_math, q20_conditional, q25_json_extract,
-    q28_pivot, q29_unpivot, q30_quantile)
+    q28_pivot, q29_unpivot, q30_quantile, q31_salted_agg, q32_approx_distinct,
+    q33_approx_quantile)
 }

@@ -96,5 +96,29 @@ object StreamingQueries {
            |FROM events e JOIN customer c ON c.c_custkey = e.user_id
            |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin))
 
-  val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched)
+  /** Streaming exactly-once dedup: the event stream delivered TWICE (union
+    * of two readers of the same source — a synthetic at-least-once source)
+    * must collapse back to exactly one copy of every event. The oracle is
+    * the single-delivery batch scan, so any missed or double-emitted row
+    * breaks the hash.
+    */
+  val st_dedup: Query = Query(
+    "st_dedup",
+    (s, dir) => {
+      val twice = EventsStreaming.readStream(s, dir)
+        .unionByName(EventsStreaming.readStream(s, dir))
+      val out = EventsStreaming.runToBatch(s,
+        EventsStreaming.dedupWithinWatermark(twice)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            round(col("value"), 2).as("value")),
+        OutputMode.Append, "q_st_dedup")
+      out.orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type,
+           |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts,
+           |       ROUND(value, 2) AS value
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched, st_dedup)
 }

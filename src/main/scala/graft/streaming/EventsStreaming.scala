@@ -73,6 +73,20 @@ object EventsStreaming {
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
 
+  /** Exactly-once ingestion over an at-least-once source: duplicate
+    * deliveries of the same event (retries, replayed offsets) are suppressed
+    * by key within the watermark horizon. dropDuplicatesWithinWatermark is
+    * the bounded-state form of streaming dedup: per-key state is evicted
+    * once the watermark passes its event time, so state size tracks the
+    * in-flight window, not the full key universe — the production semantics
+    * for delivery dedup, where duplicates arrive close together. (Plain
+    * dropDuplicates on a non-event-time key never evicts: unbounded state.)
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom stateful aggregation via flatMapGroupsWithState: per-user running

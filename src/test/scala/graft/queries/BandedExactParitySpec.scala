@@ -44,6 +44,33 @@ class BandedExactParitySpec extends SparkSpec {
     assert(got.count() > 0, "parity vacuous: no qualifying pairs at this sf")
   }
 
+  test("d_simhash_weighted banded pairs == all-pairs weighted hamming scan") {
+    val got = NorthStar.d_simhash_weighted.run(spark, sfDir)
+    // independent brute force: tf per distinct token via filter-count (the
+    // operator computes it via explode+groupBy), then per-row bit assembly
+    // and a theta self-join
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tks"))
+      .select(col("doc_id"), expr(
+        """transform(array_distinct(tks), tk -> named_struct(
+          |  'h', md5(tk),
+          |  'w', length(conv(size(filter(tks, x -> x = tk)), 10, 2))))""".stripMargin)
+        .as("hws"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(sequence(62, 0, -1), CAST(0 AS BIGINT), (acc, i) ->
+           |  acc * 2 + CASE WHEN aggregate(hws, 0, (a, x) ->
+           |    a + CASE WHEN (shiftright((instr('0123456789abcdef', substring(x.h, (i div 4) + 1, 1)) - 1), i % 4) & 1) = 1
+           |             THEN x.w ELSE -x.w END) > 0
+           |  THEN 1 ELSE 0 END)""".stripMargin).as("simhash"))
+    val a = docs.as("a"); val b = docs.as("b")
+    val want = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .filter(expr("bit_count(a.simhash ^ b.simhash) <= 6"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
+    assertSameRows(got, want, "d_simhash_weighted")
+    assert(got.count() > 0, "parity vacuous: no qualifying pairs at this sf")
+  }
+
   test("d_minhash_lsh banded pairs == exact jaccard >= 0.7 scan") {
     val got = NorthStar.d_minhash_lsh.run(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents")
