@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{NorthStar, PipelineQueries, Query, Relational, StreamingQueries, TemporalJoins}
+import graft.queries.{EventAnalytics, NorthStar, PipelineQueries, Query, Relational, StreamingQueries, TemporalJoins}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
 
   val catalog: Seq[Query] =
     Relational.all ++ NorthStar.all ++ TemporalJoins.all ++
-      PipelineQueries.all ++ StreamingQueries.all
+      EventAnalytics.all ++ PipelineQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

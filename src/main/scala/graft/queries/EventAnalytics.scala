@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Event-stream analytics operators (funnel conversion, cohort retention) —
+  * the queries a product-analytics user of the engine runs over the events
+  * table. Both are single-shuffle plans: all window passes share the
+  * user_id partitioning, so each query shuffles the events table exactly
+  * once regardless of how many derived stages it computes.
+  */
+object EventAnalytics {
+
+  private def q(name: String, oracle: String, headline: Boolean = false)(
+      body: (org.apache.spark.sql.SparkSession, String) => DataFrame): Query =
+    Query(name, body, Some(oracle), headline)
+
+  /** Ordered funnel view -> click -> purchase: a user converts a stage only
+    * with an event STRICTLY AFTER their previous stage's first event. The
+    * three stage timestamps are chained window minima over the same
+    * user_id partition — Catalyst plans one Exchange and three Window
+    * nodes, so at 100 TB this is one shuffle of (user_id, type, ts), not
+    * three self-joins. Conversion ratios divide exact BIGINT counts.
+    */
+  val e_funnel: Query = q("e_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |         MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+      |           OVER (PARTITION BY user_id) AS t_view
+      |  FROM events),
+      |s2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+      |              OVER (PARTITION BY user_id) AS t_click FROM s1),
+      |s3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+      |              OVER (PARTITION BY user_id) AS t_purch FROM s2),
+      |u AS (SELECT user_id, MAX(t_view) AS tv, MAX(t_click) AS tc, MAX(t_purch) AS tp
+      |      FROM s3 GROUP BY user_id)
+      |SELECT CAST(COUNT(tv) AS BIGINT) AS n_view,
+      |       CAST(COUNT(tc) AS BIGINT) AS n_click,
+      |       CAST(COUNT(tp) AS BIGINT) AS n_purchase,
+      |       ROUND(CAST(COUNT(tc) AS DOUBLE) / CAST(COUNT(tv) AS DOUBLE), 4) AS r_click,
+      |       ROUND(CAST(COUNT(tp) AS DOUBLE) / CAST(COUNT(tc) AS DOUBLE), 4) AS r_purchase
+      |FROM u""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+    val staged = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts"))).over(w))
+      .withColumn("t_purch",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts"))).over(w))
+    staged
+      .groupBy("user_id")
+      .agg(max(col("t_view")).as("tv"), max(col("t_click")).as("tc"),
+        max(col("t_purch")).as("tp"))
+      .agg(count(col("tv")).as("n_view"), count(col("tc")).as("n_click"),
+        count(col("tp")).as("n_purchase"))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        round(col("n_click").cast("double") / col("n_view").cast("double"), 4).as("r_click"),
+        round(col("n_purchase").cast("double") / col("n_click").cast("double"), 4).as("r_purchase"))
+  }
+
+  /** Cohort retention: users grouped by first-seen day; for each (cohort,
+    * day-offset) the count of distinct active users. First-seen is a window
+    * min over user_id; the retention matrix is a groupBy over (cohort,
+    * offset) — two shuffles total, both on small keys. Offsets are exact
+    * integer day differences (no float date math).
+    */
+  val e_retention: Query = q("e_retention",
+    """WITH f AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |         MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) OVER (PARTITION BY user_id) AS cohort
+      |  FROM events)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+      |       CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+      |FROM f GROUP BY cohort, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .withColumn("cohort", min(col("d")).over(w))
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("active_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val all: Seq[Query] = Seq(e_funnel, e_retention)
+}

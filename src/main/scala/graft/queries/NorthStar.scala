@@ -1051,9 +1051,132 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** BM25 keyword search (k1=1.2, b=0.75) for a fixed 3-term query — the
+    * retrieval scorer a search user of the engine runs. Per-doc term
+    * frequencies are per-row array counts (no explode, no shuffle); corpus
+    * stats (N, sum dl, per-term df) are ONE single-row aggregate broadcast
+    * back over the scan; top-k is TakeOrderedAndProject. Every score input
+    * is an integer (tf, dl, df, N), sum(dl)/N is an exact double division,
+    * and the score expression fixes the evaluation order — so Spark and
+    * DuckDB produce bit-identical doubles (the oracle CASTs every constant
+    * to DOUBLE because DuckDB decimal literals would otherwise multiply
+    * exactly where Spark's double literals round first).
+    */
+  val t_bm25: Query = {
+    val terms = Seq("spark", "query", "filter")
+    def idfSql(df: String, n: String) =
+      s"LN(CAST(1 AS DOUBLE) + ($n - $df + CAST(0.5 AS DOUBLE)) / ($df + CAST(0.5 AS DOUBLE)))"
+    def termSql(i: Int) =
+      s"""${idfSql(s"df$i", "n")} * (tf$i * CAST(2.2 AS DOUBLE)) /
+         |    (tf$i + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+         |      + CAST(0.75 AS DOUBLE) * dl / (sumdl / n)))""".stripMargin
+    q("t_bm25", Some(
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tks FROM documents),
+         |t AS (SELECT doc_id, CAST(len(tks) AS DOUBLE) AS dl,
+         |  ${terms.zipWithIndex.map { case (t, i) =>
+               s"CAST(len(list_filter(tks, x -> x = '$t')) AS DOUBLE) AS tf$i" }
+               .mkString(",\n  ")}
+         |  FROM d),
+         |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sumdl,
+         |  ${terms.indices.map(i =>
+               s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+               .mkString(",\n  ")}
+         |  FROM t),
+         |sc AS (SELECT doc_id,
+         |  ${terms.indices.map(termSql).mkString("\n  + ")} AS score
+         |  FROM t, st)
+         |SELECT doc_id, ROUND(score, 4) AS score FROM sc WHERE score > 0
+         |ORDER BY ROUND(score, 4) DESC, doc_id LIMIT 10""".stripMargin)) { (s, dir) =>
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        expr(s"size(filter(tks, x -> x = '$t'))").cast("double").as(s"tf$i")
+      }
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), expr("split(lower(text), ' ')").as("tks"))
+        .select((col("doc_id") +: size(col("tks")).cast("double").as("dl") +: tfCols): _*)
+      val dfCols = terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("double").as(s"df$i"))
+      val statCols = count(lit(1)).cast("double").as("n") +:
+        sum(col("dl")).as("sumdl") +: dfCols
+      val st = t.agg(statCols.head, statCols.tail: _*)
+      def idf(i: Int) = log(lit(1.0) +
+        (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      def term(i: Int) = idf(i) * (col(s"tf$i") * lit(2.2)) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("sumdl") / col("n"))))
+      t.crossJoin(broadcast(st))
+        .select(col("doc_id"),
+          terms.indices.map(term).reduceLeft(_ + _).as("score"))
+        .filter(col("score") > 0)
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(round(col("score"), 4).desc, col("doc_id"))
+        .limit(10)
+    }
+  }
+
+  /** Near-dup cluster resolution: the step after pair generation that makes
+    * dedup actionable — connected components over the [[d_simhash]] pair
+    * graph, each doc labeled with its component's minimum doc_id. Spark
+    * side is iterative min-label propagation: per round, one equi-join of
+    * labels to edges + a min-aggregate, converging in O(component
+    * diameter) rounds (near-dup components are shallow; the loop is also
+    * capped). Convergence is detected from the monotonically decreasing
+    * label sum — a 1-row aggregate per round, the only driver interaction.
+    * At extreme diameters the same loop upgrades to large-star/small-star;
+    * the per-round plan (equi-join + groupBy min) is unchanged. The oracle
+    * is DuckDB's recursive transitive closure over the identical pair CTE.
+    */
+  val d_dup_clusters: Query = q("d_dup_clusters", Some(
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+       |th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+       |tb AS (
+       |  SELECT doc_id, i.i AS i,
+       |         CASE WHEN ((${SharedHash.digitSql("h", "(i.i // 4) + 1")} >> (i.i % 4)) & 1) = 1
+       |              THEN 1 ELSE -1 END AS c
+       |  FROM th, (SELECT unnest(range(0, 63)) AS i) i),
+       |bs AS (SELECT doc_id, i, SUM(c) AS s FROM tb GROUP BY doc_id, i),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bs GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+       |e AS (SELECT id_a AS s, id_b AS d FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+       |reach AS (SELECT s, d FROM e
+       |          UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s)
+       |SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster
+       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    val pairs = d_simhash.run(s, dir).select(col("id_a"), col("id_b"))
+    // localCheckpoint (not persist): persist caches data but keeps lineage,
+    // so iteration k's plan would embed all k-1 previous plans (each
+    // containing the full SimHash DAG) — plan size O(k^2) and a driver OOM.
+    // Checkpointing truncates the plan to the materialized partitions.
+    val e = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")).localCheckpoint()
+    var prevSum = labels.agg(sum("lab")).first().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 32) {
+      val next = e.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("lab"))
+        .union(labels)
+        .groupBy("id").agg(min(col("lab")).as("lab"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum("lab")).first().getLong(0)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lab").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_minhash_lsh, d_simhash,
-    d_simhash_weighted,
+    d_simhash_weighted, d_dup_clusters, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_label_centroid,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition,

@@ -17,7 +17,9 @@ class PlanAuditSpec extends SparkSpec {
   private val banned = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
   // exempt: q24/s_ann_* broadcast a single probe row/vector by design;
   // streaming + pipeline-execution queries run side effects on plan access
-  private val exempt = Set("q24_cosine_topk", "s_ann_lsh", "s_ann_ivf",
+  // t_bm25 cross-joins a SINGLE corpus-stats row (broadcast by design,
+  // like q24's probe row)
+  private val exempt = Set("q24_cosine_topk", "s_ann_lsh", "s_ann_ivf", "t_bm25",
     "st_tumbling", "st_session", "st_user_totals",
     "r_unload_roundtrip", "r_jdbc_roundtrip")
   private val audited =
