@@ -595,6 +595,34 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Top-3 orders per priority via the bounded [[graft.functions.TopK]]
+    * Aggregator instead of a window rank: map-side partial aggregation
+    * reduces every input task to <= k rows per key BEFORE the shuffle, so
+    * the exchange carries O(k * keys * tasks) rows and nothing ever sorts
+    * a whole partition — against q14_window_rank's shuffle-everything +
+    * full-sort plan, this is the at-scale shape for "top k per key, small
+    * k". The oracle is the window formulation; both sides share the total
+    * (price DESC, orderkey) order so ranks are deterministic.
+    */
+  val q34_topk_grouped: Query = q("q34_topk_grouped",
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey,
+      |       ROUND(o_totalprice, 2) AS price
+      |FROM r WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin) { (s, dir) =>
+    val topk = udaf(new graft.functions.TopK.TopKAgg(3))
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+        col("r.id").as("o_orderkey"), round(col("r.ord"), 2).as("price"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
   val all: Seq[Query] = Seq(
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
     q6_partition_key, q7_join, q8_join3_agg, q8b_region_rev, q9_left_join, q9b_full_join,
@@ -603,5 +631,5 @@ object Relational {
     q17_intersect, q17_except, q17_union, q17_except_all, q17_intersect_all,
     q18_string_funcs, q19_date_math, q20_conditional, q25_json_extract,
     q28_pivot, q29_unpivot, q30_quantile, q31_salted_agg, q32_approx_distinct,
-    q33_approx_quantile)
+    q33_approx_quantile, q34_topk_grouped)
 }

@@ -15,6 +15,20 @@ class ScaleTechniquesSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("q34 TopK aggregator plans map-side partial aggregation, no Window sort") {
+    val df = graft.SparkEntry.queries("q34_topk_grouped")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // partial_topkagg BELOW the exchange = each map task reduces to <= k
+    // rows per key before any shuffle; and no Window/partition-wide sort
+    // anywhere (the q14 formulation this replaces)
+    val partialIdx = plan.indexOf("partial_topkagg")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx > 0, s"no partial aggregation in plan:\n$plan")
+    assert(exchangeIdx > 0 && exchangeIdx < partialIdx,
+      s"partial agg should sit below the exchange:\n$plan")
+    assert(!plan.contains("Window"), s"q34 must not plan a window:\n$plan")
+  }
+
   test("bucketed tables join with ZERO shuffle exchanges") {
     val wh = Files.createTempDirectory("graft_wh_").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS buckets LOCATION '$wh'")
