@@ -44,7 +44,7 @@ object EventAnalytics {
       |       CAST(COUNT(tp) AS BIGINT) AS n_purchase,
       |       ROUND(CAST(COUNT(tc) AS DOUBLE) / CAST(COUNT(tv) AS DOUBLE), 4) AS r_click,
       |       ROUND(CAST(COUNT(tp) AS DOUBLE) / CAST(COUNT(tc) AS DOUBLE), 4) AS r_purchase
-      |FROM u""".stripMargin) { (s, dir) =>
+      |FROM u""".stripMargin, headline = true) { (s, dir) =>
     val w = Window.partitionBy("user_id")
     val staged = Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_type"), col("ts"))

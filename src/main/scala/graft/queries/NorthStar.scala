@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CharNgrams, MinHash, SharedHash, VecMeanAgg, Vectors}
+import graft.functions.{CharNgrams, MinHash, SharedHash, SimHash, VecMeanAgg, Vectors}
 import graft.tables.Tables
 
 /** North-star extensions (SURVEY.md §2.3 Q21–Q24 + the large-scale
@@ -233,14 +233,12 @@ object NorthStar {
 
   /** Shared 63-bit SimHash: bit i = sign of the token-vote where token tk
     * votes +1/-1 by bit i of md5(tk) (bit (i%4) of hex digit (i div 4)).
-    * md5-derived so the DuckDB oracle recomputes identical values.
+    * md5-derived so the DuckDB oracle recomputes identical values. Computed
+    * by the codegen [[graft.functions.SimHash]] kernel — the equivalent
+    * nested-`aggregate` lambda interprets 63 x tokens steps per document
+    * and dominated d_simhash/d_dup_clusters bench time.
     */
-  private val simhashExpr: Column = expr(
-    s"""aggregate(sequence(62, 0, -1), CAST(0 AS BIGINT), (acc, i) ->
-       |  acc * 2 + CASE WHEN aggregate(hs, 0, (a, h) ->
-       |    a + CASE WHEN (shiftright(${SharedHash.digitSql("h", "(i div 4) + 1")}, i % 4) & 1) = 1
-       |             THEN 1 ELSE -1 END) > 0
-       |  THEN 1 ELSE 0 END)""".stripMargin)
+  private val simhashExpr: Column = SimHash.simhash63(col("hs"))
 
   /** 63-bit SimHash near-dup: Hamming distance <= 6 over whitespace tokens.
     *
@@ -295,15 +293,12 @@ object NorthStar {
       .orderBy("id_a", "id_b")
   }
 
-  /** Weighted SimHash bit assembly over (token-hash, weight) structs: bit i
-    * = sign of sum(+-w) where the sign is bit i of the token's md5.
+  /** Weighted SimHash over (token-hash, weight) structs via the codegen
+    * [[graft.functions.SimHash]] kernel: bit i = sign of sum(+-w) where the
+    * sign is bit i of the token's md5.
     */
-  private val weightedSimhashExpr: Column = expr(
-    s"""aggregate(sequence(62, 0, -1), CAST(0 AS BIGINT), (acc, i) ->
-       |  acc * 2 + CASE WHEN aggregate(hws, 0, (a, x) ->
-       |    a + CASE WHEN (shiftright(${SharedHash.digitSql("x.h", "(i div 4) + 1")}, i % 4) & 1) = 1
-       |             THEN x.w ELSE -x.w END) > 0
-       |  THEN 1 ELSE 0 END)""".stripMargin)
+  private val weightedSimhashExpr: Column =
+    SimHash.simhash63Weighted(col("hws.h"), col("hws.w"))
 
   /** Sublinear-tf weighted SimHash near-dup (the variant actually used for
     * web-scale dedup, e.g. Manku et al. WWW'07: weight repeated terms, but
@@ -338,7 +333,7 @@ object NorthStar {
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-       |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
+       |ORDER BY id_a, id_b""".stripMargin), headline = true) { (s, dir) =>
     val tf = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
       .groupBy(col("doc_id"), md5(col("tk")).as("h"))
@@ -889,6 +884,85 @@ object NorthStar {
     * sample fingerprint (first/middle/last 8-gram) — md5 so the oracle
     * recomputes both (round 1's xxhash64 had no DuckDB twin).
     */
+  /** PII scrubbing — the corpus-cleaning step every pretraining pipeline
+    * runs before anything else. The synthetic corpus contains no PII, so
+    * the query INJECTS deterministic fake contact lines first (same
+    * injection in the oracle), then counts and redacts emails / phone
+    * numbers / IPs with regexes kept inside the RE2-and-Java-regex common
+    * subset. Per-row regex work, embarrassingly parallel; the redacted
+    * output is hash-checked via md5 so a single mis-replaced character
+    * anywhere in the corpus fails the gate.
+    */
+  val t_pii: Query = {
+    val emailRe = "[a-z0-9._]+@[a-z0-9.-]+"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val ipRe = "10\\.0\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    q("t_pii", Some(
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id || '@mail.example.com or +1-555-' ||
+         |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |         ' ip 10.0.' || (doc_id % 256) || '.1' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_email,
+         |       CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT) AS n_phone,
+         |       CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ip,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |           '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
+         |           '$ipRe', '<IP>', 'g')) AS redacted_fp
+         |FROM w ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val t = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), t.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).cast("long").as("n_phone"),
+          size(regexp_extract_all(col("t"), lit(ipRe), lit(0))).cast("long").as("n_ip"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            lit(emailRe), lit("<EMAIL>")), lit(phoneRe), lit("<PHONE>")),
+            lit(ipRe), lit("<IP>"))).as("redacted_fp"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** Shuffled sharding — the "write N shuffled shards for the data loader"
+    * step of corpus preparation. Deterministic shuffle order = md5 of the
+    * doc key (SharedHash discipline, so the oracle reproduces it); shard =
+    * 4 hex digits mod nShards; position = rank within shard by (hash,
+    * doc_id). One shuffle on the shard key; at 100 TB this is exactly the
+    * partitionBy("shard") write layout, with positions assigned by a
+    * within-partition sort (no global order needed — ordering only has to
+    * be deterministic per shard, which is what training reproducibility
+    * requires).
+    */
+  val p_shard: Query = {
+    val nShards = 8
+    // ((d1*16 + d2)*16 + d3)*16 + d4 over the first four md5 hex digits —
+    // shared syntax, valid in both engines
+    def hex4(h: String) =
+      s"((((${SharedHash.digitSql(h, "1")}) * 16 + ${SharedHash.digitSql(h, "2")}) * 16 + " +
+        s"${SharedHash.digitSql(h, "3")}) * 16 + ${SharedHash.digitSql(h, "4")})"
+    q("p_shard", Some(
+      s"""WITH h AS (
+         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shard') AS hh FROM documents),
+         |s AS (SELECT doc_id, hh, ${hex4("hh")} % $nShards AS shard FROM h)
+         |SELECT shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT) AS pos,
+         |       doc_id
+         |FROM s ORDER BY shard, pos""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("shard").orderBy("hh", "doc_id")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":shard"))).as("hh"))
+        .withColumn("shard", expr(s"${hex4("hh")} % $nShards"))
+        .select(col("shard"), row_number().over(w).cast("long").as("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    }
+  }
+
   val t_fingerprint: Query = q("t_fingerprint", Some(
     """SELECT doc_id, md5(text) AS fp_full,
       |       md5(substring(text, 1, 8) ||
@@ -1145,7 +1219,7 @@ object NorthStar {
        |reach AS (SELECT s, d FROM e
        |          UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s)
        |SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster
-       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin), headline = true) { (s, dir) =>
     val pairs = d_simhash.run(s, dir).select(col("id_a"), col("id_b"))
     // localCheckpoint (not persist): persist caches data but keeps lineage,
     // so iteration k's plan would embed all k-1 previous plans (each
@@ -1180,6 +1254,6 @@ object NorthStar {
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_label_centroid,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition,
-    t_fingerprint, t_sample_split, p_clean_corpus,
+    t_fingerprint, t_sample_split, t_pii, p_clean_corpus, p_shard,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
 }

@@ -612,7 +612,7 @@ object Relational {
       |  FROM orders)
       |SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey,
       |       ROUND(o_totalprice, 2) AS price
-      |FROM r WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin) { (s, dir) =>
+      |FROM r WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin, headline = true) { (s, dir) =>
     val topk = udaf(new graft.functions.TopK.TopKAgg(3))
     Tables.load(s, dir, "orders")
       .groupBy("o_orderpriority")
