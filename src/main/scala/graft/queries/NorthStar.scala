@@ -963,6 +963,49 @@ object NorthStar {
     }
   }
 
+  /** Sequence packing — concatenate-then-chunk (the GPT-pretraining packing
+    * default): within each shard, docs are laid out in the deterministic
+    * [[p_shard]] order, each doc's start offset is the exclusive running
+    * token sum, and its bin is floor(start / 512) (a doc "belongs" to the
+    * context window its first token lands in). Closed-form assignment =
+    * one window cumsum per shard — no iterative bin state, fully parallel
+    * across shards, and the window only needs per-shard ordering (the same
+    * reason p_shard scales). Token counts, offsets, and bins are exact
+    * integers.
+    */
+  val p_pack: Query = {
+    val nShards = 8
+    val cap = 512
+    def hex4(h: String) =
+      s"((((${SharedHash.digitSql(h, "1")}) * 16 + ${SharedHash.digitSql(h, "2")}) * 16 + " +
+        s"${SharedHash.digitSql(h, "3")}) * 16 + ${SharedHash.digitSql(h, "4")})"
+    q("p_pack", Some(
+      s"""WITH h AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         |         md5(CAST(doc_id AS VARCHAR) || ':shard') AS hh
+         |  FROM documents),
+         |s AS (SELECT doc_id, ntok, hh, ${hex4("hh")} % $nShards AS shard FROM h),
+         |c AS (SELECT shard, doc_id, ntok,
+         |        COALESCE(SUM(ntok) OVER (PARTITION BY shard ORDER BY hh, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |      FROM s)
+         |SELECT shard, CAST(start_tok // $cap AS BIGINT) AS bin,
+         |       CAST(start_tok AS BIGINT) AS start_tok, doc_id, ntok
+         |FROM c ORDER BY shard, start_tok, doc_id""".stripMargin)) { (s, dir) =>
+      val w = Window.partitionBy("shard").orderBy("hh", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          md5(concat(col("doc_id").cast("string"), lit(":shard"))).as("hh"))
+        .withColumn("shard", expr(s"${hex4("hh")} % $nShards"))
+        .withColumn("start_tok", coalesce(sum(col("ntok")).over(w), lit(0L)))
+        .select(col("shard"), expr(s"start_tok div $cap").as("bin"),
+          col("start_tok"), col("doc_id"), col("ntok"))
+        .orderBy("shard", "start_tok", "doc_id")
+    }
+  }
+
   val t_fingerprint: Query = q("t_fingerprint", Some(
     """SELECT doc_id, md5(text) AS fp_full,
       |       md5(substring(text, 1, 8) ||
@@ -1254,6 +1297,6 @@ object NorthStar {
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_label_centroid,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition,
-    t_fingerprint, t_sample_split, t_pii, p_clean_corpus, p_shard,
+    t_fingerprint, t_sample_split, t_pii, p_clean_corpus, p_shard, p_pack,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
 }

@@ -120,5 +120,34 @@ object StreamingQueries {
            |       ROUND(value, 2) AS value
            |FROM events ORDER BY event_id""".stripMargin))
 
-  val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched, st_dedup)
+  /** Stream-stream interval join (clicks x purchases within 30 min), Append
+    * mode; the oracle is the equivalent batch self-join. Every joined pair
+    * must be emitted exactly once.
+    */
+  val st_stream_join: Query = Query(
+    "st_stream_join",
+    (s, dir) => {
+      val out = EventsStreaming.runToBatch(s,
+        EventsStreaming.clickPurchaseJoin(
+          EventsStreaming.readStream(s, dir), EventsStreaming.readStream(s, dir))
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+            round(col("value"), 2).as("value")),
+        OutputMode.Append, "q_st_stream_join")
+      out.orderBy("click_id", "purchase_id")
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           |       strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS c_ts,
+           |       strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS p_ts,
+           |       ROUND(p.value, 2) AS value
+           |FROM events c JOIN events p
+           |  ON p.user_id = c.user_id
+           | AND c.event_type = 'click' AND p.event_type = 'purchase'
+           | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+           | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+           |ORDER BY click_id, purchase_id""".stripMargin))
+
+  val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
+    st_dedup, st_stream_join)
 }

@@ -87,6 +87,29 @@ object EventsStreaming {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: clicks joined to the same user's
+    * purchases within [click, click + 30 min]. Both sides carry watermarks
+    * and the join condition is time-bounded — the two requirements that let
+    * Spark evict join state: a click's state can be dropped once the
+    * purchase watermark passes click + 30 min, so state size tracks the
+    * 2.5 h in-flight window, not the stream's history. Without the time
+    * bound this join would be rejected (unbounded state) — that contract
+    * is the whole design at 100 TB/day.
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "2 hours")
+    c.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+  }
+
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom stateful aggregation via flatMapGroupsWithState: per-user running
