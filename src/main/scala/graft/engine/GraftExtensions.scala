@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft", name, usage), builder))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // session-policy sketch rewrite (default off) — see ApproxDistinctRewrite
+    ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite)
+
     register(ext, "char_ngrams", "char_ngrams(text, n) - distinct character n-grams") {
       args => CharNgrams(args(0), intArg(args(1), "char_ngrams", 1))
     }
