@@ -147,6 +147,41 @@ object PipelineQueries {
            |       c_mktsegment
            |FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin))
 
+  /** Small-files compaction — the table-maintenance operator every long-
+    * lived 100 TB dataset needs (streaming ingest and over-parallel writes
+    * leave thousands of KB-sized files; each costs a task + an open/close +
+    * a footer read, and at some point scheduling dominates scanning). The
+    * query fabricates the problem (64-way over-partitioned write), sizes
+    * the target file count from the ACTUAL on-disk bytes via the Hadoop
+    * FileSystem API (ceil(total / 4 MiB)), and rewrites with repartition(n)
+    * — one shuffle, no driver data movement. The oracle (identity scan
+    * with an md5 text fingerprint) proves compaction is byte-faithful;
+    * CompactionSpec asserts the file count actually collapsed.
+    */
+  val p_compact: Query = Query(
+    "p_compact",
+    (s, dir) => {
+      val base = Files.createTempDirectory("graft_compact_").toString
+      s.read.parquet(s"$dir/documents.parquet")
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$base/small")
+      val smallPath = new org.apache.hadoop.fs.Path(s"$base/small")
+      val fs = smallPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val totalBytes = fs.listStatus(smallPath)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      val targetBytes = 4L * 1024 * 1024
+      val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+      s.read.parquet(s"$base/small")
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(s"$base/compacted")
+      s.read.parquet(s"$base/compacted")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Query] = Seq(r_unload_roundtrip, r_jdbc_roundtrip, r_jsonl_roundtrip,
-    r_orc_roundtrip, m_image_features, m_resize, m_frame_sample)
+    r_orc_roundtrip, p_compact, m_image_features, m_resize, m_frame_sample)
 }

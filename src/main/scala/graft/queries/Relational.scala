@@ -623,6 +623,29 @@ object Relational {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** Correlated scalar subquery (greatest-per-group): each customer's
+    * most-expensive order(s). Exercises Catalyst's decorrelation — the
+    * subquery becomes an aggregate + equi-join, NOT a per-row re-scan
+    * (assert: no per-row subquery execution exists in Spark's physical
+    * model; the rewritten join shuffles once on o_custkey). MAX is
+    * order-insensitive, so the threshold is exact — no float-boundary
+    * nondeterminism between engines. Submitted through spark.sql to show
+    * the SQL surface end-to-end.
+    */
+  val q35_corr_subquery: Query = q("q35_corr_subquery",
+    """SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS price
+      |FROM orders o
+      |WHERE o.o_totalprice >= (SELECT MAX(o2.o_totalprice) FROM orders o2
+      |                         WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_q35")
+    s.sql("""SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS price
+            |FROM orders_q35 o
+            |WHERE o.o_totalprice >= (SELECT MAX(o2.o_totalprice) FROM orders_q35 o2
+            |                         WHERE o2.o_custkey = o.o_custkey)
+            |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
   val all: Seq[Query] = Seq(
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
     q6_partition_key, q7_join, q8_join3_agg, q8b_region_rev, q9_left_join, q9b_full_join,
@@ -631,5 +654,5 @@ object Relational {
     q17_intersect, q17_except, q17_union, q17_except_all, q17_intersect_all,
     q18_string_funcs, q19_date_math, q20_conditional, q25_json_extract,
     q28_pivot, q29_unpivot, q30_quantile, q31_salted_agg, q32_approx_distinct,
-    q33_approx_quantile, q34_topk_grouped)
+    q33_approx_quantile, q34_topk_grouped, q35_corr_subquery)
 }

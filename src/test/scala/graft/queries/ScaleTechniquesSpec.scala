@@ -15,6 +15,28 @@ class ScaleTechniquesSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("hive-partitioned write prunes partitions on read") {
+    val base = Files.createTempDirectory("graft_part_").toString
+    Tables.load(spark, sfDir, "orders")
+      .withColumn("od", col("o_orderdate").cast("date"))
+      .write.partitionBy("od").parquet(s"$base/orders_p")
+    val read = spark.read.parquet(s"$base/orders_p")
+      .filter(col("od") === "1995-06-15")
+    val plan = read.queryExecution.executedPlan.toString
+    // the date predicate must land in PartitionFilters (pruned at planning,
+    // unmatched directories never listed into tasks), NOT in PushedFilters
+    // or a post-scan Filter
+    assert(plan.contains("PartitionFilters: [isnotnull(od"),
+      s"partition filter not applied:\n$plan")
+    val scannedParts = read.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }.sum
+    val allParts = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderdate").cast("date")).distinct().count()
+    assert(scannedParts <= 1 && scannedParts < allParts,
+      s"expected <=1 scanned partition of $allParts, got $scannedParts")
+  }
+
   test("q34 TopK aggregator plans map-side partial aggregation, no Window sort") {
     val df = graft.SparkEntry.queries("q34_topk_grouped")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
