@@ -51,8 +51,50 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+object VectorImpl2 {
+  /** Index-ordered squared L2 distance, double accumulation. */
+  def l2sq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Index-ordered dot product, double accumulation. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+}
+
+/** `l2_sq(array<float>, array<float>)` -> `double`, codegen'd. */
+case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorImpl2.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorImpl2.l2sq($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Sq =
+    copy(left = l, right = r)
+}
+
 object Vectors {
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(
       CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  def l2Sq(a: Column, b: Column): Column =
+    Bridge.column(L2Sq(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -1168,6 +1168,90 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Product-quantization ANN (IVF-PQ's compression half, FAISS-style ADC):
+    * vectors are cut into M=4 subspaces of 16 dims; each subvector is
+    * encoded as the id of its nearest codebook entry (argmin L2, 8 entries
+    * per subspace = 3 bits); a probe's score against ANY vector is then a
+    * sum of M lookup-table reads. The 100 TB point is MEMORY: a 64-dim
+    * float vector (256 B) compresses to M codes (4 B here, 12 bits
+    * logically) — the index fits in RAM at corpus sizes where raw vectors
+    * cannot, and scan cost per candidate drops from 64 FMAs to 4 table
+    * reads. Codebook here = subvectors of vec_ids 1..8 (data-derived and
+    * SQL-expressible, same discipline as s_ann_ivf's fixed coarse
+    * centroids; a k-means-trained codebook is the IvfKmeansSpec upgrade
+    * path). All distances/scores are quantized to 9 dp on both engines so
+    * summation-order float noise cannot flip an argmin or the final
+    * ranking lattice. Recall behavior is proven by the planted-vector test
+    * in PqRecallSpec (near-identical vector -> identical codes -> ties the
+    * probe's own score).
+    */
+  val s_ann_pq: Query = {
+    val M = 4; val SubDim = 16; val KC = 8; val TopN = 5
+    q("s_ann_pq", Some(
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+         |            WHERE vec_id BETWEEN 1 AND $KC),
+         |u AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |cu AS (SELECT cid, CAST(UNNEST(embedding) AS DOUBLE) AS cv,
+         |              generate_subscripts(embedding, 1) AS i FROM cb),
+         |dist AS (
+         |  SELECT u.vec_id, cu.cid, (cu.i - 1) // $SubDim AS m,
+         |         ROUND(SUM((u.v - cu.cv) * (u.v - cu.cv)), 9) AS d
+         |  FROM u JOIN cu ON u.i = cu.i
+         |  GROUP BY u.vec_id, cu.cid, (cu.i - 1) // $SubDim),
+         |code AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+         |    FROM dist) r WHERE rn = 1),
+         |p AS (SELECT CAST(UNNEST(embedding) AS DOUBLE) AS pv,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id = 1),
+         |lut AS (
+         |  SELECT cu.cid, (cu.i - 1) // $SubDim AS m, ROUND(SUM(cu.cv * p.pv), 9) AS pd
+         |  FROM cu JOIN p ON cu.i = p.i GROUP BY cu.cid, (cu.i - 1) // $SubDim),
+         |asim AS (
+         |  SELECT c.vec_id, ROUND(SUM(l.pd), 9) AS a9
+         |  FROM code c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+         |  GROUP BY c.vec_id)
+         |SELECT vec_id, ROUND(a9, 4) AS asim FROM asim
+         |ORDER BY a9 DESC, vec_id LIMIT $TopN""".stripMargin)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val embIdx = 1 // (vec_id, embedding, label)
+      // bounded collects: KC codebook rows + the probe (driver holds ~KB)
+      val cbRows: Array[Seq[Float]] = emb.filter(col("vec_id").between(1, KC))
+        .orderBy("vec_id").collect().map(_.getSeq[Float](embIdx))
+      val probe: Seq[Float] = emb.filter(col("vec_id") === 1)
+        .collect().head.getSeq[Float](embIdx)
+      def subv(v: Seq[Float], m: Int): Seq[Float] = v.slice(m * SubDim, (m + 1) * SubDim)
+      def round9(x: Double): Double =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // ADC lookup table: lut(m)(c) = <probe_m, codebook_c_m>, index-ordered
+      val lut: Array[Array[Double]] = Array.tabulate(M, KC) { (m, c) =>
+        val p = subv(probe, m); val q = subv(cbRows(c), m)
+        round9((0 until SubDim).map(i => p(i).toDouble * q(i).toDouble).sum)
+      }
+      // encode: per subspace, argmin of 9-dp-quantized L2^2 (ties -> smaller
+      // centroid id via struct ordering); cid is 1-based like the oracle's
+      val codeCols = (0 until M).map { m =>
+        val structs = (0 until KC).map { c =>
+          struct(
+            round(Vectors.l2Sq(expr(s"slice(embedding, ${m * SubDim + 1}, $SubDim)"),
+              typedlit(subv(cbRows(c), m))), 9).as("d"),
+            lit(c + 1).as("cid"))
+        }
+        array_min(array(structs: _*)).getField("cid").as(s"code$m")
+      }
+      val asim9 = round((0 until M).map(m =>
+        element_at(typedlit(lut(m).toSeq), col(s"code$m"))).reduceLeft(_ + _), 9)
+      emb.select(col("vec_id") +: codeCols: _*)
+        .select(col("vec_id"), asim9.as("a9"))
+        .orderBy(col("a9").desc, col("vec_id"))
+        .limit(TopN)
+        .select(col("vec_id"), round(col("a9"), 4).as("asim"))
+    }
+  }
+
   /** BM25 keyword search (k1=1.2, b=0.75) for a fixed 3-term query — the
     * retrieval scorer a search user of the engine runs. Per-doc term
     * frequencies are per-row array counts (no explode, no shuffle); corpus
@@ -1295,7 +1379,7 @@ object NorthStar {
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_minhash_lsh, d_simhash,
     d_simhash_weighted, d_dup_clusters, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
-    s_label_centroid,
+    s_ann_pq, s_label_centroid,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition,
     t_fingerprint, t_sample_split, t_pii, p_clean_corpus, p_shard, p_pack,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
