@@ -92,5 +92,28 @@ object EventAnalytics {
       .orderBy("cohort_day", "day_offset")
   }
 
-  val all: Seq[Query] = Seq(e_funnel, e_retention)
+  /** Event-time RANGE frame: per event, the count of the same user's events
+    * in the trailing hour — a true time-interval frame (peers at identical
+    * timestamps are in or out together), not a row-count frame like
+    * q15's. Ordered by exact microseconds on both engines so the frame
+    * boundary is integer-exact. One shuffle on user_id.
+    */
+  val w_range_frame: Query = q("w_range_frame",
+    """SELECT user_id, event_id,
+      |       CAST(COUNT(*) OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cnt_1h
+      |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("cnt_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val all: Seq[Query] = Seq(e_funnel, e_retention, w_range_frame)
 }

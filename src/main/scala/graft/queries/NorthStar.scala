@@ -1006,6 +1006,40 @@ object NorthStar {
     }
   }
 
+  /** Z-order (Morton) layout key: interleave the low 16 bits of two join/
+    * filter columns so that sorting by the key clusters BOTH dimensions —
+    * parquet row-group min/max stats then prune 2-D range predicates,
+    * which a sort on either single column cannot do. This query verifies
+    * the interleave math differentially; the layout use is
+    * `write.sortBy(zval)` (or repartitionByRange + sortWithinPartitions)
+    * at table-write time. 32 shift-mask-adds per row, codegen, no
+    * shuffle except the output sort.
+    */
+  val p_zorder: Query = {
+    def sparkZ(pk: String, sk: String): String =
+      (0 until 16).map(b =>
+        s"shiftleft(shiftright($pk, $b) & 1, ${2 * b}) + " +
+          s"shiftleft(shiftright($sk, $b) & 1, ${2 * b + 1})").mkString(" + ")
+    def duckZ(pk: String, sk: String): String =
+      (0 until 16).map(b =>
+        s"((($pk >> $b) & 1) << ${2 * b}) + ((($sk >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+    q("p_zorder", Some(
+      s"""WITH z AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |         CAST(${duckZ("(l_partkey % 65536)", "(l_suppkey % 65536)")} AS BIGINT) AS zval
+         |  FROM lineitem)
+         |SELECT zval, l_orderkey, l_linenumber FROM z
+         |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin)) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr(sparkZ("(l_partkey % 65536)", "(l_suppkey % 65536)"))
+            .cast("long").as("zval"))
+        .select(col("zval"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+    }
+  }
+
   val t_fingerprint: Query = q("t_fingerprint", Some(
     """SELECT doc_id, md5(text) AS fp_full,
       |       md5(substring(text, 1, 8) ||
@@ -1381,6 +1415,6 @@ object NorthStar {
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_pq, s_label_centroid,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition,
-    t_fingerprint, t_sample_split, t_pii, p_clean_corpus, p_shard, p_pack,
+    t_fingerprint, t_sample_split, t_pii, p_clean_corpus, p_shard, p_pack, p_zorder,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
 }
