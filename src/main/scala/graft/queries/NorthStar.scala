@@ -1006,6 +1006,36 @@ object NorthStar {
     }
   }
 
+  /** Token-distribution Shannon entropy per document — the quality signal
+    * that separates natural text (4-6 bits/token here) from degenerate
+    * repetition (near 0) and random noise (log2 of doc length). Same
+    * explode -> tf shape as d_simhash_weighted: linear, token-hash-sized
+    * shuffle. The entropy sum's addend order differs between engines
+    * (groupBy has no order), so the output is rounded to 4 dp — addends
+    * are O(0.1), float noise is O(1e-16), the documented tolerance
+    * pattern.
+    */
+  val t_entropy: Query = q("t_entropy", Some(
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |tf AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY doc_id, tk),
+      |n AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM tf GROUP BY doc_id)
+      |SELECT tf.doc_id,
+      |       ROUND(SUM(-(CAST(c AS DOUBLE) / n.n) * log2(CAST(c AS DOUBLE) / n.n)), 4) AS entropy,
+      |       CAST(COUNT(*) AS BIGINT) AS n_distinct
+      |FROM tf JOIN n ON n.doc_id = tf.doc_id
+      |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin)) { (s, dir) =>
+    val tf = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+    val n = tf.groupBy("doc_id").agg(sum(col("c")).cast("double").as("n"))
+    val p = col("c").cast("double") / col("n")
+    tf.join(n, "doc_id")
+      .groupBy("doc_id")
+      .agg(round(sum(-p * log2(p)), 4).as("entropy"),
+        count(lit(1)).as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
   /** Z-order (Morton) layout key: interleave the low 16 bits of two join/
     * filter columns so that sorting by the key clusters BOTH dimensions —
     * parquet row-group min/max stats then prune 2-D range predicates,
@@ -1414,7 +1444,7 @@ object NorthStar {
     d_simhash_weighted, d_dup_clusters, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_pq, s_label_centroid,
-    q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition,
+    q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition, t_entropy,
     t_fingerprint, t_sample_split, t_pii, p_clean_corpus, p_shard, p_pack, p_zorder,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
 }

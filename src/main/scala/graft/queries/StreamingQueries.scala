@@ -148,6 +148,26 @@ object StreamingQueries {
            | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
            |ORDER BY click_id, purchase_id""".stripMargin))
 
+  /** foreachBatch incremental ETL: the stream lands in date-partitioned
+    * parquet (dynamic partition overwrite — idempotent under batch replay),
+    * then the landed table is read back and aggregated per day; the oracle
+    * is the same daily rollup over the original events.
+    */
+  val st_foreachbatch: Query = Query(
+    "st_foreachbatch",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_fb_").toString + "/events_daily"
+      EventsStreaming.incrementalPartitionedSink(s, EventsStreaming.readStream(s, dir), out)
+      s.read.parquet(out)
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("cnt"), col("sv"))
+        .orderBy("d")
+    },
+    Some("""SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS d,
+           |       COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv
+           |FROM events GROUP BY d ORDER BY d""".stripMargin))
+
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
-    st_dedup, st_stream_join)
+    st_dedup, st_stream_join, st_foreachbatch)
 }

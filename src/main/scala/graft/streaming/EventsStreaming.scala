@@ -161,6 +161,36 @@ object EventsStreaming {
       }
   }
 
+  /** Incremental ETL sink: stream -> foreachBatch -> date-partitioned
+    * parquet with DYNAMIC partition overwrite — each micro-batch replaces
+    * only the partitions it touches, so replaying a batch (failure
+    * recovery, at-least-once upstream) is idempotent at the partition
+    * level. This is the production sink pattern when the target is a plain
+    * parquet table (no transactional log): correctness comes from
+    * partition-granular overwrite + deterministic partition assignment.
+    * Returns the path written.
+    */
+  def incrementalPartitionedSink(spark: SparkSession, events: DataFrame,
+                                 outDir: String): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val q = events.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.withColumn("d", to_date(col("ts")))
+            .write.mode("overwrite").partitionBy("d").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Run a streaming query to completion against the (finite) parquet source
     * and return the materialized result — used by tests and the batch-parity
     * checks.
