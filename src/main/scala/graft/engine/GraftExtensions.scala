@@ -75,5 +75,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "unload_escape", "unload_escape(s, delim) - UNLOAD ESCAPE writer escape") {
       args => UnloadEscape(args(0), charArg(args(1), "unload_escape", 1))
     }
+    register(ext, "simhash63", "simhash63(md5_hashes) - 63-bit SimHash, weight 1 per entry") {
+      args => SimHash63(args(0))
+    }
+    register(ext, "simhash63_weighted",
+      "simhash63_weighted(md5_hashes, weights) - 63-bit weighted SimHash") {
+      args => SimHash63Weighted(args(0), args(1))
+    }
+    register(ext, "l2_sq", "l2_sq(a, b) - squared L2 distance of float vectors") {
+      args => L2Sq(args(0), args(1))
+    }
   }
 }

@@ -37,6 +37,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(parts == Seq("a|b\\c", "x"))
   }
 
+  test("simhash63 / simhash63_weighted / l2_sq from SQL") {
+    // weight-1 weighted == unweighted on the same hash array
+    val un = one("simhash63(array(md5('a'), md5('b')))").asInstanceOf[Long]
+    val w1 = one("simhash63_weighted(array(md5('a'), md5('b')), array(1, 1))")
+      .asInstanceOf[Long]
+    assert(un == w1)
+    // doubling every weight cannot change any vote sign
+    val w2 = one("simhash63_weighted(array(md5('a'), md5('b')), array(2, 2))")
+      .asInstanceOf[Long]
+    assert(un == w2)
+    assert(one("l2_sq(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+      " array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)))") == 5.0)
+  }
+
   test("non-literal config args are rejected with a clear error") {
     val e = intercept[Exception](spark.sql("SELECT char_ngrams('x', length('ab'))").collect())
     assert(e.getMessage.contains("integer literal") ||
