@@ -1036,6 +1036,72 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** EXACT next-fit sequence packing (docs never straddle bins): a doc
+    * opens a new bin when it would overflow the 512-token cap. Unlike
+    * [[p_pack]]'s closed-form chunking, the bin boundary depends on a
+    * running state, which no window function expresses — this is the ONE
+    * legitimate mapPartitions operator in the engine (the brief's
+    * "last-resort" tier, used exactly where declarative operators cannot):
+    * repartition by shard, sort within partitions, stream each partition's
+    * iterator with O(1) state, resetting at shard boundaries. Fully
+    * deterministic (hash partitioning + total in-partition order). The
+    * oracle replays the same recurrence as a DuckDB recursive CTE stepping
+    * row-by-row per shard.
+    */
+  val p_pack_exact: Query = {
+    val nShards = 8
+    val cap = 512L
+    def hex4(h: String) =
+      s"((((${SharedHash.digitSql(h, "1")}) * 16 + ${SharedHash.digitSql(h, "2")}) * 16 + " +
+        s"${SharedHash.digitSql(h, "3")}) * 16 + ${SharedHash.digitSql(h, "4")})"
+    q("p_pack_exact", Some(
+      s"""WITH RECURSIVE h AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         |         md5(CAST(doc_id AS VARCHAR) || ':shard') AS hh
+         |  FROM documents),
+         |s AS (SELECT doc_id, ntok, ${hex4("hh")} % $nShards AS shard,
+         |             ROW_NUMBER() OVER (PARTITION BY ${hex4("hh")} % $nShards
+         |                                ORDER BY hh, doc_id) AS rn
+         |      FROM h),
+         |pk AS (
+         |  SELECT shard, rn, doc_id, ntok,
+         |         CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS strt, ntok AS fill
+         |  FROM s WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.shard, s.rn, s.doc_id, s.ntok,
+         |         CASE WHEN p.fill + s.ntok > $cap THEN p.bin + 1 ELSE p.bin END,
+         |         CASE WHEN p.fill + s.ntok > $cap THEN CAST(0 AS BIGINT) ELSE p.fill END,
+         |         CASE WHEN p.fill + s.ntok > $cap THEN s.ntok ELSE p.fill + s.ntok END
+         |  FROM pk p JOIN s ON s.shard = p.shard AND s.rn = p.rn + 1)
+         |SELECT shard, bin, strt, doc_id, ntok FROM pk
+         |ORDER BY shard, bin, strt, doc_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          md5(concat(col("doc_id").cast("string"), lit(":shard"))).as("hh"))
+        .withColumn("shard", expr(s"${hex4("hh")} % $nShards"))
+        .select(col("shard").cast("long"), col("hh"), col("doc_id"), col("ntok"))
+        .as[(Long, String, Long, Long)]
+      val packed = docs
+        .repartition(col("shard"))
+        .sortWithinPartitions("shard", "hh", "doc_id")
+        .mapPartitions { rows =>
+          var curShard = Long.MinValue
+          var bin = 0L; var fill = 0L
+          rows.map { case (shard, _, docId, ntok) =>
+            if (shard != curShard) { curShard = shard; bin = 0L; fill = 0L }
+            if (fill + ntok > cap && fill > 0) { bin += 1; fill = 0L }
+            val strt = fill
+            fill += ntok
+            (shard, bin, strt, docId, ntok)
+          }
+        }
+        .toDF("shard", "bin", "strt", "doc_id", "ntok")
+      packed.orderBy("shard", "bin", "strt", "doc_id")
+    }
+  }
+
   /** Z-order (Morton) layout key: interleave the low 16 bits of two join/
     * filter columns so that sorting by the key clusters BOTH dimensions —
     * parquet row-group min/max stats then prune 2-D range predicates,
@@ -1316,6 +1382,121 @@ object NorthStar {
     }
   }
 
+  /** Composed IVF-PQ — the production vector-index architecture (FAISS
+    * IVFPQ): the coarse quantizer restricts the search to nProbe=2 of 16
+    * inverted lists (s_ann_ivf's mechanism), then candidates are scored by
+    * PQ ADC lookup sums (s_ann_pq's mechanism) instead of full-precision
+    * dot products. At 100 TB the two stages compound: the IVF prune keeps
+    * ~nProbe/K of the corpus out of the scan entirely, and PQ makes the
+    * surviving scan 4 table reads per candidate over a RAM-resident code
+    * table. Same 9-dp quantization discipline as both parents.
+    */
+  val s_ann_ivfpq: Query = {
+    val KCoarse = 16; val NProbe = 2
+    val M = 4; val SubDim = 16; val KC = 8; val TopN = 5
+    q("s_ann_ivfpq", Some(
+      s"""WITH cent AS (SELECT vec_id AS ccid, embedding FROM embeddings
+         |              WHERE vec_id <= $KCoarse),
+         |u AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |cu AS (SELECT ccid, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         |              generate_subscripts(embedding, 1) AS i FROM cent),
+         |sims AS (
+         |  SELECT u.vec_id, cu.ccid,
+         |         ROUND(SUM(u.v * cu.v) / (SQRT(SUM(u.v * u.v)) * SQRT(SUM(cu.v * cu.v))), 9) AS sim
+         |  FROM u JOIN cu ON u.i = cu.i GROUP BY u.vec_id, cu.ccid),
+         |assign AS (
+         |  SELECT vec_id, ccid FROM (
+         |    SELECT vec_id, ccid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ccid) AS rn
+         |    FROM sims) r WHERE rn = 1),
+         |probe_c AS (
+         |  SELECT ccid FROM (
+         |    SELECT ccid, ROW_NUMBER() OVER (ORDER BY sim DESC, ccid) AS rn
+         |    FROM sims WHERE vec_id = 1) r WHERE rn <= $NProbe),
+         |cand AS (SELECT a.vec_id FROM assign a JOIN probe_c p ON a.ccid = p.ccid),
+         |cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+         |       WHERE vec_id BETWEEN 1 AND $KC),
+         |cbu AS (SELECT cid, CAST(UNNEST(embedding) AS DOUBLE) AS cv,
+         |               generate_subscripts(embedding, 1) AS i FROM cb),
+         |dist AS (
+         |  SELECT u.vec_id, cbu.cid, (cbu.i - 1) // $SubDim AS m,
+         |         ROUND(SUM((u.v - cbu.cv) * (u.v - cbu.cv)), 9) AS d
+         |  FROM u JOIN cbu ON u.i = cbu.i
+         |  WHERE u.vec_id IN (SELECT vec_id FROM cand)
+         |  GROUP BY u.vec_id, cbu.cid, (cbu.i - 1) // $SubDim),
+         |code AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+         |    FROM dist) r WHERE rn = 1),
+         |p AS (SELECT CAST(UNNEST(embedding) AS DOUBLE) AS pv,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id = 1),
+         |lut AS (
+         |  SELECT cbu.cid, (cbu.i - 1) // $SubDim AS m, ROUND(SUM(cbu.cv * p.pv), 9) AS pd
+         |  FROM cbu JOIN p ON cbu.i = p.i GROUP BY cbu.cid, (cbu.i - 1) // $SubDim),
+         |asim AS (
+         |  SELECT c.vec_id, ROUND(SUM(l.pd), 9) AS a9
+         |  FROM code c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+         |  GROUP BY c.vec_id)
+         |SELECT vec_id, ROUND(a9, 4) AS asim FROM asim
+         |ORDER BY a9 DESC, vec_id LIMIT $TopN""".stripMargin)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val embIdx = 1
+      val cents: Array[(Long, Seq[Float])] = emb.filter(col("vec_id") <= KCoarse)
+        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Float](embIdx)))
+      // PQ codebook/probe ids are 1-based (vec_id 0 exists and is NOT in them)
+      val cbRows: Array[Seq[Float]] = cents.filter(c => c._1 >= 1 && c._1 <= KC).map(_._2)
+      val probe: Seq[Float] = cents.find(_._1 == 1L).get._2
+      def round9(x: Double): Double =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      // coarse assignment: argmax of 9dp-quantized cosine, ties -> smaller ccid
+      val simStructs = cents.map { case (ccid, v) =>
+        struct(round(Vectors.cosineSim(col("embedding"), typedlit(v)), 9).as("sim"),
+          lit(-ccid).as("nccid"))
+      }
+      val assigned = emb.withColumn("ccid",
+        -array_max(array(simStructs.toSeq: _*)).getField("nccid"))
+      // probe's top-nProbe lists, driver-side on the same 9dp lattice
+      val probeLists: Seq[Long] = cents
+        .map { case (ccid, v) => (ccid, round9(cos(probe, v))) }
+        .sortBy { case (ccid, sim) => (-sim, ccid) }
+        .take(NProbe).map(_._1).toSeq
+      val cand = assigned.filter(col("ccid").isin(probeLists: _*))
+      // PQ ADC over the candidates
+      def subv(v: Seq[Float], m: Int): Seq[Float] = v.slice(m * SubDim, (m + 1) * SubDim)
+      val lut: Array[Array[Double]] = Array.tabulate(M, KC) { (m, c) =>
+        val pv = subv(probe, m); val qv = subv(cbRows(c), m)
+        round9((0 until SubDim).map(i => pv(i).toDouble * qv(i).toDouble).sum)
+      }
+      val codeCols = (0 until M).map { m =>
+        val structs = (0 until KC).map { c =>
+          struct(
+            round(Vectors.l2Sq(expr(s"slice(embedding, ${m * SubDim + 1}, $SubDim)"),
+              typedlit(subv(cbRows(c), m))), 9).as("d"),
+            lit(c + 1).as("cid"))
+        }
+        array_min(array(structs: _*)).getField("cid").as(s"code$m")
+      }
+      val asim9 = round((0 until M).map(m =>
+        element_at(typedlit(lut(m).toSeq), col(s"code$m"))).reduceLeft(_ + _), 9)
+      cand.select(col("vec_id") +: codeCols: _*)
+        .select(col("vec_id"), asim9.as("a9"))
+        .orderBy(col("a9").desc, col("vec_id"))
+        .limit(TopN)
+        .select(col("vec_id"), round(col("a9"), 4).as("asim"))
+    }
+  }
+
   /** BM25 keyword search (k1=1.2, b=0.75) for a fixed 3-term query — the
     * retrieval scorer a search user of the engine runs. Per-doc term
     * frequencies are per-row array counts (no explode, no shuffle); corpus
@@ -1443,8 +1624,9 @@ object NorthStar {
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_minhash_lsh, d_simhash,
     d_simhash_weighted, d_dup_clusters, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
-    s_ann_pq, s_label_centroid,
+    s_ann_pq, s_ann_ivfpq, s_label_centroid,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition, t_entropy,
-    t_fingerprint, t_sample_split, t_pii, p_clean_corpus, p_shard, p_pack, p_zorder,
+    t_fingerprint, t_sample_split, t_pii, p_clean_corpus, p_shard, p_pack,
+    p_pack_exact, p_zorder,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
 }

@@ -623,6 +623,29 @@ object Relational {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** The remaining rank family over a UNIQUE total order (ties impossible,
+    * so every rank function is deterministic): ntile deciles, percent_rank,
+    * cume_dist per order-priority partition. Single shuffle; doubles are
+    * single-division rationals, identical in both engines, rounded 6dp.
+    */
+  val q14c_rank_family: Query = q("q14c_rank_family",
+    """SELECT o_orderpriority, o_orderkey,
+      |       CAST(ntile(10) OVER w AS BIGINT) AS decile,
+      |       ROUND(percent_rank() OVER w, 6) AS pr,
+      |       ROUND(cume_dist() OVER w, 6) AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(10).over(w).cast("long").as("decile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** Correlated scalar subquery (greatest-per-group): each customer's
     * most-expensive order(s). Exercises Catalyst's decorrelation — the
     * subquery becomes an aggregate + equi-join, NOT a per-row re-scan
@@ -654,5 +677,5 @@ object Relational {
     q17_intersect, q17_except, q17_union, q17_except_all, q17_intersect_all,
     q18_string_funcs, q19_date_math, q20_conditional, q25_json_extract,
     q28_pivot, q29_unpivot, q30_quantile, q31_salted_agg, q32_approx_distinct,
-    q33_approx_quantile, q34_topk_grouped, q35_corr_subquery)
+    q33_approx_quantile, q34_topk_grouped, q35_corr_subquery, q14c_rank_family)
 }
