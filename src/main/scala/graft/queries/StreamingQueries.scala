@@ -168,6 +168,51 @@ object StreamingQueries {
            |       COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv
            |FROM events GROUP BY d ORDER BY d""".stripMargin))
 
+  /** LEFT OUTER stream-stream join: matched pairs emit immediately; an
+    * unmatched click emits its null row only once the watermark proves no
+    * purchase can still arrive in its 30-min window. The oracle encodes
+    * exactly that: matched pairs UNION unmatched clicks whose window
+    * closed at or below the final GLOBAL watermark — which is the MIN of
+    * the two input watermarks (max click ts, max purchase ts, each -2h),
+    * not the max over all events; clicks still inside that horizon when
+    * the finite source drains are correctly NEVER emitted (st_session's
+    * discipline, applied to joins).
+    */
+  val st_stream_join_left: Query = Query(
+    "st_stream_join_left",
+    (s, dir) => {
+      val out = EventsStreaming.runToBatch(s,
+        EventsStreaming.clickPurchaseJoin(
+          EventsStreaming.readStream(s, dir), EventsStreaming.readStream(s, dir),
+          joinType = "left_outer")
+          .select(col("user_id"), col("click_id"), col("purchase_id"),
+            date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts")),
+        OutputMode.Append, "q_st_stream_join_left")
+      out.orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+    },
+    Some("""WITH c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS c_ts
+           |           FROM events WHERE event_type = 'click'),
+           |p AS (SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS p_ts
+           |      FROM events WHERE event_type = 'purchase'),
+           |m AS (SELECT c.user_id, c.click_id, p.purchase_id, c.c_ts, p.p_ts
+           |      FROM c JOIN p ON p.user_id = c.user_id
+           |       AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE),
+           |wm AS (SELECT LEAST(
+           |         (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'click'),
+           |         (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'purchase'))
+           |       - INTERVAL 2 HOUR AS w),
+           |um AS (SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+           |              c.c_ts, CAST(NULL AS TIMESTAMP) AS p_ts
+           |       FROM c
+           |       WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+           |         AND c.c_ts + INTERVAL 30 MINUTE <= (SELECT w FROM wm))
+           |SELECT user_id, click_id, purchase_id,
+           |       strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+           |       strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts
+           |FROM (SELECT * FROM m UNION ALL SELECT * FROM um) u
+           |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin))
+
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
-    st_dedup, st_stream_join, st_foreachbatch)
+    st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch)
 }

@@ -96,7 +96,8 @@ object EventsStreaming {
     * bound this join would be rejected (unbounded state) — that contract
     * is the whole design at 100 TB/day.
     */
-  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        joinType: String = "inner"): DataFrame = {
     val c = clicks.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "2 hours")
@@ -107,7 +108,8 @@ object EventsStreaming {
     c.join(p,
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      joinType)
   }
 
   final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
