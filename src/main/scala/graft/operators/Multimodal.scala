@@ -40,6 +40,71 @@ object Multimodal {
     (width, height, frames, brightness)
   }
 
+  final case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Long,
+                             n_samples: Long)
+
+  /** STUB audio decoder: sample rate in {8, 16, 24} kHz and a 1-60 s sample
+    * count (plus a non-multiple remainder so the last chunk is partial)
+    * from md5 of the payload — a real implementation would parse the WAV/
+    * OGG header here.
+    */
+  private[operators] def decodeAudioStub(payload: Array[Byte]): (Long, Long) = {
+    val h = SharedHash.md5Hex(payload)
+    def hv(i: Int): Int = SharedHash.HexDigits.indexOf(h.charAt(i))
+    val sr = 8000L * (1 + hv(7) % 3)
+    val ns = sr * (1 + (hv(8) * 16 + hv(9)) % 60) + (hv(10) * 16 + hv(11)) * 7L
+    (sr, ns)
+  }
+
+  /** Audio chunking: decode (sample_rate, n_samples) per payload, then cut
+    * into fixed 10-second windows — one row per chunk with exact sample
+    * offsets (the shape a transcription/feature pipeline fans out over).
+    * Same mapPartitions decoder amortization as [[imageFeatures]]; the
+    * chunk explode is linear in audio duration.
+    */
+  def audioChunks(spark: SparkSession, sfDir: String, chunkSec: Int = 10): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRecord] = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    val meta = media.mapPartitions { records =>
+      records.map { r =>
+        val (sr, ns) = decodeAudioStub(r.payload)
+        AudioMeta(r.doc_id, r.payload.length.toLong, sr, ns)
+      }
+    }.toDF()
+    meta
+      .withColumn("cs", col("sample_rate") * chunkSec)
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        explode(expr("sequence(CAST(0 AS BIGINT), (n_samples + cs - 1) div cs - 1)"))
+          .as("chunk_idx"), col("cs"))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"), col("chunk_idx"),
+        (col("chunk_idx") * col("cs")).as("start_sample"),
+        least(col("cs"), col("n_samples") - col("chunk_idx") * col("cs")).as("n_in_chunk"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** DuckDB twin of [[decodeAudioStub]] + [[audioChunks]] (hex position i in
+    * Scala = digit position i+1 in SQL).
+    */
+  val audioChunksOracleSql: String = {
+    def d(i: Int): String = SharedHash.digitSql("m", i.toString)
+    s"""WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+       |a AS (SELECT doc_id,
+       |        CAST(8000 * (1 + ${d(8)} % 3) AS BIGINT) AS sample_rate,
+       |        CAST(8000 * (1 + ${d(8)} % 3) * (1 + (${d(9)} * 16 + ${d(10)}) % 60)
+       |             + (${d(11)} * 16 + ${d(12)}) * 7 AS BIGINT) AS n_samples
+       |      FROM h),
+       |c AS (SELECT doc_id, sample_rate, n_samples, sample_rate * 10 AS cs,
+       |             unnest(range(0, (n_samples + sample_rate * 10 - 1) // (sample_rate * 10)))
+       |               AS chunk_idx
+       |      FROM a)
+       |SELECT doc_id, sample_rate, n_samples, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |       CAST(chunk_idx * cs AS BIGINT) AS start_sample,
+       |       CAST(LEAST(cs, n_samples - chunk_idx * cs) AS BIGINT) AS n_in_chunk
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   /** The DuckDB twin of [[decodeStub]] + [[imageFeatures]] over the documents
     * table (payload = utf-8 bytes of text, exactly what `encode` produces).
     */

@@ -182,6 +182,15 @@ object PipelineQueries {
     Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Audio chunking downstream of the stub decode — one row per 10-second
+    * window with exact sample offsets.
+    */
+  val m_audio_chunks: Query = Query(
+    "m_audio_chunks",
+    (s, dir) => Multimodal.audioChunks(s, dir),
+    Some(Multimodal.audioChunksOracleSql))
+
   val all: Seq[Query] = Seq(r_unload_roundtrip, r_jdbc_roundtrip, r_jsonl_roundtrip,
-    r_orc_roundtrip, p_compact, m_image_features, m_resize, m_frame_sample)
+    r_orc_roundtrip, p_compact, m_image_features, m_resize, m_frame_sample,
+    m_audio_chunks)
 }
