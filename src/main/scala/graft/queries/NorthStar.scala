@@ -1036,6 +1036,78 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** The capstone composition: the ENTIRE corpus-preparation pipeline —
+    * language filter + quality floor + length floor, keep-first exact
+    * dedup, deterministic sharding, sequence packing — as ONE declarative
+    * plan. Catalyst fuses the scoring into the scan projection, the
+    * filters prune before the dedup shuffle, and the shard/pack windows
+    * share partitioning; end to end the corpus is shuffled twice (dedup on
+    * text, layout on shard). This is the plan a 100 TB pretraining-data
+    * run would submit as a single job.
+    */
+  val p_pipeline_full: Query = {
+    import TextScoring._
+    val nShards = 8
+    val cap = 512
+    def hex4(h: String) =
+      s"((((${SharedHash.digitSql(h, "1")}) * 16 + ${SharedHash.digitSql(h, "2")}) * 16 + " +
+        s"${SharedHash.digitSql(h, "3")}) * 16 + ${SharedHash.digitSql(h, "4")})"
+    q("p_pipeline_full", Some(
+      s"""WITH p0 AS (SELECT doc_id, text, CONCAT(' ', LOWER(text), ' ') AS p FROM documents),
+         |sc AS (SELECT doc_id, text, ${scoreSql("en")} AS s_en, ${scoreSql("de")} AS s_de,
+         |              ${scoreSql("es")} AS s_es, ${scoreSql("fr")} AS s_fr FROM p0),
+         |lj AS (SELECT doc_id, text, $caseSql AS pred_lang,
+         |              $qualitySql AS quality FROM sc),
+         |flt AS (SELECT * FROM lj
+         |        WHERE pred_lang = 'en' AND quality >= 0.5 AND length(text) >= 100),
+         |dd AS (SELECT doc_id, text, quality,
+         |              ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |       FROM flt),
+         |kept AS (SELECT doc_id, text, quality FROM dd WHERE rn = 1),
+         |sh AS (SELECT doc_id, quality,
+         |              CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         |              md5(CAST(doc_id AS VARCHAR) || ':shard') AS hh
+         |       FROM kept),
+         |sd AS (SELECT doc_id, quality, ntok, hh, ${hex4("hh")} % $nShards AS shard FROM sh),
+         |c AS (SELECT shard, doc_id, quality, ntok,
+         |        COALESCE(SUM(ntok) OVER (PARTITION BY shard ORDER BY hh, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |      FROM sd)
+         |SELECT shard, CAST(start_tok // $cap AS BIGINT) AS bin,
+         |       CAST(start_tok AS BIGINT) AS start_tok, doc_id, ntok,
+         |       ROUND(quality, 4) AS quality
+         |FROM c ORDER BY shard, start_tok, doc_id""".stripMargin)) { (s, dir) =>
+      val scored = Tables.load(s, dir, "documents")
+        .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
+        .withColumn("s_en", expr(scoreSql("en")))
+        .withColumn("s_de", expr(scoreSql("de")))
+        .withColumn("s_es", expr(scoreSql("es")))
+        .withColumn("s_fr", expr(scoreSql("fr")))
+        .withColumn("pred_lang", expr(caseSql))
+        .withColumn("quality", expr(qualitySql))
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.5 &&
+          length(col("text")) >= 100)
+      val wd = Window.partitionBy("text").orderBy("doc_id")
+      val kept = scored
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("text"), col("quality"))
+      val sharded = kept
+        .select(col("doc_id"), col("quality"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          md5(concat(col("doc_id").cast("string"), lit(":shard"))).as("hh"))
+        .withColumn("shard", expr(s"${hex4("hh")} % $nShards"))
+      val wp = Window.partitionBy("shard").orderBy("hh", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sharded
+        .withColumn("start_tok", coalesce(sum(col("ntok")).over(wp), lit(0L)))
+        .select(col("shard"), expr(s"start_tok div $cap").as("bin"),
+          col("start_tok"), col("doc_id"), col("ntok"),
+          round(col("quality"), 4).as("quality"))
+        .orderBy("shard", "start_tok", "doc_id")
+    }
+  }
+
   /** EXACT next-fit sequence packing (docs never straddle bins): a doc
     * opens a new bin when it would overflow the 512-token cap. Unlike
     * [[p_pack]]'s closed-form chunking, the bin boundary depends on a
@@ -1627,6 +1699,6 @@ object NorthStar {
     s_ann_pq, s_ann_ivfpq, s_label_centroid,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition, t_entropy,
     t_fingerprint, t_sample_split, t_pii, p_clean_corpus, p_shard, p_pack,
-    p_pack_exact, p_zorder,
+    p_pack_exact, p_zorder, p_pipeline_full,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
 }
