@@ -59,6 +59,65 @@ object SimHashImpl {
   }
 }
 
+object SimHashTfImpl {
+  /** Fused text -> sublinear-tf weighted 63-bit SimHash: split on single
+    * spaces (empties kept, exactly Spark's `split(text, ' ')`), count term
+    * frequency in a local map, weight = bitlength(tf), md5 each DISTINCT
+    * token once, accumulate the +-w votes. Term frequency is per-document
+    * state, so none of this needs a shuffle — the explode -> groupBy
+    * formulation this kernel replaces moved every token through an
+    * exchange to compute what one pass over the row already knows.
+    */
+  def weightedFromText(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val tf = new java.util.HashMap[String, Integer]()
+    var t = 0
+    while (t < toks.length) {
+      tf.merge(toks(t), 1, (a, b) => a + b)
+      t += 1
+    }
+    val acc = new Array[Int](64)
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val w = 32 - Integer.numberOfLeadingZeros(e.getValue) // bitlength(tf)
+      val h = SharedHash.md5Hex(e.getKey)
+      var d = 0
+      while (d < 16) {
+        val c = h.charAt(d)
+        val nib = if (c <= '9') c - '0' else c - 'a' + 10
+        val base = d * 4
+        var j = 0
+        while (j < 4) {
+          if (((nib >> j) & 1) == 1) acc(base + j) += w else acc(base + j) -= w
+          j += 1
+        }
+        d += 1
+      }
+    }
+    var res = 0L
+    var i = 0
+    while (i < 63) { if (acc(i) > 0) res |= 1L << i; i += 1 }
+    res
+  }
+}
+
+/** `simhash63_tf(text)` — fused tokenizer + tf + weighted SimHash. */
+case class SimHash63Tf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash63_tf"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashTfImpl.weightedFromText(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashTfImpl.weightedFromText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash63Tf =
+    copy(child = newChild)
+}
+
 /** `simhash63(array<string>)` — per-occurrence votes, weight 1 each. */
 case class SimHash63(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -97,4 +156,7 @@ object SimHash {
 
   def simhash63Weighted(hashes: Column, weights: Column): Column =
     Bridge.column(SimHash63Weighted(Bridge.expression(hashes), Bridge.expression(weights)))
+
+  def simhash63Tf(text: Column): Column =
+    Bridge.column(SimHash63Tf(Bridge.expression(text)))
 }

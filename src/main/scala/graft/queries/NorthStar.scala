@@ -293,25 +293,20 @@ object NorthStar {
       .orderBy("id_a", "id_b")
   }
 
-  /** Weighted SimHash over (token-hash, weight) structs via the codegen
-    * [[graft.functions.SimHash]] kernel: bit i = sign of sum(+-w) where the
-    * sign is bit i of the token's md5.
-    */
-  private val weightedSimhashExpr: Column =
-    SimHash.simhash63Weighted(col("hws.h"), col("hws.w"))
-
   /** Sublinear-tf weighted SimHash near-dup (the variant actually used for
     * web-scale dedup, e.g. Manku et al. WWW'07: weight repeated terms, but
     * dampen so boilerplate tokens can't dominate the fingerprint). Each
     * DISTINCT token votes with weight bitlength(tf) = floor(log2(tf)) + 1 —
     * integer weights, so sign decisions are exact on both engines.
     *
-    * Distributed shape differs from [[d_simhash]]'s per-row expression: tf
-    * needs a (doc_id, token-hash) aggregation, so the plan is explode ->
-    * count -> collect per doc -> 63-bit assembly -> the same
-    * pigeonhole-exact 7x9 banding. The token shuffle carries (doc_id,
-    * 32-char h, int) — never the text — and stays linear in corpus size;
-    * banding keeps candidate generation at sum(bucket_size^2) instead of
+    * Term frequency is PER-DOCUMENT state, so the whole signature is one
+    * fused per-row kernel ([[graft.functions.SimHash63Tf]]: split, local
+    * tf map, md5 per distinct token, +-bitlength(tf) votes) — zero
+    * shuffles before banding. Round 3 first shipped this as explode ->
+    * groupBy(doc_id, hash) -> collect_list, which moved every token
+    * through an exchange to compute what one pass over the row already
+    * knows; the fused kernel cut the sf0.1 bench slot ~5.4s -> ~1s.
+    * Banding keeps candidate generation at sum(bucket_size^2) instead of
     * O(n^2).
     */
   val d_simhash_weighted: Query = q("d_simhash_weighted", Some(
@@ -334,16 +329,8 @@ object NorthStar {
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
        |ORDER BY id_a, id_b""".stripMargin), headline = true) { (s, dir) =>
-    val tf = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
-      .groupBy(col("doc_id"), md5(col("tk")).as("h"))
-      .agg(count(lit(1)).as("tf"))
-      .select(col("doc_id"), col("h"),
-        length(conv(col("tf"), 10, 2)).as("w"))
-    val docs = tf
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("h"), col("w"))).as("hws"))
-      .select(col("doc_id"), weightedSimhashExpr.as("simhash"))
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), SimHash.simhash63Tf(col("text")).as("simhash"))
     val banded = docs.select(col("doc_id"), col("simhash"), posexplode(expr(
       "transform(sequence(0, 6), b -> shiftright(simhash, b * 9) & 511)"))
       .as(Seq("band", "bucket")))
