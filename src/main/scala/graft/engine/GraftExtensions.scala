@@ -82,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "simhash63_weighted(md5_hashes, weights) - 63-bit weighted SimHash") {
       args => SimHash63Weighted(args(0), args(1))
     }
+    register(ext, "simhash63_tf",
+      "simhash63_tf(text) - fused tokenize + tf-weighted 63-bit SimHash") {
+      args => SimHash63Tf(args(0))
+    }
     register(ext, "l2_sq", "l2_sq(a, b) - squared L2 distance of float vectors") {
       args => L2Sq(args(0), args(1))
     }

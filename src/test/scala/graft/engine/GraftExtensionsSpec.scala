@@ -49,6 +49,9 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(un == w2)
     assert(one("l2_sq(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
       " array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)))") == 5.0)
+    // fused kernel == weight-1 path on a duplicate-free text (tf=1 -> w=1)
+    val fused = one("simhash63_tf('a b')").asInstanceOf[Long]
+    assert(fused == un)
   }
 
   test("non-literal config args are rejected with a clear error") {
