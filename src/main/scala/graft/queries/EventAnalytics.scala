@@ -115,5 +115,43 @@ object EventAnalytics {
       .orderBy("user_id", "event_id")
   }
 
-  val all: Seq[Query] = Seq(e_funnel, e_retention, w_range_frame)
+  /** Time-series gap filling (resampling): hourly counts per event type
+    * joined against a COMPLETE generated hour spine, missing buckets
+    * 0-filled and flagged — the primitive behind any downsampled
+    * dashboard or training-curve export (aggregations alone silently skip
+    * empty buckets). The spine is hours x types: a 1-row bounds aggregate
+    * exploded to hours, crossed with the tiny type dimension — both sides
+    * bounded, the exempt-by-design broadcast pattern. The real data only
+    * flows through the hourly groupBy and one left join.
+    */
+  val e_gapfill: Query = q("e_gapfill",
+    """WITH b AS (SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS h0,
+      |                  date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS h1 FROM events),
+      |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |spine AS (SELECT h, event_type FROM hours, ty),
+      |c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+      |             COUNT(*) AS cnt
+      |      FROM events GROUP BY h, event_type)
+      |SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS h, s.event_type,
+      |       CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt, c.cnt IS NULL AS filled
+      |FROM spine s LEFT JOIN c ON c.h = s.h AND c.event_type = s.event_type
+      |ORDER BY h, s.event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val hours = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    val counts = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    hours.crossJoin(types)
+      .join(counts, Seq("h", "event_type"), "left")
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"), col("cnt").isNull.as("filled"))
+      .orderBy("h", "event_type")
+  }
+
+  val all: Seq[Query] = Seq(e_funnel, e_retention, w_range_frame, e_gapfill)
 }

@@ -18,9 +18,10 @@ class PlanAuditSpec extends SparkSpec {
   // exempt: q24/s_ann_* broadcast a single probe row/vector by design;
   // streaming + pipeline-execution queries run side effects on plan access
   // t_bm25 cross-joins a SINGLE corpus-stats row (broadcast by design,
-  // like q24's probe row)
+  // like q24's probe row); e_gapfill crosses a 1-row-bounds-derived hour
+  // spine with the tiny type dimension — both sides bounded by design
   private val exempt = Set("q24_cosine_topk", "s_ann_lsh", "s_ann_ivf", "t_bm25",
-    "st_tumbling", "st_session", "st_user_totals",
+    "e_gapfill", "st_tumbling", "st_session", "st_user_totals",
     "r_unload_roundtrip", "r_jdbc_roundtrip")
   private val audited =
     graft.SparkEntry.catalog.map(_.name).filterNot(exempt)
