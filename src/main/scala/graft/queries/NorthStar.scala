@@ -1675,6 +1675,10 @@ object NorthStar {
       prevSum = nextSum
       iter += 1
     }
+    // partial labels are silently WRONG clusters — fail loudly; a graph
+    // with diameter beyond the cap needs the large-star/small-star variant
+    require(converged,
+      s"d_dup_clusters: label propagation did not converge within $iter rounds")
     labels.select(col("id").as("doc_id"), col("lab").as("cluster"))
       .orderBy("doc_id")
   }
