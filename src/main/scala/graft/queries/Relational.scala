@@ -669,6 +669,34 @@ object Relational {
             |ORDER BY o.o_orderkey""".stripMargin)
   }
 
+  /** Salted skew JOIN — q31's sibling for the join side. The fact stream
+    * is artificially skewed (a quarter of all rows land on key 1); a plain
+    * shuffle join would send that whole key to one task. The salted plan
+    * adds a uniform 8-way salt to the fact side and replicates the
+    * dimension once per salt value, so the hot key spreads over 8 tasks;
+    * join output (and the aggregate over it) is provably identical to the
+    * unsalted join the oracle runs. AQE's skew-join split covers
+    * sort-merge cases adaptively; explicit salting is the portable form
+    * that also works under bucketing/broadcast constraints.
+    */
+  val q36_salted_join: Query = q("q36_salted_join",
+    """SELECT c.c_mktsegment, COUNT(*) AS cnt
+      |FROM (SELECT CASE WHEN user_id % 4 = 0 THEN 1 ELSE user_id END AS sk
+      |      FROM events) e
+      |JOIN customer c ON c.c_custkey = e.sk
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+    val fact = Tables.load(s, dir, "events")
+      .select(when(col("user_id") % 4 === 0, lit(1L)).otherwise(col("user_id")).as("sk"),
+        col("event_id"))
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(8)).cast("int"))
+    val dim = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(expr("sequence(CAST(0 AS INT), CAST(7 AS INT))")))
+    fact.join(dim, fact("sk") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Query] = Seq(
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
     q6_partition_key, q7_join, q8_join3_agg, q8b_region_rev, q9_left_join, q9b_full_join,
@@ -677,5 +705,6 @@ object Relational {
     q17_intersect, q17_except, q17_union, q17_except_all, q17_intersect_all,
     q18_string_funcs, q19_date_math, q20_conditional, q25_json_extract,
     q28_pivot, q29_unpivot, q30_quantile, q31_salted_agg, q32_approx_distinct,
-    q33_approx_quantile, q34_topk_grouped, q35_corr_subquery, q14c_rank_family)
+    q33_approx_quantile, q34_topk_grouped, q35_corr_subquery, q14c_rank_family,
+    q36_salted_join)
 }
