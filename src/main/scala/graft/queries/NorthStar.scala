@@ -1257,6 +1257,40 @@ object NorthStar {
     * recomputable by the oracle. 90/10 split, plus a 10% sample flag;
     * aggregated per (lang, split) to exercise the downstream accounting.
     */
+  /** Stratified (per-class-rate) sampling — the class-balancing primitive
+    * for training-mix construction: each language keeps a different
+    * fraction (en 50%, de 100%, everything else 25%), decided by an
+    * md5-derived per-doc bucket compared against integer thresholds, so
+    * membership is exact, deterministic, and recomputable by the oracle.
+    * Per-row decision, no shuffle except the output aggregation; at
+    * 100 TB this IS how you downsample a dominant class without a
+    * global pass (contrast sampleBy, whose Bernoulli draw is
+    * seed-and-partitioning dependent).
+    */
+  val t_stratified: Query = {
+    val bucket = s"(${SharedHash.digitSql("m", "1")} * 16 + ${SharedHash.digitSql("m", "2")}) % 100"
+    q("t_stratified", Some(
+      s"""WITH h AS (SELECT doc_id, lang,
+         |             md5(CAST(doc_id AS VARCHAR) || ':strat') AS m FROM documents),
+         |b AS (SELECT doc_id, lang, $bucket AS bucket FROM h),
+         |k AS (SELECT doc_id, lang FROM b
+         |      WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 100 ELSE 25 END)
+         |SELECT lang, COUNT(*) AS kept,
+         |       CAST(MIN(doc_id) AS BIGINT) AS first_doc, CAST(MAX(doc_id) AS BIGINT) AS last_doc
+         |FROM k GROUP BY lang ORDER BY lang""".stripMargin)) { (s, dir) =>
+      val rate = when(col("lang") === "en", 50)
+        .when(col("lang") === "de", 100).otherwise(25)
+      Tables.load(s, dir, "documents")
+        .withColumn("m", md5(concat(col("doc_id").cast("string"), lit(":strat"))))
+        .withColumn("bucket", expr(bucket))
+        .filter(col("bucket") < rate)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang")
+    }
+  }
+
   val t_sample_split: Query = {
     val bucket = s"(${SharedHash.digitSql("m", "1")} * 16 + ${SharedHash.digitSql("m", "2")}) % 100"
     q("t_sample_split", Some(
@@ -1689,7 +1723,7 @@ object NorthStar {
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_pq, s_ann_ivfpq, s_label_centroid,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition, t_entropy,
-    t_fingerprint, t_sample_split, t_pii, p_clean_corpus, p_shard, p_pack,
+    t_fingerprint, t_sample_split, t_stratified, t_pii, p_clean_corpus, p_shard, p_pack,
     p_pack_exact, p_zorder, p_pipeline_full,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
 }
