@@ -46,6 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // session-policy sketch rewrite (default off) — see ApproxDistinctRewrite
     ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite)
+    // native as-of join: plans graft.plans.AsofJoinPlan -> AsofJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
 
     register(ext, "char_ngrams", "char_ngrams(text, n) - distinct character n-grams") {
       args => CharNgrams(args(0), intArg(args(1), "char_ngrams", 1))

@@ -47,6 +47,37 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
+  /** The SAME as-of semantics through the native custom operator
+    * ([[graft.plans.AsofJoinNative]]: logical node + strategy + sort-merge
+    * AsofJoinExec) under the SAME DuckDB native-ASOF oracle as
+    * [[q26_asof_join]]. Two independent implementations of one contract:
+    * the rewrite proves the semantics are expressible in built-ins, the
+    * operator proves the engine can extend Catalyst end-to-end — and each
+    * differentially checks the other.
+    */
+  val q26b_asof_native: Query = q("q26b_asof_native",
+    """WITH p AS (SELECT user_id, ts, MAX(value) AS purch_value FROM events
+      |           WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purch_ts,
+      |       ROUND(p.purch_value, 2) AS purch_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin, headline = true) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("purch_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    graft.plans.AsofJoinNative.leftAsof(clicks, purchases, "user_id", "ts",
+        Seq("purch_value"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("purch_ts"),
+        round(col("purch_value"), 2).as("purch_value"))
+      .orderBy("event_id")
+  }
+
   /** Lineitems shipped inside 7-day windows opened by a sample of orders —
     * a genuine no-equi-key range join (the windows are unrelated to the
     * lineitems' order keys), executed as the bucketed equi-join plan.
@@ -70,5 +101,5 @@ object TemporalJoins {
       .orderBy("window_id")
   }
 
-  val all: Seq[Query] = Seq(q26_asof_join, q27_range_join)
+  val all: Seq[Query] = Seq(q26_asof_join, q26b_asof_native, q27_range_join)
 }
