@@ -1211,6 +1211,45 @@ object NorthStar {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — the eval-overlap scan every serious training
+    * pipeline runs before training (the GPT-3 appendix-C / PaLM procedure:
+    * flag a training doc if it shares any long n-gram with the eval set; here
+    * 20-char grams, the character analog of ~13-token grams). Eval set =
+    * doc_id % 50 == 0, train = the rest; output = per-train-doc count of
+    * distinct shared grams (n_hits >= 1 means contaminated).
+    *
+    * Scale shape: inverted-index equi-join on the gram — identical skeleton
+    * to d_ngram_jaccard's candidate stage, EXCEPT one side is the eval
+    * corpus. No broadcast hint: at this fixture the eval side scales with the
+    * corpus, so AQE decides; a production run against a fixed benchmark
+    * suite (MBs) would broadcast it and the train side would never shuffle
+    * at all. Grams stream out of the codegen kernel; the join carries
+    * (20-char gram, doc_id) rows, never document bodies.
+    */
+  val t_decontam: Query = q("t_decontam", Some(
+    """WITH ev AS (
+      |  SELECT DISTINCT substring(text, i, 20) AS g
+      |  FROM (SELECT text, UNNEST(generate_series(1, GREATEST(length(text)-19, 1))) AS i
+      |        FROM documents WHERE doc_id % 50 = 0) t),
+      |tr AS (
+      |  SELECT DISTINCT doc_id, substring(text, i, 20) AS g
+      |  FROM (SELECT doc_id, text, UNNEST(generate_series(1, GREATEST(length(text)-19, 1))) AS i
+      |        FROM documents WHERE doc_id % 50 <> 0) t)
+      |SELECT tr.doc_id, COUNT(*) AS n_hits
+      |FROM tr JOIN ev ON tr.g = ev.g
+      |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin),
+    headline = true) { (s, dir) =>
+    import CharNgrams.charNgrams
+    val docs = Tables.load(s, dir, "documents")
+    val ev = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(charNgrams(col("text"), 20)).as("g")).distinct()
+    val tr = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(charNgrams(col("text"), 20)).as("g"))
+    tr.join(ev, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** The composed training-data cleaning pass — what a corpus pipeline
     * actually runs: language filter (en) + quality floor + length floor +
     * exact keep-first dedup, in one declarative plan. Catalyst fuses the
@@ -1723,7 +1762,7 @@ object NorthStar {
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_pq, s_ann_ivfpq, s_label_centroid,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition, t_entropy,
-    t_fingerprint, t_sample_split, t_stratified, t_pii, p_clean_corpus, p_shard, p_pack,
+    t_fingerprint, t_decontam, t_sample_split, t_stratified, t_pii, p_clean_corpus, p_shard, p_pack,
     p_pack_exact, p_zorder, p_pipeline_full,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
 }
