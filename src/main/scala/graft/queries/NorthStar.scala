@@ -837,6 +837,37 @@ object NorthStar {
       .limit(50)
   }
 
+  /** Frequent tokens via the Misra-Gries heavy-hitters sketch
+    * ([[graft.functions.MisraGries]]) under a tolerance gate, completing the
+    * mergeable-sketch family (q32 HLL++ distinct, q33 t-digest quantile):
+    * the top-5 exact counts are hash-checked against DuckDB, and every
+    * estimate must satisfy MG's deterministic |est - exact| <= n/(k+1)
+    * bound (k=8 counters; absence estimates 0, which the bound also
+    * covers — so the boolean is partition-invariant even though raw
+    * estimates are not). The exact groupBy exists here only as the oracle's
+    * yardstick: at 100 TB the sketch side — k counters per task, O(k*tasks)
+    * shuffle rows, no per-token shuffle — IS the query. Planted-skew
+    * presence/error properties are proven in MisraGriesSpec.
+    */
+  val t_heavy_hitters: Query = q("t_heavy_hitters", Some(
+    """WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents),
+      |cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t)
+      |SELECT t, CAST(c AS BIGINT) AS exact_cnt, TRUE AS within_bound
+      |FROM cnt ORDER BY c DESC, t LIMIT 5""".stripMargin)) { (s, dir) =>
+    val k = 8
+    val mg = udaf(new graft.functions.MisraGries.MisraGriesAgg(k))
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+    val sketch = toks.agg(mg(col("t")).as("hh"), count(lit(1)).as("n"))
+    val exact = toks.groupBy("t").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("t")).limit(5)
+    exact.crossJoin(broadcast(sketch)) // 1-row sketch side, like t_bm25
+      .select(col("t"), col("exact_cnt"),
+        (abs(coalesce(element_at(col("hh"), col("t")), lit(0L)) - col("exact_cnt"))
+          .cast("double") <= col("n").cast("double") / (k + 1)).as("within_bound"))
+      .orderBy(col("exact_cnt").desc, col("t"))
+  }
+
   /** Repetition quality signals (the Gopher-rules family): duplicate-token
     * and duplicate-bigram fractions per document — high values flag
     * boilerplate/spam for corpus filtering. Pure per-row array math
@@ -1761,7 +1792,8 @@ object NorthStar {
     d_simhash_weighted, d_dup_clusters, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_pq, s_ann_ivfpq, s_label_centroid,
-    q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_repetition, t_entropy,
+    q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
+    t_repetition, t_entropy,
     t_fingerprint, t_decontam, t_sample_split, t_stratified, t_pii, p_clean_corpus, p_shard, p_pack,
     p_pack_exact, p_zorder, p_pipeline_full,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
