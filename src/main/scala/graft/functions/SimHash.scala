@@ -60,43 +60,110 @@ object SimHashImpl {
 }
 
 object SimHashTfImpl {
-  /** Fused text -> sublinear-tf weighted 63-bit SimHash: split on single
-    * spaces (empties kept, exactly Spark's `split(text, ' ')`), count term
-    * frequency in a local map, weight = bitlength(tf), md5 each DISTINCT
-    * token once, accumulate the +-w votes. Term frequency is per-document
-    * state, so none of this needs a shuffle — the explode -> groupBy
-    * formulation this kernel replaces moved every token through an
-    * exchange to compute what one pass over the row already knows.
+
+  /** MD5 instances are stateful and not thread-safe; one per executor thread,
+    * reset-by-digest, instead of `MessageDigest.getInstance` per token (which
+    * was the dominant cost of the first version of this kernel — a provider
+    * lookup plus two allocations per distinct token per document).
+    */
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Fused text -> sublinear-tf weighted 63-bit SimHash, entirely on the
+    * UTF-8 bytes of the input (token equality over valid UTF-8 bytes is
+    * string equality, and md5 is defined over those same bytes — so no
+    * `toString` decode, no `String.split`, no hex round-trip anywhere):
+    *
+    *  1. tokenize on the 0x20 byte (empties kept, exactly Spark's
+    *     `split(text, ' ')` — ASCII space never occurs inside a multi-byte
+    *     UTF-8 sequence, so byte-splitting is character-splitting);
+    *  2. count term frequency in an open-addressed (slice -> count) table —
+    *     int arrays, byte-wise key compare, no boxing;
+    *  3. per DISTINCT token: weight = bitlength(tf), md5 the byte slice via
+    *     the thread-local digest, read the 16 vote nibbles straight off the
+    *     raw digest bytes;
+    *  4. +-w votes over 63 bit positions.
+    *
+    * Term frequency is per-document state, so none of this needs a shuffle —
+    * the explode -> groupBy formulation this kernel replaces moved every
+    * token through an exchange to compute what one pass over the row
+    * already knows.
     */
   def weightedFromText(text: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val toks = text.toString.split(" ", -1)
-    val tf = new java.util.HashMap[String, Integer]()
+    val bytes = text.getBytes // zero-copy when array-backed, one copy otherwise
+    val n = bytes.length
+    // token boundaries: nTok = spaces + 1 (split(" ", -1) keeps empties)
+    var nTok = 1
+    var i = 0
+    while (i < n) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok)
+    val lens = new Array[Int](nTok)
     var t = 0
-    while (t < toks.length) {
-      tf.merge(toks(t), 1, (a, b) => a + b)
+    var s = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') { starts(t) = s; lens(t) = i - s; t += 1; s = i + 1 }
+      i += 1
+    }
+    // open-addressed tf table, load factor <= 0.5, linear probing
+    var cap = Integer.highestOneBit(nTok) << 2
+    if (cap < 8) cap = 8
+    val mask = cap - 1
+    val slotTok = new Array[Int](cap) // index of the first token in the slot
+    val slotCnt = new Array[Int](cap) // 0 = empty
+    t = 0
+    while (t < nTok) {
+      val st = starts(t)
+      val ln = lens(t)
+      var h = 0x811c9dc5 // FNV-1a over the slice
+      var j = st
+      val end = st + ln
+      while (j < end) { h = (h ^ (bytes(j) & 0xff)) * 0x01000193; j += 1 }
+      var slot = h & mask
+      var placed = false
+      while (!placed) {
+        if (slotCnt(slot) == 0) { slotTok(slot) = t; slotCnt(slot) = 1; placed = true }
+        else {
+          val o = slotTok(slot)
+          if (lens(o) == ln &&
+              java.util.Arrays.equals(bytes, starts(o), starts(o) + ln, bytes, st, end)) {
+            slotCnt(slot) += 1; placed = true
+          } else slot = (slot + 1) & mask
+        }
+      }
       t += 1
     }
+    val md = digests.get()
+    val out = new Array[Byte](16)
     val acc = new Array[Int](64)
-    val it = tf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val w = 32 - Integer.numberOfLeadingZeros(e.getValue) // bitlength(tf)
-      val h = SharedHash.md5Hex(e.getKey)
-      var d = 0
-      while (d < 16) {
-        val c = h.charAt(d)
-        val nib = if (c <= '9') c - '0' else c - 'a' + 10
-        val base = d * 4
-        var j = 0
-        while (j < 4) {
-          if (((nib >> j) & 1) == 1) acc(base + j) += w else acc(base + j) -= w
-          j += 1
+    var slot = 0
+    while (slot < cap) {
+      val cnt = slotCnt(slot)
+      if (cnt > 0) {
+        val o = slotTok(slot)
+        val w = 32 - Integer.numberOfLeadingZeros(cnt) // bitlength(tf)
+        md.update(bytes, starts(o), lens(o))
+        md.digest(out, 0, 16) // fills out, resets md
+        // hex digit d of md5Hex = nibble d of the raw digest, high-first
+        var d = 0
+        while (d < 16) {
+          val b = out(d >> 1)
+          val nib = if ((d & 1) == 0) (b >> 4) & 0xf else b & 0xf
+          val base = d * 4
+          var j = 0
+          while (j < 4) {
+            if (((nib >> j) & 1) == 1) acc(base + j) += w else acc(base + j) -= w
+            j += 1
+          }
+          d += 1
         }
-        d += 1
       }
+      slot += 1
     }
     var res = 0L
-    var i = 0
+    i = 0
     while (i < 63) { if (acc(i) > 0) res |= 1L << i; i += 1 }
     res
   }
