@@ -305,7 +305,9 @@ object NorthStar {
     * shuffles before banding. Round 3 first shipped this as explode ->
     * groupBy(doc_id, hash) -> collect_list, which moved every token
     * through an exchange to compute what one pass over the row already
-    * knows; the fused kernel cut the sf0.1 bench slot ~5.4s -> ~1s.
+    * knows; the round-5 byte-level kernel rewrite (thread-local MD5,
+    * open-addressed tf table) cut the sf0.1 bench slot 20.9s -> 3.7s,
+    * at which point banding + pair-gen dominate, not the kernel.
     * Banding keeps candidate generation at sum(bucket_size^2) instead of
     * O(n^2).
     */

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
 import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 /** Pins the byte-level fused kernel ([[SimHashTfImpl.weightedFromText]])
   * to an independent straight-line reimplementation of the declared
@@ -11,7 +11,12 @@ import org.scalacheck.Gen
   * weight = bitlength(tf), md5-hex votes. The kernel must match on every
   * input, including empty strings, runs of spaces, and multi-byte UTF-8.
   */
-class SimHashTfSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
+class SimHashTfSpec extends AnyFunSuite {
+
+  // seeded Gen sampling, same pattern as UnloadDialectPropertySpec —
+  // the scalatestplus forAll bridge is not in the offline cache.
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
   /** The declared semantics, written the obvious (slow) way. */
   private def reference(text: String): Long = {
@@ -55,8 +60,8 @@ class SimHashTfSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
       Gen.alphaNumStr.map(_.take(12)),
       Gen.oneOf("café", "日本", "über", "😀", ""))
     val doc = Gen.listOf(word).map(_.mkString(" "))
-    forAll(doc, minSuccessful(200)) { text =>
-      assert(kernel(text) === reference(text))
+    samples(doc, 200).foreach { text =>
+      assert(kernel(text) === reference(text), s"input: '$text'")
     }
   }
 
