@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CharNgrams, MinHash, SharedHash, SimHash, VecMeanAgg, Vectors}
+import graft.operators.ConnectedComponents
 import graft.tables.Tables
 
 /** North-star extensions (SURVEY.md §2.3 Q21–Q24 + the large-scale
@@ -59,11 +60,13 @@ object NorthStar {
 
   /** Keep-first exact dedup, hash-pre-grouped for scale: the shuffle carries
     * (xxhash64(text), xxhash64(text,1), doc_id) — 24 bytes per row — instead
-    * of full document bodies. A 128-bit collision (two distinct texts agreeing
-    * on BOTH hashes) is ~2^-128 and accepted; a 64-bit collision (same h1,
-    * different h2) is detected and resolved exactly by re-grouping just those
-    * groups on the text itself (an empty branch in practice, but the plan is
-    * collision-correct without ever shuffling the full corpus text).
+    * of full document bodies. ONE corpus scan, ONE aggregation: each distinct
+    * (h1, h2) pair keeps its minimum doc_id. Two distinct texts sharing h1
+    * need no text re-scan to tell apart — their differing h2 is already the
+    * witness that they differ, so the 64-bit-collision branch earlier rounds
+    * resolved with a second corpus pass is provably a no-op and is gone. The
+    * only accepted risk is a full 128-bit agreement between distinct texts
+    * (~2^-128), same as before.
     */
   val q21_dedup_first: Query = q("q21_dedup_first", Some(
     """SELECT doc_id FROM (
@@ -71,23 +74,14 @@ object NorthStar {
       |  FROM documents) t
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin), headline = true) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
-    val hashed = docs.select(
-      xxhash64(col("text")).as("h1"),
-      xxhash64(col("text"), lit(1)).as("h2"),
-      col("doc_id"))
     // partial agg makes the map side emit one row per distinct text per task
-    val perText = hashed.groupBy("h1", "h2").agg(min("doc_id").as("doc_id"))
-    val perH1 = perText.groupBy("h1")
-      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("nd"))
-    val clean = perH1.filter(col("nd") === 1).select("doc_id")
-    // h1 collision between distinct texts: re-resolve exactly on text,
-    // shipping only the (vanishingly rare) colliding groups' bodies
-    val collidedH1 = perH1.filter(col("nd") > 1).select("h1")
-    val resolved = docs.select(xxhash64(col("text")).as("h1"), col("text"), col("doc_id"))
-      .join(collidedH1, "h1")
-      .groupBy("text").agg(min("doc_id").as("doc_id"))
+    docs.select(
+        xxhash64(col("text")).as("h1"),
+        xxhash64(col("text"), lit(1)).as("h2"),
+        col("doc_id"))
+      .groupBy("h1", "h2").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    clean.unionByName(resolved).orderBy("doc_id")
+      .orderBy("doc_id")
   }
 
   /** Character n-gram (8-gram) Jaccard near-dup pairs, full oracle.
@@ -1725,15 +1719,15 @@ object NorthStar {
 
   /** Near-dup cluster resolution: the step after pair generation that makes
     * dedup actionable — connected components over the [[d_simhash]] pair
-    * graph, each doc labeled with its component's minimum doc_id. Spark
-    * side is iterative min-label propagation: per round, one equi-join of
-    * labels to edges + a min-aggregate, converging in O(component
-    * diameter) rounds (near-dup components are shallow; the loop is also
-    * capped). Convergence is detected from the monotonically decreasing
-    * label sum — a 1-row aggregate per round, the only driver interaction.
-    * At extreme diameters the same loop upgrades to large-star/small-star;
-    * the per-round plan (equi-join + groupBy min) is unchanged. The oracle
-    * is DuckDB's recursive transitive closure over the identical pair CTE.
+    * graph, each doc labeled with its component's minimum doc_id, via
+    * [[graft.operators.ConnectedComponents]] large-star/small-star
+    * contraction: O(log n) rounds regardless of component diameter (an
+    * adversarial duplicate CHAIN converges instead of hitting a round cap
+    * — ConnectedComponentsSpec pins a 100-link chain at <= 7 rounds). Each
+    * round is one groupBy(min) + equi-join per star half — the same
+    * shuffle shape as a propagation round, so the per-round scale story is
+    * unchanged; only the round count drops. The oracle is DuckDB's
+    * recursive transitive closure over the identical pair CTE.
     */
   val d_dup_clusters: Query = q("d_dup_clusters", Some(
     s"""WITH RECURSIVE tok AS (
@@ -1758,33 +1752,7 @@ object NorthStar {
        |SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster
        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin), headline = true) { (s, dir) =>
     val pairs = d_simhash.run(s, dir).select(col("id_a"), col("id_b"))
-    // localCheckpoint (not persist): persist caches data but keeps lineage,
-    // so iteration k's plan would embed all k-1 previous plans (each
-    // containing the full SimHash DAG) — plan size O(k^2) and a driver OOM.
-    // Checkpointing truncates the plan to the materialized partitions.
-    val e = pairs.union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = e.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lab")).localCheckpoint()
-    var prevSum = labels.agg(sum("lab")).first().getLong(0)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 32) {
-      val next = e.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("lab"))
-        .union(labels)
-        .groupBy("id").agg(min(col("lab")).as("lab"))
-        .localCheckpoint()
-      val nextSum = next.agg(sum("lab")).first().getLong(0)
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      iter += 1
-    }
-    // partial labels are silently WRONG clusters — fail loudly; a graph
-    // with diameter beyond the cap needs the large-star/small-star variant
-    require(converged,
-      s"d_dup_clusters: label propagation did not converge within $iter rounds")
+    val (labels, _) = ConnectedComponents.label(pairs)
     labels.select(col("id").as("doc_id"), col("lab").as("cluster"))
       .orderBy("doc_id")
   }

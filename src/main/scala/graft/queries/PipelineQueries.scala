@@ -15,13 +15,16 @@ import graft.tables.Tables
 object PipelineQueries {
 
   /** orders (+ a derived BOOLEAN column, so the 't'/'f'/''-null dialect rule
-    * is hash-checked, not just unit-tested) -> unload-dialect gzip CSV +
-    * manifest -> typed conversion -> gzip/INT96 parquet -> registered
-    * external table -> read back BY NAME through the session catalog
-    * (stage 3 executes its DDL, reference create.py:59-73). If any stage
-    * mangles a value (dialect, escaping, ''-null rule, bool parse, timestamp
-    * parse, INT96 write, catalog registration), the DuckDB oracle (identity
-    * projection of the source) catches it.
+    * is hash-checked, not just unit-tested; + a derived DECIMAL(12,2)
+    * column, so the reference's `Decimal()` parse path — convert.py:69
+    * under the 38-digit ceiling, convert.py:20-23 — is exercised end to
+    * end through the dialect) -> unload-dialect gzip CSV + manifest ->
+    * typed conversion -> gzip/INT96 parquet -> registered external table
+    * -> read back BY NAME through the session catalog (stage 3 executes
+    * its DDL, reference create.py:59-73). If any stage mangles a value
+    * (dialect, escaping, ''-null rule, bool parse, decimal parse,
+    * timestamp parse, INT96 write, catalog registration), the DuckDB
+    * oracle (identity projection of the source) catches it.
     */
   val r_unload_roundtrip: Query = Query(
     "r_unload_roundtrip",
@@ -29,7 +32,8 @@ object PipelineQueries {
       val base = Files.createTempDirectory("graft_roundtrip_").toString
       val t = TableTransformer.ofDataFrame(s,
         s.read.parquet(s"$dir/orders.parquet")
-          .withColumn("o_flag", (col("o_orderkey") % 2) === 0),
+          .withColumn("o_flag", (col("o_orderkey") % 2) === 0)
+          .withColumn("o_dec", col("o_totalprice").cast("decimal(12,2)")),
         PathConfig(base), "spectrum", "orders_rt")
       t.exportToCsv()
       t.convertToParquet()
@@ -38,13 +42,15 @@ object PipelineQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           round(col("o_totalprice"), 2).as("price"),
           date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("od"),
-          col("o_orderpriority"), col("o_flag"))
+          col("o_orderpriority"), col("o_flag"),
+          col("o_dec").cast("string").as("o_dec"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
            |       ROUND(o_totalprice, 2) AS price,
            |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od,
-           |       o_orderpriority, (o_orderkey % 2 = 0) AS o_flag
+           |       o_orderpriority, (o_orderkey % 2 = 0) AS o_flag,
+           |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS o_dec
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
   /** Live-source path (reference R1's actual stage 1 is a DB connection,

@@ -44,6 +44,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q21_dedup_first reads the corpus exactly once (single-pass dedup)") {
+    // the old plan re-scanned documents to resolve h1 collisions on text;
+    // distinct h2 already witnesses distinct texts, so one scan suffices
+    val plan = SparkEntry.queries("q21_dedup_first")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 corpus scan, found $scans:\n$plan")
+  }
+
   test("d_ngram_jaccard does not broadcast the per-doc sizes side") {
     // sizes is one row per document — a broadcast hint on it is a driver OOM
     // at scale. AQE may still *choose* to broadcast at this sf; the guard is
