@@ -7,14 +7,22 @@ import graft.engine.Sessions
 import graft.pipeline.{PathConfig, TableTransformer}
 
 /** CLI entry (reference operator R12, main.py:16-95). Subcommands mirror the
-  * reference: transform | export | convert | create_table | add_part.
+  * reference: transform | export | convert | create_table | add_part, behind
+  * the reference's group-level connection flags (main.py:16-26).
   *
   * Usage:
-  *   graft.cli.Main transform    [--yes] <source.parquet> <basePath> <schema> <table>
-  *   graft.cli.Main export       <source.parquet> <basePath>
-  *   graft.cli.Main convert      <source.parquet> <basePath>
-  *   graft.cli.Main create_table [--yes] <source.parquet> <basePath> <schema> <table>
+  *   graft.cli.Main [conn flags] transform    [--yes] <source> <basePath> <schema> <table>
+  *   graft.cli.Main [conn flags] export       <source> <basePath>
+  *   graft.cli.Main [conn flags] convert      <source> <basePath>
+  *   graft.cli.Main [conn flags] create_table [--yes] <source> <basePath> <schema> <table>
   *   graft.cli.Main add_part     <basePath> <schema> <table> <partition_key> <value>
+  *
+  * conn flags: `--host --port --user --password --db` (any subset, before
+  * the subcommand; env fallbacks GRAFT_HOST/PORT/USER/PASSWORD/DB — see
+  * [[ConnectionParams]]). `<source>` is a parquet path, or `table:<name>`
+  * to read the table live over JDBC from the configured connection
+  * (reference export.py:28-34; the Derby e2e passes a full `jdbc:` URL via
+  * `--db`).
   *
   * transform/create_table echo the DDL and ask for confirmation before
   * executing (the reference's log_query + click.confirm flow,
@@ -35,11 +43,32 @@ object Main {
   /** Testable core: returns the process exit code instead of calling it. */
   def run(args: List[String], spark: SparkSession,
           confirm: () => Boolean = stdinConfirm): Int = {
-    val (yes, rest) = args.partition(_ == "--yes")
+    val (yes, noYes) = args.partition(_ == "--yes")
     val skipConfirm = yes.nonEmpty
+    ConnectionParams.parse(noYes) match {
+      case Left(msg) =>
+        System.err.println(msg)
+        println(usage)
+        2
+      case Right((conn, rest)) => run(rest, conn, skipConfirm, spark, confirm)
+    }
+  }
+
+  /** `table:<name>` sources read live over JDBC (reference export.py:28-34);
+    * anything else is a parquet path.
+    */
+  private def transformer(spark: SparkSession, conn: ConnectionParams, src: String,
+                          base: String, schema: String, table: String): TableTransformer =
+    if (src.startsWith("table:"))
+      TableTransformer.fromJdbc(spark, conn.jdbcUrl, src.stripPrefix("table:"),
+        conn.jdbcOptions, PathConfig(base), schema, table)
+    else TableTransformer.fromParquet(spark, src, PathConfig(base), schema, table)
+
+  private def run(rest: List[String], conn: ConnectionParams, skipConfirm: Boolean,
+                  spark: SparkSession, confirm: () => Boolean): Int =
     rest match {
       case "transform" :: src :: base :: schema :: table :: Nil =>
-        val t = new TableTransformer(spark, src, PathConfig(base), schema, table)
+        val t = transformer(spark, conn, src, base, schema, table)
         t.exportToCsv()
         t.convertToParquet()
         logQuery(t.createTableDdl())
@@ -49,17 +78,17 @@ object Main {
           0
         } else { println("Aborted."); 1 }
       case "export" :: src :: base :: Nil =>
-        val t = new TableTransformer(spark, src, PathConfig(base), "", "")
+        val t = transformer(spark, conn, src, base, "", "")
         val parts = t.exportToCsv()
         println(s"Exported ${parts.size} part file(s) + manifest under $base/csv/")
         0
       case "convert" :: src :: base :: Nil =>
-        val t = new TableTransformer(spark, src, PathConfig(base), "", "")
+        val t = transformer(spark, conn, src, base, "", "")
         t.convertToParquet()
         println(s"Converted to parquet under $base/spectrum/")
         0
       case "create_table" :: src :: base :: schema :: table :: Nil =>
-        val t = new TableTransformer(spark, src, PathConfig(base), schema, table)
+        val t = transformer(spark, conn, src, base, schema, table)
         logQuery(t.createTableDdl())
         if (skipConfirm || confirm()) {
           val name = t.createTable()
@@ -75,7 +104,6 @@ object Main {
         println(usage)
         2
     }
-  }
 
   private def logQuery(ddl: String): Unit = {
     println("*** CREATE TABLE SQL ***")
@@ -88,11 +116,14 @@ object Main {
   }
 
   private val usage: String =
-    """Usage:
-      |  transform    [--yes] <source.parquet> <basePath> <schema> <table>  export+convert+create
-      |  export       <source.parquet> <basePath>                    table -> unload CSV + manifest
-      |  convert      <source.parquet> <basePath>                    CSV + manifest -> typed parquet
-      |  create_table [--yes] <source.parquet> <basePath> <schema> <table>  render+execute DDL
-      |  add_part     <basePath> <schema> <table> <partition_key> <value>   render ADD PARTITION DDL
+    """Usage: [--host H] [--port P] [--user U] [--password PW] [--db D] <subcommand>
+      |  (conn flags fall back to GRAFT_HOST/PORT/USER/PASSWORD/DB; <source> is a
+      |   parquet path or table:<name> to read live over the JDBC connection)
+      |
+      |  transform    [--yes] <source> <basePath> <schema> <table>   export+convert+create
+      |  export       <source> <basePath>                     table -> unload CSV + manifest
+      |  convert      <source> <basePath>                     CSV + manifest -> typed parquet
+      |  create_table [--yes] <source> <basePath> <schema> <table>   render+execute DDL
+      |  add_part     <basePath> <schema> <table> <partition_key> <value>  render ADD PARTITION DDL
       |""".stripMargin
 }

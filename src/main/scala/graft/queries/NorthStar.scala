@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CharNgrams, MinHash, SharedHash, SimHash, VecMeanAgg, Vectors}
-import graft.operators.ConnectedComponents
+import graft.operators.{BandedPairs, ConnectedComponents}
 import graft.tables.Tables
 
 /** North-star extensions (SURVEY.md §2.3 Q21–Q24 + the large-scale
@@ -43,9 +43,11 @@ object NorthStar {
 
   // Banded-LSH candidate generators share one shape: bucket rows carry
   // (id, <8-byte aux>) structs; in-bucket pairs (ids[i], ids[j]) for i < j
-  // are enumerated by a flatten(transform(..., slice(...))) expression so
-  // the aux value (shingle count, simhash, fingerprint) verifies inline
-  // without re-joining (and thus re-computing) the per-doc hashes.
+  // are enumerated by [[graft.operators.BandedPairs]] (size-aware tiling so
+  // a hot bucket's O(size^2) pair work spreads across tasks instead of
+  // landing in one straggler) with the aux value (shingle count, simhash,
+  // fingerprint) verifying inline without re-joining — and thus
+  // re-computing — the per-doc hashes.
 
   // ---------------------------------------------------------------- dedup
 
@@ -91,6 +93,20 @@ object NorthStar {
     * it is one row per document, so forcing it to the driver is an OOM at
     * 100x (AQE will still broadcast it when it is genuinely small).
     *
+    * Posting-list skew, measured at sf0.1 (5000 docs, 13005 distinct
+    * 8-grams): max posting 3859 docs ("customer" — 77% of the corpus),
+    * p99 773, and the hot (>1000-doc) grams hold 91M of the 280M uncapped
+    * pair-count rows. Because candidate generation is an equi-JOIN on the
+    * gram (not a per-bucket collect+explode), a hot posting list is
+    * ordinary join-key skew: AQE's skew-join splits it across tasks, so
+    * there is no single-task quadratic concentration to tile away. The
+    * exact-safe size prefilter below (jac >= t forces
+    * |A| <= |B|/t and |B| <= |A|/t, here a 4x band at t = 0.25) prunes
+    * cross-size pairs inside the join; the principled 100 TB volume
+    * reducer beyond that is prefix filtering (index only each doc's
+    * (1-t)|A|+1 rarest grams — Chaudhuri et al. / ppjoin), which trades a
+    * global gram-frequency pass for an order-of-magnitude candidate cut.
+    *
     * `cap`: the declared query keeps the reference inventory's doc_id < 200
     * slice so the oracle stays cheap; pass None for the full corpus.
     */
@@ -106,7 +122,12 @@ object NorthStar {
         .select(col("doc_id"), CharNgrams.charNgrams(col("text"), 8).as("ng"))
         .select(col("doc_id"), size(col("ng")).as("n"), explode(col("ng")).as("sh"))
       val a = sh.as("a"); val b = sh.as("b")
-      val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      // size prefilter: jac >= t bounds the size ratio by 1/t (exact-safe:
+      // |A n B| <= min, |A u B| >= max, so t <= min/max)
+      val ratioOk = col("a.n") <= col("b.n") / threshold &&
+        col("b.n") <= col("a.n") / threshold
+      val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id")
+          && ratioOk)
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .agg(count(lit(1)).as("n_common"),
           first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
@@ -183,16 +204,9 @@ object NorthStar {
       .select(col("doc_id"), col("ns.n").as("n"),
         posexplode(graft.functions.BandHash.bandHashes(col("ns.sig"), 32, 6))
           .as(Seq("band", "bucket")))
-    // One shuffle: bucket members -> in-bucket pairs. A self-join here would
-    // recompute the signature scan on both sides.
-    val cand = banded
-      .groupBy("band", "bucket")
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("n")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b2 -> named_struct('a', a, 'b', b2))))"""
-          .stripMargin)).as("p"))
+    // Bucket members -> in-bucket pairs via the tiled generator. A self-join
+    // here would recompute the signature scan on both sides.
+    val cand = BandedPairs.pairs(banded, struct(col("doc_id"), col("n")))
       .select(col("p.a.doc_id").as("id_a"), col("p.a.n").as("na"),
         col("p.b.doc_id").as("id_b"), col("p.b.n").as("nb"))
       .filter(col("na") * 10 >= col("nb") * 7 && col("nb") * 10 >= col("na") * 7)
@@ -263,28 +277,39 @@ object NorthStar {
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
        |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
-    val docs = Tables.load(s, dir, "documents")
+    simhashPairs(s, dir).orderBy("id_a", "id_b")
+  }
+
+  /** Shared unsorted pair set for [[d_simhash]] and [[d_dup_clusters]] (the
+    * latter feeds connected components, where a global sort would be wasted
+    * work the optimizer may not eliminate).
+    *
+    * Pair generation is an in-bucket SELF-JOIN on (band, bucket): the 8-byte
+    * simhash signature costs ~nothing to carry, the join enumerates pairs in
+    * whole-stage codegen with zero array allocation (the previous
+    * collect_set -> O(size^2) lambda explode materialized a struct array per
+    * bucket tile and ran ~10x slower for the same 5.8M candidates at sf0.1),
+    * and mega-buckets are exactly the skew AQE's skew-join splits across
+    * tasks. [[graft.operators.BandedPairs]] remains the right shape when the
+    * signature is expensive to recompute (see d_minhash_lsh).
+    */
+  private def simhashPairs(s: SparkSession, dir: String,
+                           dedupe: Boolean = true): DataFrame = {
+    val banded = Tables.load(s, dir, "documents")
       .select(col("doc_id"), expr("transform(split(text, ' '), tk -> md5(tk))").as("hs"))
       .select(col("doc_id"), simhashExpr.as("simhash"))
-    // ONE corpus scan total: banding rows carry the 8-byte simhash, so
-    // candidate pairs verify hamming inline — no re-join, no second pass
-    // over the md5 token hashing
-    val banded = docs.select(col("doc_id"), col("simhash"), posexplode(expr(
-      "transform(sequence(0, 6), b -> shiftright(simhash, b * 9) & 511)"))
-      .as(Seq("band", "bucket")))
-    banded
-      .groupBy("band", "bucket")
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b2 -> named_struct('a', a, 'b', b2))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
-        expr("CAST(bit_count(p.a.simhash ^ p.b.simhash) AS BIGINT)").as("hamming"))
+      .select(col("doc_id"), col("simhash"), posexplode(expr(
+        "transform(sequence(0, 6), b -> shiftright(simhash, b * 9) & 511)"))
+        .as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= 6)
-      .dropDuplicates() // hamming is pair-determined, so all-column dedupe == pair dedupe
-      .orderBy("id_a", "id_b")
+    // hamming is pair-determined, so all-column dedupe == pair dedupe
+    if (dedupe) pairs.dropDuplicates() else pairs
   }
 
   /** Sublinear-tf weighted SimHash near-dup (the variant actually used for
@@ -303,7 +328,11 @@ object NorthStar {
     * open-addressed tf table) cut the sf0.1 bench slot 20.9s -> 3.7s,
     * at which point banding + pair-gen dominate, not the kernel.
     * Banding keeps candidate generation at sum(bucket_size^2) instead of
-    * O(n^2).
+    * O(n^2), enumerated by an in-bucket self-join (round 7: the previous
+    * single-task collect_set -> lambda-explode pair-gen both allocated a
+    * struct array per pair and put each hot bucket's quadratic work on one
+    * task — the round-6 4.2-9.4 s warm swing; the join enumerates the same
+    * pairs in whole-stage codegen and AQE skew-splits mega-buckets).
     */
   val d_simhash_weighted: Query = q("d_simhash_weighted", Some(
     s"""WITH tok AS (
@@ -325,21 +354,19 @@ object NorthStar {
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
        |ORDER BY id_a, id_b""".stripMargin), headline = true) { (s, dir) =>
-    val docs = Tables.load(s, dir, "documents")
+    val banded = Tables.load(s, dir, "documents")
       .select(col("doc_id"), SimHash.simhash63Tf(col("text")).as("simhash"))
-    val banded = docs.select(col("doc_id"), col("simhash"), posexplode(expr(
-      "transform(sequence(0, 6), b -> shiftright(simhash, b * 9) & 511)"))
-      .as(Seq("band", "bucket")))
-    banded
-      .groupBy("band", "bucket")
-      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b2 -> named_struct('a', a, 'b', b2))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
-        expr("CAST(bit_count(p.a.simhash ^ p.b.simhash) AS BIGINT)").as("hamming"))
+      .select(col("doc_id"), col("simhash"), posexplode(expr(
+        "transform(sequence(0, 6), b -> shiftright(simhash, b * 9) & 511)"))
+        .as(Seq("band", "bucket")))
+    // in-bucket self-join pair-gen (see simhashPairs for the full account):
+    // codegen enumeration, AQE skew-split mega-buckets, ReuseExchange-shared
+    // signature shuffle — the cheap-signature regime
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= 6)
       .dropDuplicates()
       .orderBy("id_a", "id_b")
@@ -490,16 +517,14 @@ object NorthStar {
       .select(col("vec_id"), col("f"), posexplode(expr(
         "transform(sequence(0, 6), b -> shiftright(f, b * 9) & 511)"))
         .as(Seq("band", "bucket")))
-    val cand = banded
-      .groupBy("band", "bucket")
-      .agg(sort_array(collect_set(struct(col("vec_id"), col("f")))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b2 -> named_struct('a', a, 'b', b2))))"""
-          .stripMargin)).as("p"))
-      .filter(expr("bit_count(p.a.f ^ p.b.f) <= 6"))
-      .select(col("p.a.vec_id").as("id_a"), col("p.b.vec_id").as("id_b"))
+    // cheap-signature regime (8-byte fingerprint): in-bucket self-join
+    // pair-gen, same account as simhashPairs
+    val ba = banded.as("a"); val bb = banded.as("b")
+    val cand = ba.join(bb,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(expr("bit_count(a.f ^ b.f) <= 6"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
     // no dropDuplicates: the verification groupBy(pair) folds multi-band
     // collisions — one fewer shuffle stage
     // exact-cosine verification with ONE embedding re-scan via the melt
@@ -642,6 +667,84 @@ object NorthStar {
         -array_max(array(simStructs.toSeq: _*)).getField("ncid"))
       val probeLists = emb.filter(col("vec_id") === 1)
         .select(explode(array(simStructs.toSeq: _*)).as("s"))
+        .orderBy(col("s.sim").desc, col("s.ncid").desc)
+        .limit(NProbe)
+        .select((-col("s.ncid")).as("pcentroid"))
+      val probeVec = emb.filter(col("vec_id") === 1).select(col("embedding").as("pe"))
+      val sim = Vectors.cosineSim(col("embedding"), col("pe"))
+      assigned
+        .join(broadcast(probeLists), col("centroid") === col("pcentroid"))
+        .crossJoin(broadcast(probeVec))
+        .select(col("vec_id"), round(sim, 3).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(5)
+    }
+  }
+
+  /** Trained-IVF ANN: the same search algebra as [[s_ann_ivf]] but the
+    * coarse quantizer is the k-means codebook frozen in
+    * [[TrainedIvfCodebook]] (the IvfIndex.train output — see that object's
+    * provenance note and IvfTrainedCodebookSpec's regeneration check), so
+    * the TRAINED index is hash-checked against DuckDB end-to-end instead of
+    * only spec-tested. The codebook enters the oracle as a VALUES CTE whose
+    * double literals are the exact widened values of the frozen floats, so
+    * both engines score identical doubles on the same 9-dp lattice.
+    */
+  val s_ann_ivf_trained: Query = {
+    val NProbe = 2
+    val cb = TrainedIvfCodebook.centroids
+    val centRows = cb.zipWithIndex.map { case (v, i) =>
+      s"  (${i + 1}, [${v.map(_.toDouble.toString).mkString(", ")}])"
+    }.mkString(",\n")
+    q("s_ann_ivf_trained", Some(
+      s"""WITH cent(cid, embedding) AS (VALUES
+$centRows),
+u AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+cu AS (
+  SELECT cid, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM cent),
+sims AS (
+  SELECT u.vec_id, cu.cid,
+         ROUND(SUM(u.v * cu.v) / (SQRT(SUM(u.v * u.v)) * SQRT(SUM(cu.v * cu.v))), 9) AS sim
+  FROM u JOIN cu ON u.i = cu.i GROUP BY u.vec_id, cu.cid),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims) r WHERE rn = 1),
+probe_c AS (
+  SELECT cid FROM (
+    SELECT cid, ROW_NUMBER() OVER (ORDER BY sim DESC, cid) AS rn
+    FROM sims WHERE vec_id = 1) r WHERE rn <= $NProbe),
+cand AS (SELECT a.vec_id FROM assign a JOIN probe_c p ON a.cid = p.cid),
+probe AS (
+  SELECT UNNEST(embedding) AS pv, generate_subscripts(embedding, 1) AS i
+  FROM embeddings WHERE vec_id = 1),
+cv AS (
+  SELECT e.vec_id, UNNEST(e.embedding) AS cv, generate_subscripts(e.embedding, 1) AS i
+  FROM embeddings e WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+j AS (
+  SELECT c.vec_id,
+         SUM(CAST(c.cv AS DOUBLE) * CAST(p.pv AS DOUBLE)) AS dot,
+         SUM(CAST(c.cv AS DOUBLE) * CAST(c.cv AS DOUBLE)) AS nc,
+         SUM(CAST(p.pv AS DOUBLE) * CAST(p.pv AS DOUBLE)) AS np
+  FROM cv c JOIN probe p ON c.i = p.i GROUP BY c.vec_id)
+SELECT vec_id, ROUND(dot / (SQRT(nc) * SQRT(np)), 3) AS sim
+FROM j ORDER BY sim DESC, vec_id LIMIT 5""")) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      // same assignment/tie/9-dp discipline as s_ann_ivf, frozen centroids
+      val simStructs = cb.zipWithIndex.map { case (v, i) =>
+        struct(round(Vectors.cosineSim(col("embedding"), typedlit(v)), 9).as("sim"),
+          lit(-(i + 1).toLong).as("ncid"))
+      }
+      val assigned = emb.withColumn("centroid",
+        -array_max(array(simStructs: _*)).getField("ncid"))
+      val probeLists = emb.filter(col("vec_id") === 1)
+        .select(explode(array(simStructs: _*)).as("s"))
         .orderBy(col("s.sim").desc, col("s.ncid").desc)
         .limit(NProbe)
         .select((-col("s.ncid")).as("pcentroid"))
@@ -1723,7 +1826,8 @@ object NorthStar {
     * [[graft.operators.ConnectedComponents]] large-star/small-star
     * contraction: O(log n) rounds regardless of component diameter (an
     * adversarial duplicate CHAIN converges instead of hitting a round cap
-    * — ConnectedComponentsSpec pins a 100-link chain at <= 7 rounds). Each
+    * — ConnectedComponentsSpec pins a 100-link chain at <= 8 rounds: 7
+    * contractions + 1 fixed-point confirmation round). Each
     * round is one groupBy(min) + equi-join per star half — the same
     * shuffle shape as a propagation round, so the per-round scale story is
     * unchanged; only the round count drops. The oracle is DuckDB's
@@ -1751,7 +1855,9 @@ object NorthStar {
        |          UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s)
        |SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster
        |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin), headline = true) { (s, dir) =>
-    val pairs = d_simhash.run(s, dir).select(col("id_a"), col("id_b"))
+    // no dropDuplicates on the feed: label() canonicalizes with its own
+    // distinct(), so pre-deduping would just add a shuffle
+    val pairs = simhashPairs(s, dir, dedupe = false).select(col("id_a"), col("id_b"))
     val (labels, _) = ConnectedComponents.label(pairs)
     labels.select(col("id").as("doc_id"), col("lab").as("cluster"))
       .orderBy("doc_id")
@@ -1761,7 +1867,7 @@ object NorthStar {
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_minhash_lsh, d_simhash,
     d_simhash_weighted, d_dup_clusters, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
-    s_ann_pq, s_ann_ivfpq, s_label_centroid,
+    s_ann_ivf_trained, s_ann_pq, s_ann_ivfpq, s_label_centroid,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
     t_repetition, t_entropy,
     t_fingerprint, t_decontam, t_sample_split, t_stratified, t_pii, p_clean_corpus, p_shard, p_pack,

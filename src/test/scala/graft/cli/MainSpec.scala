@@ -42,5 +42,25 @@ class MainSpec extends SparkSpec {
   test("malformed command exits 2") {
     assert(Main.run(List("bogus"), spark) == 2)
     assert(Main.run(List("transform", "only_one_arg"), spark) == 2)
+    assert(Main.run(List("--port", "NaN", "export", src, "/tmp/x"), spark) == 2)
+  }
+
+  test("connection flags + table:<name> source transform live over JDBC") {
+    // stage a live table in embedded Derby, then run the full pipeline from
+    // it through the CLI connection surface (reference main.py:16-26 flow)
+    val dbDir = Files.createTempDirectory("cli_derby_").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    spark.read.parquet(src)
+      .write.format("jdbc")
+      .option("url", url).option("dbtable", "nation_live").save()
+    val base = Files.createTempDirectory("cli_").toString
+    // Derby resolves unqualified tables in the schema named after the JDBC
+    // user; the staging write above used no user, i.e. schema APP
+    val code = Main.run(
+      List("--db", url, "--user", "app",
+        "transform", "--yes", "table:nation_live", base, "spectrum", "cli_jdbc_nation"),
+      spark)
+    assert(code == 0)
+    assert(spark.table("spectrum.cli_jdbc_nation").count() == 25)
   }
 }
