@@ -1833,8 +1833,12 @@ FROM j ORDER BY sim DESC, vec_id LIMIT 5""")) { (s, dir) =>
     * unchanged; only the round count drops. The oracle is DuckDB's
     * recursive transitive closure over the identical pair CTE.
     */
-  val d_dup_clusters: Query = q("d_dup_clusters", Some(
-    s"""WITH RECURSIVE tok AS (
+  /** DuckDB CTE chain shared by d_dup_clusters and p_neardup_prune:
+    * recompute the unweighted 63-bit simhash, enumerate hamming<=6 pairs
+    * all-pairs, and close them transitively into per-doc cluster minima.
+    */
+  private val simhashClusterCte: String =
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
        |th AS (SELECT doc_id, md5(tk) AS h FROM tok),
        |tb AS (
@@ -1852,9 +1856,14 @@ FROM j ORDER BY sim DESC, vec_id LIMIT 5""")) { (s, dir) =>
        |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
        |e AS (SELECT id_a AS s, id_b AS d FROM pr UNION ALL SELECT id_b, id_a FROM pr),
        |reach AS (SELECT s, d FROM e
-       |          UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s)
-       |SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster
-       |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin), headline = true) { (s, dir) =>
+       |          UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+       |cl AS (SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster
+       |       FROM reach GROUP BY s)""".stripMargin
+
+  val d_dup_clusters: Query = q("d_dup_clusters", Some(
+    s"""WITH RECURSIVE $simhashClusterCte
+       |SELECT doc_id, cluster FROM cl ORDER BY doc_id""".stripMargin),
+    headline = true) { (s, dir) =>
     // no dropDuplicates on the feed: label() canonicalizes with its own
     // distinct(), so pre-deduping would just add a shuffle
     val pairs = simhashPairs(s, dir, dedupe = false).select(col("id_a"), col("id_b"))
@@ -1863,9 +1872,35 @@ FROM j ORDER BY sim DESC, vec_id LIMIT 5""")) { (s, dir) =>
       .orderBy("doc_id")
   }
 
+  /** Near-duplicate PRUNING — the corpus-prep step the cluster resolution
+    * exists for: resolve [[d_simhash]] pair clusters, keep each cluster's
+    * canonical (minimum-doc_id) member, drop the rest of the cluster, and
+    * pass every unclustered doc through untouched. Output is the surviving
+    * corpus (ids + metadata, never bodies through the label shuffle).
+    *
+    * Scale shape: the drop set is labels where id != lab — strictly
+    * output-sized — and the prune is a LEFT ANTI join on doc_id, so the
+    * corpus streams through one hash join against the (comparatively tiny)
+    * drop side; at 100 TB this is the plan you run after any pair-level
+    * dedup family, regardless of which generator produced the pairs.
+    */
+  val p_neardup_prune: Query = q("p_neardup_prune", Some(
+    s"""WITH RECURSIVE $simhashClusterCte
+       |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id != cluster)
+       |ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = simhashPairs(s, dir, dedupe = false).select(col("id_a"), col("id_b"))
+    val (labels, _) = ConnectedComponents.label(pairs)
+    val drop = labels.filter(col("id") =!= col("lab")).select(col("id").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_minhash_lsh, d_simhash,
-    d_simhash_weighted, d_dup_clusters, t_bm25,
+    d_simhash_weighted, d_dup_clusters, p_neardup_prune, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_ivf_trained, s_ann_pq, s_ann_ivfpq, s_label_centroid,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
