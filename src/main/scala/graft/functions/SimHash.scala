@@ -91,7 +91,24 @@ object SimHashTfImpl {
     * token through an exchange to compute what one pass over the row
     * already knows.
     */
-  def weightedFromText(text: org.apache.spark.unsafe.types.UTF8String): Long = {
+  def weightedFromText(text: org.apache.spark.unsafe.types.UTF8String): Long =
+    fromText(text, sublinear = true)
+
+  /** Fused text -> UNWEIGHTED (per-occurrence) 63-bit SimHash: identical
+    * semantics to `simhash63(transform(split(text, ' '), t -> md5(t)))` —
+    * k occurrences of a token each voting +-1 by the same md5 bits sum to
+    * one +-tf vote, so the tf table both dedupes the md5 work (one digest
+    * per DISTINCT token vs one per occurrence in the HOF formulation) and
+    * skips the per-token hash-array materialization the interpreted
+    * `transform` lambda paid. Feeds simhashPairs (d_simhash,
+    * d_dup_clusters, p_neardup_prune), where the HOF md5 pass previously
+    * ran once per self-join side.
+    */
+  def occFromText(text: org.apache.spark.unsafe.types.UTF8String): Long =
+    fromText(text, sublinear = false)
+
+  private def fromText(text: org.apache.spark.unsafe.types.UTF8String,
+                       sublinear: Boolean): Long = {
     val bytes = text.getBytes // zero-copy when array-backed, one copy otherwise
     val n = bytes.length
     // token boundaries: nTok = spaces + 1 (split(" ", -1) keeps empties)
@@ -143,7 +160,9 @@ object SimHashTfImpl {
       val cnt = slotCnt(slot)
       if (cnt > 0) {
         val o = slotTok(slot)
-        val w = 32 - Integer.numberOfLeadingZeros(cnt) // bitlength(tf)
+        // sublinear: bitlength(tf) damped weight; else tf itself (the sum
+        // of tf per-occurrence +-1 votes — per-occurrence semantics)
+        val w = if (sublinear) 32 - Integer.numberOfLeadingZeros(cnt) else cnt
         md.update(bytes, starts(o), lens(o))
         md.digest(out, 0, 16) // fills out, resets md
         // hex digit d of md5Hex = nibble d of the raw digest, high-first
@@ -182,6 +201,22 @@ case class SimHash63Tf(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.SimHashTfImpl.weightedFromText($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash63Tf =
+    copy(child = newChild)
+}
+
+/** `simhash63_occ(text)` — fused tokenizer + per-occurrence SimHash. */
+case class SimHash63Occ(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash63_occ"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashTfImpl.occFromText(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashTfImpl.occFromText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash63Occ =
     copy(child = newChild)
 }
 
@@ -226,4 +261,7 @@ object SimHash {
 
   def simhash63Tf(text: Column): Column =
     Bridge.column(SimHash63Tf(Bridge.expression(text)))
+
+  def simhash63Occ(text: Column): Column =
+    Bridge.column(SimHash63Occ(Bridge.expression(text)))
 }

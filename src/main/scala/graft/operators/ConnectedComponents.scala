@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * round count is the component DIAMETER (a 100-link duplicate chain costs
   * 100 joins propagating, 8 contracting: 7 contraction rounds + 1
   * signature-unchanged round to confirm the fixed point; the returned round
-  * count includes that confirmation round).
+  * count includes that confirmation round — see the measured dead-end note
+  * in the loop for why no structural early-exit replaces it).
   *
   * Edges live canonically as (u, v) with u > v. Per round:
   *   large-star: every node links its strictly-larger neighbors to the
@@ -22,7 +23,7 @@ import org.apache.spark.sql.functions._
   * component's minimum node, from which labels read off directly.
   *
   * Convergence is detected from an order-insensitive edge-set signature
-  * (count + sum of xxhash64(u, v)) — one tiny aggregate per round, the only
+  * (count + XOR of xxhash64(u, v)) — one tiny aggregate per round, the only
   * driver interaction. localCheckpoint truncates lineage so round k's plan
   * does not embed rounds 1..k-1.
   */
@@ -62,14 +63,34 @@ object ConnectedComponents {
     // session setting, and restore the setting on exit. Measured at sf0.1:
     // 4.1 s -> 2.6 s for the same 5 rounds.
     val spKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
     val sessionSp = spark.conf.get(spKey).toInt
+    val sessionAqe = spark.conf.get(aqeKey)
     val loopSp = math.min(sessionSp, 1 + (sig._1 / 100000L).toInt)
     var rounds = 0
     var converged = false
     try {
       spark.conf.set(spKey, loopSp.toString)
+      // loop shuffles are already sized (loopSp) and fixed-width; AQE's
+      // per-stage materialize-and-replan adds a scheduling barrier to every
+      // exchange of every round with nothing left to re-plan. Measured at
+      // sf0.1 (round 7): AQE off in-loop tightened the warm spread
+      // 3.3-6.5 s -> 3.6-4.3 s at equal-or-better median. (An earlier
+      // round measured AQE-off 3x WORSE — but that was at the session's
+      // sp=32 before loopSp existed, where AQE's coalescing was doing the
+      // down-sizing this loop now does explicitly.)
+      spark.conf.set(aqeKey, "false")
       while (!converged && rounds < maxRounds) {
-        // lazy again: one job per round (contraction + signature)
+        // lazy again: one job per round (contraction + signature).
+        // MEASURED DEAD END (round 7, kept as a note): a structural
+        // star-forest test (every u exactly once, no node both u and v)
+        // can detect the fixed point one round early — a star forest maps
+        // to itself under both stars — but every formulation pays a
+        // per-round by-node shuffle (~0.3 s x rounds at sf0.1, whether as
+        // a parallel aggregate branch + crossJoin barrier or fused into a
+        // two-level signature aggregation) that exceeds the one saved
+        // ~0.7 s round: 5.3-5.7 s vs 4.1 s median signature-only. The
+        // signature's one-round lag is the cheaper convergence test.
         val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
         val nextSig = signature(next)
         converged = nextSig == sig
@@ -77,7 +98,10 @@ object ConnectedComponents {
         sig = nextSig
         rounds += 1
       }
-    } finally spark.conf.set(spKey, sessionSp.toString)
+    } finally {
+      spark.conf.set(spKey, sessionSp.toString)
+      spark.conf.set(aqeKey, sessionAqe)
+    }
     require(converged,
       s"connected components: star contraction did not converge within $rounds rounds")
     // fixed point = star forest: each non-root appears exactly once as u,

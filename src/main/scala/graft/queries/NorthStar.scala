@@ -116,8 +116,11 @@ object NorthStar {
       val docs = cap.fold(base)(c => base.filter(col("doc_id") < c))
       // shingle rows carry the per-doc distinct count, so |A| and |B| ride
       // through the inverted-index join and no separate sizes joins (each a
-      // full shingle re-scan) are needed; the self-join's two sides have
-      // identical subplans, so ReuseExchange writes the shingle shuffle once
+      // full shingle re-scan) are needed. The self-join's two sides are
+      // identical subplans; at bench sf AQE broadcasts one side (verified:
+      // the final plan re-runs the cheap shingle pass instead of shuffling
+      // it), while at broadcast-impossible scale the sort-merge plan's two
+      // identical exchanges collapse via ReuseExchange
       val sh = docs
         .select(col("doc_id"), CharNgrams.charNgrams(col("text"), 8).as("ng"))
         .select(col("doc_id"), size(col("ng")).as("n"), explode(col("ng")).as("sh"))
@@ -158,13 +161,63 @@ object NorthStar {
       |WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.25
       |ORDER BY id_a, id_b""".stripMargin), headline = true)(ngramJaccard(Some(200L)))
 
+  /** The EXACT 5-gram Jaccard >= 0.7 pair set, computed all-pairs in DuckDB
+    * (list_intersect over per-doc shingle sets, with the exact-safe
+    * size-ratio prefilter: jac >= 0.7 forces |A|/|B| in [0.7, 1/0.7]).
+    * Shared truth for BOTH candidate generators — d_minhash_lsh (LSH,
+    * recall ~1-3e-6 at the observed similarity floor) and
+    * d_ngram_jaccard_prefix (prefix filtering, provably lossless) — so the
+    * two scale paths are checked against one another through the oracle.
+    */
+  private val exactJaccard07Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([substring(text, i, 5)
+      |         FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS s
+      |  FROM documents),
+      |sz AS (SELECT doc_id, s, len(s) AS n FROM sh),
+      |pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         len(list_intersect(a.s, b.s)) AS ni, a.n AS na, b.n AS nb
+      |  FROM sz a JOIN sz b
+      |    ON a.doc_id < b.doc_id AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7)
+      |SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 3) AS jac
+      |FROM pr WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs with ONE
+    * shingle-array scan: melt pairs to (pair, doc_id) rows, join the corpus
+    * once — AQE broadcasts the small candidate side so the corpus streams
+    * join-side-free — and fold the two matched arrays back per pair.
+    * (Restricting the corpus to candidate ids first would semi-join against
+    * the candidates, and since they feed both sides of that join the whole
+    * candidate pipeline would execute twice — measured slower than just
+    * streaming the corpus scan.) Shared by d_minhash_lsh and
+    * d_ngram_jaccard_prefix: the generators differ, the verifier doesn't.
+    */
+  private def verifyJaccard(cand: DataFrame, corpus: DataFrame,
+                            gram: Int, t: Double): DataFrame = {
+    val sides = cand
+      .select(struct(col("id_a"), col("id_b")).as("pair"))
+      .select(col("pair"), explode(array(col("pair.id_a"), col("pair.id_b"))).as("doc_id"))
+    val candShingles = corpus
+      .select(col("doc_id"), CharNgrams.charNgrams(col("text"), gram).as("shingles"))
+    val pairsSh = sides.join(candShingles, "doc_id")
+      .groupBy("pair")
+      .agg(
+        first(when(col("doc_id") === col("pair.id_a"), col("shingles")), ignoreNulls = true).as("sha"),
+        first(when(col("doc_id") === col("pair.id_b"), col("shingles")), ignoreNulls = true).as("shb"))
+    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
+      size(array_union(col("sha"), col("shb")))
+    pairsSh
+      .filter(jac >= t)
+      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"),
+        round(jac, 3).as("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** MinHash (192 permutations via the codegen double-hashing kernel) + LSH
     * banding (32 bands x 6 rows) -> candidate pairs -> size-ratio prefilter
-    * -> exact Jaccard verification at 0.7.
-    *
-    * Differential check: the oracle is the EXACT Jaccard >= 0.7 pair set
-    * (DuckDB list_intersect over per-doc shingle sets, with an exact-safe
-    * size-ratio prefilter: jac >= 0.7 forces |A|/|B| in [0.7, 1/0.7]).
+    * -> exact Jaccard verification at 0.7 (oracle: [[exactJaccard07Sql]]).
     *
     * Banding tune (measured on this corpus): qualifying pairs sit at
     * jac >= 0.9286 (sf0.01) / >= 0.83 (sf0.1), where a 6-row band collides
@@ -179,20 +232,8 @@ object NorthStar {
     * size-ratio prefilter joins 8-byte counts, and shingle arrays are
     * re-joined only for the candidates that survive it.
     */
-  val d_minhash_lsh: Query = q("d_minhash_lsh", Some(
-    """WITH sh AS (
-      |  SELECT doc_id, list_distinct([substring(text, i, 5)
-      |         FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS s
-      |  FROM documents),
-      |sz AS (SELECT doc_id, s, len(s) AS n FROM sh),
-      |pr AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |         len(list_intersect(a.s, b.s)) AS ni, a.n AS na, b.n AS nb
-      |  FROM sz a JOIN sz b
-      |    ON a.doc_id < b.doc_id AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7)
-      |SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 3) AS jac
-      |FROM pr WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.7
-      |ORDER BY id_a, id_b""".stripMargin), headline = true) { (s, dir) =>
+  val d_minhash_lsh: Query = q("d_minhash_lsh", Some(exactJaccard07Sql),
+    headline = true) { (s, dir) =>
     val raw = Tables.load(s, dir, "documents")
     // ONE fused pass: text -> (distinct-shingle count, 192-perm signature)
     // without materializing shingle arrays (MinHash is duplicate-insensitive)
@@ -213,40 +254,106 @@ object NorthStar {
       .select("id_a", "id_b")
     // no dropDuplicates: the verification groupBy(pair) below folds pairs
     // that collided in several bands — one fewer shuffle stage
-    // verification with ONE shingle-array scan: melt pairs to (pair, doc_id)
-    // rows, join the corpus once — AQE broadcasts the small candidate side so
-    // the corpus streams join-side-free — and fold the two matched arrays
-    // back per pair. (Restricting the corpus to candidate ids first would
-    // semi-join against `cand`, and since `cand` feeds both sides of that
-    // join the whole candidate pipeline would execute twice — measured
-    // slower than just streaming the corpus scan.)
-    val sides = cand
-      .select(struct(col("id_a"), col("id_b")).as("pair"))
-      .select(col("pair"), explode(array(col("pair.id_a"), col("pair.id_b"))).as("doc_id"))
-    val candShingles = raw
-      .select(col("doc_id"), CharNgrams.charNgrams(col("text"), 5).as("shingles"))
-    val pairsSh = sides.join(candShingles, "doc_id")
-      .groupBy("pair")
-      .agg(
-        first(when(col("doc_id") === col("pair.id_a"), col("shingles")), ignoreNulls = true).as("sha"),
-        first(when(col("doc_id") === col("pair.id_b"), col("shingles")), ignoreNulls = true).as("shb"))
-    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
-      size(array_union(col("sha"), col("shb")))
-    pairsSh
-      .filter(jac >= 0.7)
-      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"),
-        round(jac, 3).as("jac"))
-      .orderBy("id_a", "id_b")
+    verifyJaccard(cand, raw, gram = 5, t = 0.7)
   }
+
+  /** Exact-recall prefix-filtered similarity self-join (AllPairs, Bayardo
+    * et al. WWW'07; SSJoin, Chaudhuri et al. ICDE'06): the FULL-corpus
+    * exact 5-gram Jaccard >= 0.7 pair set with no doc_id cap and no
+    * all-pairs join — the principled 100 TB volume reducer the capped
+    * d_ngram_jaccard scaladoc names.
+    *
+    * Global gram order: one groupBy computes each gram's corpus document
+    * frequency; grams sort (df ASC, gram ASC) — a deterministic total
+    * order putting the RAREST grams first. Each doc indexes only its first
+    * n - ceil(0.7·n) + 1 grams in that order (integer-exact:
+    * `(7n+9) div 10` is ceil(0.7·n) for n >= 0, so float rounding can
+    * never shift a prefix boundary).
+    *
+    * Prefix-filter lemma (why recall is exactly 1): if jac(A,B) >= t, the
+    * globally-smallest common gram w lies in BOTH prefixes. Suppose w
+    * missed A's prefix; every common gram sorts after w, so all of A∩B
+    * sits in A's last ceil(t·|A|) - 1 slots, i.e. |A∩B| < ceil(t·|A|) —
+    * but jac >= t forces |A∩B| >= t·max(|A|,|B|) >= ceil(t·|A|)
+    * (integer count >= real bound). Contradiction; symmetric for B. So an
+    * equi-join on indexed grams finds every qualifying pair.
+    *
+    * Scale shape: candidates come from postings of the rarest ~30% of each
+    * doc's grams, so the measured hot-posting skew of the unfiltered index
+    * ("customer" in 3859/5000 docs at sf0.1) falls OUT of the index unless
+    * a doc consists of little else; the cost of that cut is one extra
+    * df aggregate + per-doc rank (shuffles carrying (gram, doc_id, n)
+    * rows, never text). The prefix self-join's two sides are identical
+    * subplans, and the second side rebuilds from a ReusedExchange of the
+    * first side's window shuffle (verified in the final adaptive plan and
+    * pinned by PlanAuditSpec) — the corpus is shingled once per consumer,
+    * not once per join side.
+    *
+    * REGIME BOUNDARY (measured, sf0.1): prefix filtering's candidate count
+    * is corpus-entropy-dependent — on this template-generated TPC-H-ish
+    * text even the prefix index's postings stay fat (p99 = 293 of 5000
+    * docs; "rare" grams are family-wide), so candidates land at 4.75M of
+    * 12.5M possible pairs, 3.0M after the positional filter (8-grams: no
+    * rescue, 822k) — and EXACT verification of a mid-similarity-saturated
+    * corpus is inherently heavy (the all-pairs DuckDB oracle hits the same
+    * wall, and a full sf0.1 execution runs minutes against d_minhash_lsh's
+    * ~2.6 s). That is why this query is correctness-oracled but NOT a
+    * bench headline, and why d_minhash_lsh IS: signature banding thresholds
+    * BEFORE verification (~20k candidates here, recall 1 - 3e-6). On
+    * high-entropy corpora (real web text) the regime flips: rare-token
+    * postings are near-singletons, candidates approach output size, and
+    * prefix filtering gives exact recall with no signature tuning. Ship
+    * both, pick by corpus.
+    * Verification shares [[verifyJaccard]] with d_minhash_lsh, and the
+    * oracle is the same exact pair set ([[exactJaccard07Sql]]), so the
+    * lossless claim is differentially checked, not just proved.
+    */
+  private[graft] def prefixJaccard(docs: DataFrame): DataFrame = {
+    val withNg = docs.select(col("doc_id"), CharNgrams.charNgrams(col("text"), 5).as("ng"))
+    val sh = withNg.select(col("doc_id"), size(col("ng")).as("n"), explode(col("ng")).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+    val prefix = ranked
+      .filter(col("r") <= col("n") - expr("(n * 7 + 9) div 10") + 1)
+      .select(col("doc_id"), col("n"), col("sh"), col("r"))
+    val a = prefix.as("a"); val b = prefix.as("b")
+    // PPJoin positional filter (Xiao et al. WWW'08): a match at prefix
+    // positions (i, j) can extend to at most 1 + min(na-i, nb-j) common
+    // grams, which must reach the PAIRWISE overlap bound
+    // alpha = ceil(t/(1+t) * (na+nb)) — integer-exact at t = 0.7:
+    // (7*(na+nb)+16) div 17. Exactness: the smallest common gram w sits in
+    // both prefixes (lemma above) at positions where every common gram is
+    // w-or-later, so o <= 1 + min(na-i, nb-j) holds AT w — a qualifying
+    // pair always survives via its smallest shared prefix gram.
+    // Measured cut at sf0.1: 4.75M -> 3.0M distinct candidates.
+    val alpha = expr("(7 * (a.n + b.n) + 16) div 17")
+    val cand = a.join(b,
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 10 >= col("b.n") * 7 && col("b.n") * 10 >= col("a.n") * 7 &&
+          lit(1) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r")) >= alpha)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, docs, gram = 5, t = 0.7)
+  }
+
+  val d_ngram_jaccard_prefix: Query =
+    q("d_ngram_jaccard_prefix", Some(exactJaccard07Sql)) { (s, dir) =>
+      prefixJaccard(Tables.load(s, dir, "documents"))
+    }
 
   /** Shared 63-bit SimHash: bit i = sign of the token-vote where token tk
     * votes +1/-1 by bit i of md5(tk) (bit (i%4) of hex digit (i div 4)).
     * md5-derived so the DuckDB oracle recomputes identical values. Computed
-    * by the codegen [[graft.functions.SimHash]] kernel — the equivalent
-    * nested-`aggregate` lambda interprets 63 x tokens steps per document
-    * and dominated d_simhash/d_dup_clusters bench time.
+    * by the fused codegen [[graft.functions.SimHash.simhash63Occ]] kernel
+    * (tokenize + md5-per-distinct-token + tf-summed votes in one byte-level
+    * pass) — the `transform(split(text), md5)` pre-pass it replaces ran as
+    * an interpreted HOF lambda, paid ONCE PER SELF-JOIN SIDE of the banded
+    * pair-gen, and dominated the d_dup_clusters feed; SimHashOccParitySpec
+    * pins kernel == HOF+array-kernel equality.
     */
-  private val simhashExpr: Column = SimHash.simhash63(col("hs"))
+  private val simhashExpr: Column = SimHash.simhash63Occ(col("text"))
 
   /** 63-bit SimHash near-dup: Hamming distance <= 6 over whitespace tokens.
     *
@@ -296,7 +403,6 @@ object NorthStar {
   private def simhashPairs(s: SparkSession, dir: String,
                            dedupe: Boolean = true): DataFrame = {
     val banded = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), expr("transform(split(text, ' '), tk -> md5(tk))").as("hs"))
       .select(col("doc_id"), simhashExpr.as("simhash"))
       .select(col("doc_id"), col("simhash"), posexplode(expr(
         "transform(sequence(0, 6), b -> shiftright(simhash, b * 9) & 511)"))
@@ -360,8 +466,10 @@ object NorthStar {
         "transform(sequence(0, 6), b -> shiftright(simhash, b * 9) & 511)"))
         .as(Seq("band", "bucket")))
     // in-bucket self-join pair-gen (see simhashPairs for the full account):
-    // codegen enumeration, AQE skew-split mega-buckets, ReuseExchange-shared
-    // signature shuffle — the cheap-signature regime
+    // codegen enumeration, AQE skew-split mega-buckets — the cheap-signature
+    // regime where recomputing the banded pass on the broadcast side
+    // (AQE's bench-sf choice; verified in the final plan) costs less than a
+    // collect-based single materialization
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -681,23 +789,18 @@ object NorthStar {
     }
   }
 
-  /** Trained-IVF ANN: the same search algebra as [[s_ann_ivf]] but the
-    * coarse quantizer is the k-means codebook frozen in
-    * [[TrainedIvfCodebook]] (the IvfIndex.train output — see that object's
-    * provenance note and IvfTrainedCodebookSpec's regeneration check), so
-    * the TRAINED index is hash-checked against DuckDB end-to-end instead of
-    * only spec-tested. The codebook enters the oracle as a VALUES CTE whose
-    * double literals are the exact widened values of the frozen floats, so
-    * both engines score identical doubles on the same 9-dp lattice.
+  /** Shared DuckDB CTE prefix: the frozen-codebook coarse assignment.
+    * `cent` holds [[TrainedIvfCodebook]] as double literals (exact widened
+    * values of the frozen floats), `assign` maps every vector to its
+    * nearest centroid on the 9-dp cosine lattice with rn-on-(sim DESC, cid)
+    * tie-breaking — the identical algebra [[trainedAssign]] runs in Spark.
+    * Consumed by s_ann_ivf_trained and d_semdedup.
     */
-  val s_ann_ivf_trained: Query = {
-    val NProbe = 2
-    val cb = TrainedIvfCodebook.centroids
-    val centRows = cb.zipWithIndex.map { case (v, i) =>
+  private val trainedAssignCte: String = {
+    val centRows = TrainedIvfCodebook.centroids.zipWithIndex.map { case (v, i) =>
       s"  (${i + 1}, [${v.map(_.toDouble.toString).mkString(", ")}])"
     }.mkString(",\n")
-    q("s_ann_ivf_trained", Some(
-      s"""WITH cent(cid, embedding) AS (VALUES
+    s"""cent(cid, embedding) AS (VALUES
 $centRows),
 u AS (
   SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
@@ -715,7 +818,36 @@ assign AS (
   SELECT vec_id, cid FROM (
     SELECT vec_id, cid,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
-    FROM sims) r WHERE rn = 1),
+    FROM sims) r WHERE rn = 1)"""
+  }
+
+  /** Spark twin of [[trainedAssignCte]]'s `assign`: adds a `centroid`
+    * column (1-based id of the frozen-codebook centroid with the highest
+    * 9-dp cosine, ties to the smallest id — encoded as array_max over
+    * (sim, -cid) structs so the tie-break rides the struct comparison).
+    */
+  private def trainedAssign(emb: DataFrame): DataFrame = {
+    val simStructs = TrainedIvfCodebook.centroids.zipWithIndex.map { case (v, i) =>
+      struct(round(Vectors.cosineSim(col("embedding"), typedlit(v)), 9).as("sim"),
+        lit(-(i + 1).toLong).as("ncid"))
+    }
+    emb.withColumn("centroid", -array_max(array(simStructs: _*)).getField("ncid"))
+  }
+
+  /** Trained-IVF ANN: the same search algebra as [[s_ann_ivf]] but the
+    * coarse quantizer is the k-means codebook frozen in
+    * [[TrainedIvfCodebook]] (the IvfIndex.train output — see that object's
+    * provenance note and IvfTrainedCodebookSpec's regeneration check), so
+    * the TRAINED index is hash-checked against DuckDB end-to-end instead of
+    * only spec-tested. The codebook enters the oracle as a VALUES CTE whose
+    * double literals are the exact widened values of the frozen floats, so
+    * both engines score identical doubles on the same 9-dp lattice.
+    */
+  val s_ann_ivf_trained: Query = {
+    val NProbe = 2
+    val cb = TrainedIvfCodebook.centroids
+    q("s_ann_ivf_trained", Some(
+      s"""WITH $trainedAssignCte,
 probe_c AS (
   SELECT cid FROM (
     SELECT cid, ROW_NUMBER() OVER (ORDER BY sim DESC, cid) AS rn
@@ -741,8 +873,7 @@ FROM j ORDER BY sim DESC, vec_id LIMIT 5""")) { (s, dir) =>
         struct(round(Vectors.cosineSim(col("embedding"), typedlit(v)), 9).as("sim"),
           lit(-(i + 1).toLong).as("ncid"))
       }
-      val assigned = emb.withColumn("centroid",
-        -array_max(array(simStructs: _*)).getField("ncid"))
+      val assigned = trainedAssign(emb)
       val probeLists = emb.filter(col("vec_id") === 1)
         .select(explode(array(simStructs: _*)).as("s"))
         .orderBy(col("s.sim").desc, col("s.ncid").desc)
@@ -757,6 +888,62 @@ FROM j ORDER BY sim DESC, vec_id LIMIT 5""")) { (s, dir) =>
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(5)
     }
+  }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
+    * clustering embeddings and dropping near-duplicates WITHIN each
+    * cluster — the trick that turns an O(n^2) global cosine dedup into
+    * K bounded per-cluster problems. Assignment is the frozen trained
+    * k-means codebook ([[trainedAssign]] — the same quantizer the IVF
+    * index searches); within a cluster, a vector is dropped iff a
+    * LOWER-vec_id cluster-mate has cosine >= 0.4 with it (deterministic
+    * keep-first, matching the corpus's planted near-dup threshold —
+    * d_embed_neardup's exact pair set). Output: surviving (vec_id,
+    * centroid). Cross-cluster near-dup pairs are NOT dropped — that
+    * approximation is the published algorithm's contract, and the oracle
+    * replicates the identical clustering so the check is exact.
+    *
+    * Scale shape: one assignment pass (K fused cosine kernels per row),
+    * one equi-self-join on centroid whose quadratic work is bounded by
+    * cluster size (K grows with the corpus so n/K stays bounded; skewed
+    * clusters are ordinary join-key skew for AQE), and a LEFT ANTI join
+    * to prune — embeddings shuffle once, by centroid. At 100 TB this is
+    * the published recipe verbatim; nProbe-style multi-assignment or a
+    * within-cluster LSH prefilter slot in without changing the frame.
+    */
+  val d_semdedup: Query = q("d_semdedup", Some(
+    s"""WITH $trainedAssignCte,
+ae AS (
+  SELECT a.vec_id, a.cid, e.embedding
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id),
+pu AS (
+  SELECT vec_id, cid, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM ae),
+pp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         SUM(a.v * b.v) AS dot, SUM(a.v * a.v) AS na, SUM(b.v * b.v) AS nb
+  FROM pu a JOIN pu b ON a.i = b.i AND a.cid = b.cid AND a.vec_id < b.vec_id
+  GROUP BY 1, 2),
+drops AS (
+  SELECT DISTINCT id_b FROM pp WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.4)
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid FROM assign
+WHERE vec_id NOT IN (SELECT id_b FROM drops)
+ORDER BY vec_id"""), headline = true) { (s, dir) =>
+    val assigned = trainedAssign(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), col("embedding"), col("centroid"))
+    val a = assigned.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("centroid"))
+    val b = assigned.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("centroid"))
+    val sim = Vectors.cosineSim(col("ea"), col("eb"))
+    val drops = a.join(b, Seq("centroid"))
+      .filter(col("id_a") < col("id_b") && sim >= 0.4)
+      .select(col("id_b").as("vec_id"))
+      .distinct()
+    assigned.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid"))
+      .orderBy("vec_id")
   }
 
   /** Per-label embedding centroids via the typed Aggregator UDAF
@@ -1899,10 +2086,11 @@ FROM j ORDER BY sim DESC, vec_id LIMIT 5""")) { (s, dir) =>
   }
 
   val all: Seq[Query] = Seq(
-    q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_minhash_lsh, d_simhash,
+    q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
+    d_minhash_lsh, d_simhash,
     d_simhash_weighted, d_dup_clusters, p_neardup_prune, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
-    s_ann_ivf_trained, s_ann_pq, s_ann_ivfpq, s_label_centroid,
+    s_ann_ivf_trained, s_ann_pq, s_ann_ivfpq, s_label_centroid, d_semdedup,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
     t_repetition, t_entropy,
     t_fingerprint, t_decontam, t_sample_split, t_stratified, t_pii, p_clean_corpus, p_shard, p_pack,

@@ -54,6 +54,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 corpus scan, found $scans:\n$plan")
   }
 
+  test("d_ngram_jaccard_prefix reuses the ranked-prefix exchange across the self-join") {
+    // the prefix self-join's two sides are identical subplans; if the
+    // second side ever re-shingles the corpus instead of rebuilding from a
+    // ReusedExchange of the first side's window shuffle, candidate
+    // generation pays the gram pipeline twice (final ADAPTIVE plan —
+    // reuse is decided at runtime, so the query must execute first)
+    val df = SparkEntry.queries("d_ngram_jaccard_prefix")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"no ReusedExchange in d_ngram_jaccard_prefix final plan:\n$plan")
+  }
+
   test("d_ngram_jaccard does not broadcast the per-doc sizes side") {
     // sizes is one row per document — a broadcast hint on it is a driver OOM
     // at scale. AQE may still *choose* to broadcast at this sf; the guard is
