@@ -400,13 +400,20 @@ object NorthStar {
     * tasks. [[graft.operators.BandedPairs]] remains the right shape when the
     * signature is expensive to recompute (see d_minhash_lsh).
     */
-  private def simhashPairs(s: SparkSession, dir: String,
-                           dedupe: Boolean = true): DataFrame = {
-    val banded = Tables.load(s, dir, "documents")
+  /** (doc_id, simhash, band, bucket) rows: the 63-bit signature split into
+    * 7 pigeonhole bands of 9 bits. Shared by simhashPairs and
+    * d_dedup_incremental.
+    */
+  private def simhashBanded(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
       .select(col("doc_id"), simhashExpr.as("simhash"))
       .select(col("doc_id"), col("simhash"), posexplode(expr(
         "transform(sequence(0, 6), b -> shiftright(simhash, b * 9) & 511)"))
         .as(Seq("band", "bucket")))
+
+  private def simhashPairs(s: SparkSession, dir: String,
+                           dedupe: Boolean = true): DataFrame = {
+    val banded = simhashBanded(s, dir)
     val a = banded.as("a"); val b = banded.as("b")
     val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -416,6 +423,69 @@ object NorthStar {
       .filter(col("hamming") <= 6)
     // hamming is pair-determined, so all-column dedupe == pair dedupe
     if (dedupe) pairs.dropDuplicates() else pairs
+  }
+
+  /** Incremental near-dup dedup — the continuous-crawl production shape:
+    * dedupe a NEW batch (the "delta", a deterministic md5-bucket ~19% of
+    * doc_ids standing in for today's crawl) against the existing corpus
+    * plus itself, without re-clustering the base. Each delta doc reports
+    * its minimum near-duplicate witness (`dup_of`: any base doc, or a
+    * lower-id delta doc — keep-first within the batch), NULL if novel.
+    *
+    * Scale shape: the probe side of the band-bucket equi-join is
+    * DELTA-ONLY — cost tracks the batch size times bucket collision rates,
+    * not the corpus. The base side here recomputes signatures from the
+    * table (one scan + fused kernel); in production that side is the
+    * persisted signature index this query's plan writes forward. Banding
+    * is the same pigeonhole-exact 7x9 split as [[d_simhash]], so the
+    * match set provably equals the all-pairs oracle's.
+    */
+  val d_dedup_incremental: Query = q("d_dedup_incremental", Some(
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+       |th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+       |tb AS (
+       |  SELECT doc_id, i.i AS i,
+       |         CASE WHEN ((${SharedHash.digitSql("h", "(i.i // 4) + 1")} >> (i.i % 4)) & 1) = 1
+       |              THEN 1 ELSE -1 END AS c
+       |  FROM th, (SELECT unnest(range(0, 63)) AS i) i),
+       |bs AS (SELECT doc_id, i, SUM(c) AS s FROM tb GROUP BY doc_id, i),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bs GROUP BY doc_id),
+       |m AS (
+       |  SELECT doc_id, simhash,
+       |         substring(md5(CAST(doc_id AS VARCHAR) || ':delta'), 1, 1) <= '2' AS is_delta
+       |  FROM sh),
+       |mm AS (
+       |  SELECT a.doc_id, MIN(b.doc_id) AS dup_of
+       |  FROM m a JOIN m b
+       |    ON a.doc_id != b.doc_id
+       |   AND (NOT b.is_delta OR b.doc_id < a.doc_id)
+       |   AND bit_count(xor(a.simhash, b.simhash)) <= 6
+       |  WHERE a.is_delta
+       |  GROUP BY a.doc_id)
+       |SELECT m.doc_id, mm.dup_of
+       |FROM m LEFT JOIN mm ON m.doc_id = mm.doc_id
+       |WHERE m.is_delta ORDER BY m.doc_id""".stripMargin)) { (s, dir) =>
+    val isDelta =
+      substring(md5(concat(col("doc_id").cast("string"), lit(":delta"))), 1, 1) <= "2"
+    val banded = simhashBanded(s, dir).withColumn("is_delta", isDelta)
+    val a = banded.filter(col("is_delta")).as("a")
+    val b = banded.as("b")
+    val matches = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (!col("b.is_delta") || col("b.doc_id") < col("a.doc_id")) &&
+          expr("bit_count(a.simhash ^ b.simhash) <= 6"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(min(col("b.doc_id")).as("dup_of"))
+    Tables.load(s, dir, "documents")
+      .filter(isDelta)
+      .select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .orderBy("doc_id")
   }
 
   /** Sublinear-tf weighted SimHash near-dup (the variant actually used for
@@ -1478,6 +1548,56 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     }
   }
 
+  /** Token-budget mixture resizing — shrink each language's slice of the
+    * corpus to a ~2000-BPE-token budget (the pretraining data-mixture
+    * step: rebalance high- vs low-resource languages to target token
+    * counts). Two passes, both embarrassingly parallel: (1) per-language
+    * token totals — one tiny aggregate, broadcast back; (2) keep a doc iff
+    * its deterministic md5 hash-fraction (hex4(hh)/65536) is below
+    * budget/total — per-language Bernoulli selection at exactly the rate
+    * whose EXPECTED kept tokens is the budget, with membership a pure
+    * per-row function of doc_id (stable under reruns and corpus growth).
+    *
+    * Why not the exact greedy prefix (cumsum window until the budget):
+    * that is ONE window partition per language — at 100 TB a
+    * corpus-sized partition serialized through a single task (p_pack's
+    * windows are fine because its partitions are SHARDS, bounded by
+    * construction). Rate-based selection is the scale-correct mixture
+    * resize; the oracle checks the selection rule exactly, the budget is
+    * statistical by design.
+    */
+  val p_token_budget: Query = {
+    val budget = 2000
+    def hex4(h: String) =
+      s"((((${SharedHash.digitSql(h, "1")}) * 16 + ${SharedHash.digitSql(h, "2")}) * 16 + " +
+        s"${SharedHash.digitSql(h, "3")}) * 16 + ${SharedHash.digitSql(h, "4")})"
+    q("p_token_budget", Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         CAST(CEIL(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS tok,
+         |         md5(CAST(doc_id AS VARCHAR) || ':mix') AS hh
+         |  FROM documents),
+         |tot AS (SELECT lang, CAST(SUM(tok) AS BIGINT) AS total FROM t GROUP BY lang),
+         |r AS (SELECT lang, LEAST(CAST(1 AS DOUBLE), CAST($budget AS DOUBLE) / total) AS rate FROM tot)
+         |SELECT t.doc_id, t.lang, t.tok
+         |FROM t JOIN r ON t.lang = r.lang
+         |WHERE ${hex4("t.hh")} / CAST(65536 AS DOUBLE) < r.rate
+         |ORDER BY t.doc_id""".stripMargin)) { (s, dir) =>
+      val t = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          ceil(length(col("text")).cast("double") / 4.0).cast("long").as("tok"),
+          md5(concat(col("doc_id").cast("string"), lit(":mix"))).as("hh"))
+      val rates = t.groupBy("lang")
+        .agg(sum(col("tok")).as("total"))
+        .select(col("lang"),
+          least(lit(1.0), lit(budget.toDouble) / col("total")).as("rate"))
+      t.join(rates, "lang")
+        .filter(expr(s"${hex4("hh")}").cast("double") / 65536.0 < col("rate"))
+        .select(col("doc_id"), col("lang"), col("tok"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** Z-order (Morton) layout key: interleave the low 16 bits of two join/
     * filter columns so that sorting by the key clusters BOTH dimensions —
     * parquet row-group min/max stats then prune 2-D range predicates,
@@ -2085,15 +2205,46 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       .orderBy("doc_id")
   }
 
+  /** SOFT dedup — per-doc loss weights 1/cluster_size instead of dropping
+    * (the alternative several pretraining recipes prefer: duplicated
+    * content contributes one document's worth of gradient in total, but
+    * every copy stays samplable). Cluster sizes come from the same
+    * resolved near-dup components as [[d_dup_clusters]]; unclustered docs
+    * weigh 1. Scale shape: label set is pair-graph-sized, the size
+    * groupBy and the weight LEFT JOIN both carry (id, count) rows only,
+    * and the corpus streams through one hash join — same anti-join
+    * footprint as p_neardup_prune, different policy.
+    */
+  val p_dedup_weights: Query = q("p_dedup_weights", Some(
+    s"""WITH RECURSIVE $simhashClusterCte,
+       |cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csz FROM cl GROUP BY cluster),
+       |j AS (
+       |  SELECT d.doc_id, cs.csz
+       |  FROM documents d
+       |  LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |  LEFT JOIN cs ON cl.cluster = cs.cluster)
+       |SELECT doc_id, ROUND(CAST(1 AS DOUBLE) / COALESCE(csz, 1), 6) AS weight
+       |FROM j ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    val pairs = simhashPairs(s, dir, dedupe = false).select(col("id_a"), col("id_b"))
+    val (labels, _) = ConnectedComponents.label(pairs)
+    val sizes = labels.groupBy(col("lab")).agg(count(lit(1)).as("csz"))
+    val wts = labels.join(sizes, "lab").select(col("id").as("doc_id"), col("csz"))
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(wts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(lit(1.0) / coalesce(col("csz"), lit(1L)).cast("double"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
-    d_minhash_lsh, d_simhash,
-    d_simhash_weighted, d_dup_clusters, p_neardup_prune, t_bm25,
+    d_minhash_lsh, d_simhash, d_dedup_incremental,
+    d_simhash_weighted, d_dup_clusters, p_neardup_prune, p_dedup_weights, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_ivf_trained, s_ann_pq, s_ann_ivfpq, s_label_centroid, d_semdedup,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
     t_repetition, t_entropy,
     t_fingerprint, t_decontam, t_sample_split, t_stratified, t_pii, p_clean_corpus, p_shard, p_pack,
-    p_pack_exact, p_zorder, p_pipeline_full,
+    p_pack_exact, p_zorder, p_pipeline_full, p_token_budget,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
 }
