@@ -35,12 +35,14 @@ import org.apache.spark.sql.functions._
   * When to use WHICH pair generator: an in-bucket SELF-JOIN on
   * (band, bucket) enumerates the same pairs in whole-stage codegen with no
   * array materialization and gets mega-bucket splitting from AQE skew-join
-  * — strictly better when the per-row signature is cheap enough to carry or
-  * recompute (d_simhash's fused kernel: 0.14 s per corpus pass at sf0.1).
-  * This operator is for the EXPENSIVE-signature regime (d_minhash_lsh's
-  * 192-permutation MinHash), where the join's second subplan evaluation
-  * (under a broadcast plan ReuseExchange cannot dedupe) would cost more
-  * than the tile shuffle does.
+  * — and a SHUFFLE_HASH hint makes both join sides identical shuffles so
+  * ReuseExchange evaluates even an EXPENSIVE signature subplan once
+  * (round 7: that plan replaced this operator in d_minhash_lsh, 2.29 s ->
+  * 1.69 s at sf0.1). This operator remains the right shape when the two
+  * sides CANNOT be identical subplans — pair generation between two
+  * different relations, or a probe/index split where the sides carry
+  * different filters — i.e. when exchange reuse is structurally
+  * unavailable and a broadcast would re-evaluate the expensive side.
   */
 object BandedPairs {
 
