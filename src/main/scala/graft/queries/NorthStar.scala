@@ -588,6 +588,58 @@ object NorthStar {
       .limit(10)
   }
 
+  /** Batch kNN join — the top-3 cosine neighbors for EACH probe in a
+    * bounded probe set (vec_id <= 20, standing in for a query batch): the
+    * retrieval shape (kNN-LM datastores, retrieval-augmented data prep,
+    * eval-set neighbor dumps) where many queries score at once, which the
+    * single-probe q24/s_ann_* queries don't cover. Probes broadcast
+    * (bounded by construction — the q24 discipline, PlanAuditSpec-exempt
+    * for the same reason); the corpus streams ONCE through a codegen
+    * cosine scan producing (probe_id, vec_id, sim) triples; per-probe
+    * top-k is one window ranked on the 9-dp sim lattice with vec_id
+    * tie-break (total order, so both engines pick identical rows). At
+    * scale the shuffle carries only the triples — nprobes x corpus rows;
+    * for UNBOUNDED probe sets this plan is wrong and the IVF/PQ family is
+    * the path.
+    */
+  val s_knn_batch: Query = q("s_knn_batch", Some(
+    """WITH p AS (
+      |  SELECT vec_id AS probe_id, UNNEST(embedding) AS pv,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id <= 20),
+      |c AS (
+      |  SELECT vec_id, UNNEST(embedding) AS cv, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |j AS (
+      |  SELECT p.probe_id, c.vec_id,
+      |         SUM(CAST(c.cv AS DOUBLE) * CAST(p.pv AS DOUBLE)) AS dot,
+      |         SUM(CAST(c.cv AS DOUBLE) * CAST(c.cv AS DOUBLE)) AS nc,
+      |         SUM(CAST(p.pv AS DOUBLE) * CAST(p.pv AS DOUBLE)) AS np
+      |  FROM c JOIN p ON c.i = p.i AND c.vec_id != p.probe_id
+      |  GROUP BY p.probe_id, c.vec_id),
+      |r AS (
+      |  SELECT probe_id, vec_id,
+      |         ROUND(dot / (SQRT(nc) * SQRT(np)), 9) AS s9,
+      |         ROW_NUMBER() OVER (PARTITION BY probe_id
+      |           ORDER BY ROUND(dot / (SQRT(nc) * SQRT(np)), 9) DESC, vec_id) AS rn
+      |  FROM j)
+      |SELECT probe_id, vec_id, ROUND(s9, 3) AS sim
+      |FROM r WHERE rn <= 3
+      |ORDER BY probe_id, sim DESC, vec_id""".stripMargin)) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") <= 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val s9 = round(Vectors.cosineSim(col("embedding"), col("pe")), 9)
+    val w = Window.partitionBy("probe_id").orderBy(col("s9").desc, col("vec_id"))
+    emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), s9.as("s9"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("probe_id"), col("vec_id"), round(col("s9"), 3).as("sim"))
+      .orderBy(col("probe_id"), col("sim").desc, col("vec_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs at threshold 0.4 — the EXACT
     * variant, as a tiled block join.
     *
@@ -2248,6 +2300,7 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     d_simhash_weighted, d_dup_clusters, p_neardup_prune, p_dedup_weights, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_ivf_trained, s_ann_pq, s_ann_ivfpq, s_label_centroid, d_semdedup,
+    s_knn_batch,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
     t_repetition, t_entropy,
     t_fingerprint, t_decontam, t_sample_split, t_stratified, t_pii, p_clean_corpus, p_shard, p_pack,
