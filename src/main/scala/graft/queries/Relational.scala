@@ -697,7 +697,68 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Data-quality rule report — the dbt-test / Deequ-style validation pass
+    * a warehouse runs after every load: one row per rule with its violation
+    * count. Row-level rules (null/range) fold into a SINGLE scan
+    * as conditional sums; set-level rules are an anti-join (orphan foreign
+    * keys) and a group-count (duplicate business keys — (l_orderkey,
+    * l_linenumber) is genuinely non-unique in this testdata, so the rule
+    * has teeth). Scale shape: rules over one table cost one pass
+    * regardless of rule count; the orphan check shuffles only the two key
+    * columns; the duplicate check is a 16-byte-key groupBy. Constants out
+    * of the UNION branches keep every branch a metadata-only wrapper over
+    * its aggregate.
+    */
+  val q37_dq_report: Query = q("q37_dq_report",
+    """WITH row_rules AS (
+      |  SELECT
+      |    SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END) AS bad_qty,
+      |    SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS neg_price,
+      |    SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS bad_discount
+      |  FROM lineitem),
+      |orphans AS (
+      |  SELECT COUNT(*) AS n FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+      |dup_pk AS (
+      |  SELECT CAST(COALESCE(SUM(extra), 0) AS BIGINT) AS n FROM (
+      |    SELECT COUNT(*) - 1 AS extra FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) g)
+      |SELECT 'null_or_nonpositive_quantity' AS rule, CAST(bad_qty AS BIGINT) AS violations FROM row_rules
+      |UNION ALL SELECT 'negative_extendedprice', CAST(neg_price AS BIGINT) FROM row_rules
+      |UNION ALL SELECT 'discount_out_of_range', CAST(bad_discount AS BIGINT) FROM row_rules
+      |UNION ALL SELECT 'orphan_orderkey', n FROM orphans
+      |UNION ALL SELECT 'duplicate_line_pk', n FROM dup_pk
+      |ORDER BY rule""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    val li = t("lineitem")
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val rowRules = li.agg(
+      cnt(col("l_quantity").isNull || col("l_quantity") <= 0).as("bad_qty"),
+      cnt(col("l_extendedprice") < 0).as("neg_price"),
+      cnt(col("l_discount") < 0 || col("l_discount") > 0.1).as("bad_discount"))
+    val orphans = li.select("l_orderkey")
+      .join(t("orders").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    val dupPk = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n"))
+    // one explode over the single-row aggregate (three unionAll branches
+    // over rowRules would plan the scan+aggregate three times)
+    val rowReport = rowRules.select(explode(array(
+        struct(lit("null_or_nonpositive_quantity").as("rule"), col("bad_qty").as("violations")),
+        struct(lit("negative_extendedprice").as("rule"), col("neg_price").as("violations")),
+        struct(lit("discount_out_of_range").as("rule"), col("bad_discount").as("violations"))))
+        .as("kv"))
+      .select(col("kv.rule").as("rule"), col("kv.violations").as("violations"))
+    rowReport
+      .unionAll(orphans.select(lit("orphan_orderkey"), col("n")))
+      .unionAll(dupPk.select(lit("duplicate_line_pk"), col("n")))
+      .orderBy("rule")
+  }
+
   val all: Seq[Query] = Seq(
+    q37_dq_report,
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
     q6_partition_key, q7_join, q8_join3_agg, q8b_region_rev, q9_left_join, q9b_full_join,
     q10_semi_join, q11_anti_join, q12_count_distinct, q13_rollup, q13_cube, q13_gsets,
