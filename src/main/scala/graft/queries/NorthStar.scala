@@ -476,7 +476,8 @@ object NorthStar {
        |  GROUP BY a.doc_id)
        |SELECT m.doc_id, mm.dup_of
        |FROM m LEFT JOIN mm ON m.doc_id = mm.doc_id
-       |WHERE m.is_delta ORDER BY m.doc_id""".stripMargin)) { (s, dir) =>
+       |WHERE m.is_delta ORDER BY m.doc_id""".stripMargin),
+    headline = true) { (s, dir) =>
     val isDelta =
       substring(md5(concat(col("doc_id").cast("string"), lit(":delta"))), 1, 1) <= "2"
     val banded = simhashBanded(s, dir).withColumn("is_delta", isDelta)
