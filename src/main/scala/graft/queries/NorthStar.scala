@@ -406,6 +406,18 @@ object NorthStar {
     * tasks. [[graft.operators.BandedPairs]] remains the right shape when the
     * signature is expensive to recompute (see d_minhash_lsh).
     */
+  /** The 7 pigeonhole bands of 9 bits as an UNROLLED array expression —
+    * `transform(sequence(0, 6), b -> ...)` reads nicer but a higher-order
+    * function never codegens, which drags the enclosing Project AND the
+    * posexplode Generate out of WholeStageCodegen and leaves the inferred
+    * `isnotnull(simhash63_*(text))` join-key filter evaluating the kernel
+    * a second time with no subexpression elimination (codegen CSEs it).
+    * PlanAuditSpec pins the kernels inside codegen spans.
+    */
+  private val bandArraySql: String =
+    (0 until 7).map(b => s"shiftright(simhash, ${b * 9}) & 511")
+      .mkString("array(", ", ", ")")
+
   /** (doc_id, simhash, band, bucket) rows: the 63-bit signature split into
     * 7 pigeonhole bands of 9 bits. Shared by simhashPairs and
     * d_dedup_incremental.
@@ -413,9 +425,8 @@ object NorthStar {
   private def simhashBanded(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), simhashExpr.as("simhash"))
-      .select(col("doc_id"), col("simhash"), posexplode(expr(
-        "transform(sequence(0, 6), b -> shiftright(simhash, b * 9) & 511)"))
-        .as(Seq("band", "bucket")))
+      .select(col("doc_id"), col("simhash"),
+        posexplode(expr(bandArraySql)).as(Seq("band", "bucket")))
 
   private def simhashPairs(s: SparkSession, dir: String,
                            dedupe: Boolean = true): DataFrame = {
@@ -541,9 +552,8 @@ object NorthStar {
        |ORDER BY id_a, id_b""".stripMargin), headline = true) { (s, dir) =>
     val banded = Tables.load(s, dir, "documents")
       .select(col("doc_id"), SimHash.simhash63Tf(col("text")).as("simhash"))
-      .select(col("doc_id"), col("simhash"), posexplode(expr(
-        "transform(sequence(0, 6), b -> shiftright(simhash, b * 9) & 511)"))
-        .as(Seq("band", "bucket")))
+      .select(col("doc_id"), col("simhash"),
+        posexplode(expr(bandArraySql)).as(Seq("band", "bucket")))
     // in-bucket self-join pair-gen (see simhashPairs for the full account):
     // codegen enumeration, AQE skew-split mega-buckets, SHUFFLE_HASH hint
     // so ReuseExchange runs the fused kernel scan once
@@ -751,9 +761,9 @@ object NorthStar {
     // during pair expansion (no fingerprint re-join / re-computation)
     val banded = emb
       .select(col("vec_id"), hyperFp(63, col("embedding")).as("f"))
-      .select(col("vec_id"), col("f"), posexplode(expr(
-        "transform(sequence(0, 6), b -> shiftright(f, b * 9) & 511)"))
-        .as(Seq("band", "bucket")))
+      .select(col("vec_id"), col("f"),
+        posexplode(expr(bandArraySql.replace("simhash", "f")))
+          .as(Seq("band", "bucket")))
     // cheap-signature regime (8-byte fingerprint): in-bucket self-join
     // pair-gen, same account as simhashPairs
     val ba = banded.as("a"); val bb = banded.as("b")

@@ -68,6 +68,27 @@ class PlanAuditSpec extends SparkSpec {
       s"no ReusedExchange in d_ngram_jaccard_prefix final plan:\n$plan")
   }
 
+  test("fused kernels evaluate inside WholeStageCodegen spans") {
+    // the custom Expressions implement doGenCode precisely so the hot scans
+    // stay in generated code; a kernel falling out of codegen (e.g. a
+    // CodegenFallback regression) shows up as its expression line losing
+    // the "*(" whole-stage marker in the executed plan
+    val kernelIn = Seq(
+      "d_simhash" -> "simhash63_occ",
+      "d_simhash_weighted" -> "simhash63_tf",
+      "d_minhash_lsh" -> "min_hash_ngram_sig",
+      "t_decontam" -> "char_ngrams")
+    for ((name, kernel) <- kernelIn) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // AQE: codegen spans only appear in the FINAL plan
+      val plan = df.queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.filter(_.contains(kernel)).toSeq
+      assert(lines.nonEmpty, s"$kernel not found in $name plan:\n$plan")
+      assert(lines.exists(l => l.contains("*(")),
+        s"$kernel runs OUTSIDE WholeStageCodegen in $name:\n${lines.mkString("\n")}")
+    }
+  }
+
   test("d_ngram_jaccard does not broadcast the per-doc sizes side") {
     // sizes is one row per document — a broadcast hint on it is a driver OOM
     // at scale. AQE may still *choose* to broadcast at this sf; the guard is
