@@ -757,8 +757,56 @@ object Relational {
       .orderBy("rule")
   }
 
+  /** SCD type-2 dimension merge — the warehouse upsert: an updates batch
+    * (customers with c_custkey % 7 == 0 get a '-V2' market segment,
+    * effective 1999-01-01) merged into the current dimension so changed
+    * keys CLOSE their old row (valid_to set, is_current false) and OPEN a
+    * new one, while untouched keys pass through. Expressed as ONE left
+    * join plus conditional row expansion — matched rows explode to
+    * (closed old, new current), unmatched to their single current row —
+    * instead of the naive semi-join + anti-join + union, which scans the
+    * dimension twice and shuffles it twice. At 100 TB: one key shuffle of
+    * dim vs a (typically broadcast-sized) updates batch, output streams.
+    */
+  val q38_scd2_merge: Query = q("q38_scd2_merge",
+    """WITH upd AS (
+      |  SELECT c_custkey, c_mktsegment || '-V2' AS seg
+      |  FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT d.c_custkey, d.c_mktsegment AS segment,
+      |       DATE '1992-01-01' AS valid_from,
+      |       CASE WHEN u.c_custkey IS NOT NULL THEN DATE '1999-01-01'
+      |            ELSE DATE '9999-12-31' END AS valid_to,
+      |       u.c_custkey IS NULL AS is_current
+      |FROM customer d LEFT JOIN upd u ON d.c_custkey = u.c_custkey
+      |UNION ALL
+      |SELECT c_custkey, seg, DATE '1999-01-01', DATE '9999-12-31', TRUE FROM upd
+      |ORDER BY c_custkey, valid_from""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    val dim = t("customer").select(col("c_custkey"), col("c_mktsegment"))
+    val upd = dim.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), concat(col("c_mktsegment"), lit("-V2")).as("seg"))
+    val from0 = lit("1992-01-01").cast("date")
+    val eff = lit("1999-01-01").cast("date")
+    // open rows carry the conventional SCD-2 high-date sentinel rather than
+    // NULL: range predicates stay BETWEENs, and NULL dates normalize
+    // differently across engines (the NaT-vs-None comparer trap)
+    val openEnd = lit("9999-12-31").cast("date")
+    def row(seg: Column, vf: Column, vt: Column, cur: Column) =
+      struct(seg.as("segment"), vf.as("valid_from"), vt.as("valid_to"), cur.as("is_current"))
+    dim.join(upd, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), explode(when(col("seg").isNotNull,
+          array(row(col("c_mktsegment"), from0, eff, lit(false)),
+            row(col("seg"), eff, openEnd, lit(true))))
+        .otherwise(array(row(col("c_mktsegment"), from0, openEnd, lit(true)))))
+        .as("r"))
+      .select(col("c_custkey"), col("r.segment").as("segment"),
+        col("r.valid_from").as("valid_from"), col("r.valid_to").as("valid_to"),
+        col("r.is_current").as("is_current"))
+      .orderBy("c_custkey", "valid_from")
+  }
+
   val all: Seq[Query] = Seq(
-    q37_dq_report,
+    q37_dq_report, q38_scd2_merge,
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
     q6_partition_key, q7_join, q8_join3_agg, q8b_region_rev, q9_left_join, q9b_full_join,
     q10_semi_join, q11_anti_join, q12_count_distinct, q13_rollup, q13_cube, q13_gsets,
