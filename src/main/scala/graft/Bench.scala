@@ -30,14 +30,20 @@ object Bench {
     // so spread stays inspectable.
     val timedRuns = 3
     val results = SparkEntry.headlineQueries.map { query =>
+      var failed = false
       val times = (1 to timedRuns).map { _ =>
         val t0 = System.nanoTime()
         try exec(query)
-        catch { case e: Throwable => System.err.println(s"[bench] ${query.name}: $e") }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] ${query.name}: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       System.err.println(f"[bench-runs] ${query.name}: ${times.map(t => f"$t%.2f").mkString(" ")}")
-      query.name -> times(timedRuns / 2)
+      // a query that regresses into a FAST failure must not enter the round
+      // record as a speedup: -1 is an unambiguous failed-slot sentinel
+      query.name -> (if (failed) -1.0 else times(timedRuns / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

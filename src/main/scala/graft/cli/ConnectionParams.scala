@@ -35,20 +35,38 @@ final case class ConnectionParams(
 
 object ConnectionParams {
 
-  def default: ConnectionParams = ConnectionParams(
-    host = sys.env.getOrElse("GRAFT_HOST", "localhost"),
-    port = sys.env.get("GRAFT_PORT").map(_.toInt).getOrElse(5439),
-    user = sys.env.getOrElse("GRAFT_USER", "graft"),
-    password = sys.env.get("GRAFT_PASSWORD"),
-    db = sys.env.get("GRAFT_DB"))
+  private val flagsWithValue = Set("--host", "--port", "--user", "--password", "--db")
+
+  /** Left(message) on a malformed GRAFT_PORT instead of an uncaught
+    * NumberFormatException — the env fallback gets the same friendly
+    * diagnostic as the --port flag path (a stale bad env var would
+    * otherwise crash every invocation, even ones passing --port).
+    */
+  def defaultOrError: Either[String, ConnectionParams] =
+    sys.env.get("GRAFT_PORT").map(v => (v, v.toIntOption)) match {
+      case Some((v, None)) => Left(s"GRAFT_PORT expects an integer, got '$v'")
+      case other =>
+        Right(ConnectionParams(
+          host = sys.env.getOrElse("GRAFT_HOST", "localhost"),
+          port = other.flatMap(_._2).getOrElse(5439),
+          user = sys.env.getOrElse("GRAFT_USER", "graft"),
+          password = sys.env.get("GRAFT_PASSWORD"),
+          db = sys.env.get("GRAFT_DB")))
+    }
+
+  def default: ConnectionParams =
+    defaultOrError.fold(m => throw new IllegalArgumentException(m), identity)
 
   /** Strip leading `--host H --port P --user U --password PW --db D` flags
     * (any subset, any order — but BEFORE the subcommand, like the
     * reference's click group) off `args`. Returns Left(message) on an
     * unknown leading option or missing/malformed value.
     */
+  def parse(args: List[String]): Either[String, (ConnectionParams, List[String])] =
+    defaultOrError.flatMap(parse(args, _))
+
   def parse(args: List[String],
-            base: ConnectionParams = default): Either[String, (ConnectionParams, List[String])] =
+            base: ConnectionParams): Either[String, (ConnectionParams, List[String])] =
     args match {
       case "--host" :: v :: rest => parse(rest, base.copy(host = v))
       case "--port" :: v :: rest =>
@@ -57,7 +75,10 @@ object ConnectionParams {
       case "--user" :: v :: rest => parse(rest, base.copy(user = v))
       case "--password" :: v :: rest => parse(rest, base.copy(password = Some(v)))
       case "--db" :: v :: rest => parse(rest, base.copy(db = Some(v)))
-      case f :: Nil if f.startsWith("--") && f != "--yes" =>
+      // a KNOWN flag with nothing after it is missing its value; an unknown
+      // leading --flag is unknown whether or not it is last (the old order
+      // of these clauses misreported a final unknown flag as missing-value)
+      case f :: Nil if flagsWithValue(f) =>
         Left(s"option $f is missing its value")
       case f :: _ if f.startsWith("--") && f != "--yes" =>
         Left(s"unknown option $f")

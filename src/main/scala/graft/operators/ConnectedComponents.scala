@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 
 /** Connected components by alternating large-star/small-star contraction
   * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
@@ -43,73 +44,99 @@ object ConnectedComponents {
   def label(pairs: DataFrame, maxRounds: Int = 48): (DataFrame, Int) = {
     val cols = pairs.columns
     require(cols.length == 2, s"pairs must have 2 columns, got ${cols.length}")
+    val caller = pairs.sparkSession
     // lazy checkpoint: the signature aggregate right below materializes it,
-    // so canonicalization + signature are ONE job (eager would be two)
-    var e = pairs
+    // so canonicalization + signature are ONE job (eager would be two) —
+    // run under the CALLER's conf, because this step consumes the
+    // corpus-sized pair feed the caller's shuffle width was sized for
+    val canonical = pairs
       .select(greatest(col(cols(0)), col(cols(1))).as("u"),
         least(col(cols(0)), col(cols(1))).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(eager = false)
-    var sig = signature(e)
-    val spark = pairs.sparkSession
+    val sig = signature(canonical)
     // The contraction loop runs on the EDGE set, which is usually orders of
-    // magnitude smaller than the corpus the session's shuffle-partition
-    // count was sized for (sf0.1: 9k edges vs 5k docs x 7 bands x 2 join
-    // sides; 100 TB: pair graphs are output-sized, not corpus-sized) — and
-    // the loop pays that width ~6 exchanges per round, every round. Scale
-    // the loop's shuffle width to the measured edge count (the initial
-    // signature's count, ~100k edges per partition), never above the
-    // session setting, and restore the setting on exit. Measured at sf0.1:
-    // 4.1 s -> 2.6 s for the same 5 rounds.
-    val spKey = "spark.sql.shuffle.partitions"
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val sessionSp = spark.conf.get(spKey).toInt
-    val sessionAqe = spark.conf.get(aqeKey)
-    val loopSp = math.min(sessionSp, 1 + (sig._1 / 100000L).toInt)
+    // magnitude smaller than the corpus (sf0.1: 9k edges vs 5k docs x 7
+    // bands x 2 join sides; 100 TB: pair graphs are output-sized, not
+    // corpus-sized) — and the loop pays the configured shuffle width ~4
+    // exchanges per round, every round. Run the loop in a FORKED session
+    // (same SparkContext and RDDs, isolated SQLConf): the loop-local
+    // shuffle width and AQE setting cannot leak into — or be corrupted by —
+    // anything else running on the caller's session, where the previous
+    // set/restore-the-shared-conf approach broke under any concurrency.
+    // Session hops are PLAN-level (Bridge.ofRows over the checkpointed
+    // LogicalRDD) — no row conversion, no extra pass.
+    //  - loopSp: edge-count-sized width (~100k edges per partition), never
+    //    above the caller's setting. Measured: 4.1 s -> 2.6 s at sf0.1.
+    //  - AQE off: loop shuffles are already sized and fixed-width; AQE's
+    //    per-stage materialize-and-replan adds a scheduling barrier per
+    //    exchange per round with nothing left to re-plan. Measured at
+    //    sf0.1 (round 7): warm spread 3.3-6.5 s -> 3.6-4.3 s at
+    //    equal-or-better median. (An earlier round saw AQE-off 3x WORSE —
+    //    at sp=32 before loopSp existed, where AQE's coalescing was doing
+    //    the down-sizing the loop now does explicitly.)
+    val loopSp = math.min(caller.conf.get("spark.sql.shuffle.partitions").toInt,
+      1 + (sig._1 / 100000L).toInt)
+    // one cached fork per caller session: newSession() builds a fresh
+    // SessionState (analyzer, optimizer, injected extensions) — measured
+    // ~0.5 s per call if re-created per invocation. The fork's conf is
+    // still per-call (loopSp), so concurrent label() calls SERIALIZE on
+    // the fork's monitor — a documented contract, vs the silent conf
+    // corruption mutating the shared caller session risked.
+    val fork = loopSession(caller)
+    val (eFinal, rounds) = fork.synchronized {
+      fork.conf.set("spark.sql.shuffle.partitions", loopSp.toString)
+      fork.conf.set("spark.sql.adaptive.enabled", "false")
+      runLoop(Bridge.ofRows(fork, Bridge.analyzed(canonical)), sig, maxRounds)
+    }
+    // fixed point = star forest: each non-root appears exactly once as u,
+    // pointing at its component min; roots label themselves. The final edge
+    // set is a checkpointed LogicalRDD, so hand it back at the PLAN level
+    // and build the label read-off in the caller's session — downstream
+    // joins and the read-off's own distinct plan under the caller's conf.
+    val eCaller = Bridge.ofRows(caller, Bridge.analyzed(eFinal))
+    val leaves = eCaller.select(col("u").as("id"), col("v").as("lab"))
+    val roots = eCaller.select(col("v")).distinct()
+      .select(col("v").as("id"), col("v").as("lab"))
+    (leaves.unionByName(roots), rounds)
+  }
+
+  private val forkCache =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession]()
+
+  private def loopSession(caller: org.apache.spark.sql.SparkSession) =
+    forkCache.computeIfAbsent(caller, c => c.newSession())
+
+  /** The contraction loop proper; runs entirely in the fork session. */
+  private def runLoop(e0: DataFrame, sig0: (Long, Long),
+                      maxRounds: Int): (DataFrame, Int) = {
+    var e = e0
+    var sig = sig0
     var rounds = 0
     var converged = false
-    try {
-      spark.conf.set(spKey, loopSp.toString)
-      // loop shuffles are already sized (loopSp) and fixed-width; AQE's
-      // per-stage materialize-and-replan adds a scheduling barrier to every
-      // exchange of every round with nothing left to re-plan. Measured at
-      // sf0.1 (round 7): AQE off in-loop tightened the warm spread
-      // 3.3-6.5 s -> 3.6-4.3 s at equal-or-better median. (An earlier
-      // round measured AQE-off 3x WORSE — but that was at the session's
-      // sp=32 before loopSp existed, where AQE's coalescing was doing the
-      // down-sizing this loop now does explicitly.)
-      spark.conf.set(aqeKey, "false")
-      while (!converged && rounds < maxRounds) {
-        // lazy again: one job per round (contraction + signature).
-        // MEASURED DEAD END (round 7, kept as a note): a structural
-        // star-forest test (every u exactly once, no node both u and v)
-        // can detect the fixed point one round early — a star forest maps
-        // to itself under both stars — but every formulation pays a
-        // per-round by-node shuffle (~0.3 s x rounds at sf0.1, whether as
-        // a parallel aggregate branch + crossJoin barrier or fused into a
-        // two-level signature aggregation) that exceeds the one saved
-        // ~0.7 s round: 5.3-5.7 s vs 4.1 s median signature-only. The
-        // signature's one-round lag is the cheaper convergence test.
-        val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
-        val nextSig = signature(next)
-        converged = nextSig == sig
-        e = next
-        sig = nextSig
-        rounds += 1
-      }
-    } finally {
-      spark.conf.set(spKey, sessionSp.toString)
-      spark.conf.set(aqeKey, sessionAqe)
+    while (!converged && rounds < maxRounds) {
+      // lazy again: one job per round (contraction + signature).
+      // MEASURED DEAD END (round 7, kept as a note): a structural
+      // star-forest test (every u exactly once, no node both u and v)
+      // can detect the fixed point one round early — a star forest maps
+      // to itself under both stars — but every formulation pays a
+      // per-round by-node shuffle (~0.3 s x rounds at sf0.1, whether as
+      // a parallel aggregate branch + crossJoin barrier or fused into a
+      // two-level signature aggregation) that exceeds the one saved
+      // ~0.7 s round: 5.3-5.7 s vs 4.1 s median signature-only. The
+      // signature's one-round lag is the cheaper convergence test.
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      e = next
+      sig = nextSig
+      rounds += 1
     }
     require(converged,
       s"connected components: star contraction did not converge within $rounds rounds")
-    // fixed point = star forest: each non-root appears exactly once as u,
-    // pointing at its component min; roots label themselves
-    val leaves = e.select(col("u").as("id"), col("v").as("lab"))
-    val roots = e.select(col("v")).distinct()
-      .select(col("v").as("id"), col("v").as("lab"))
-    (leaves.unionByName(roots), rounds)
+    (e, rounds)
   }
 
   /** (edge count, order-insensitive hash XOR) — the edge sets are distinct,

@@ -41,13 +41,15 @@ object NorthStar {
       body: (SparkSession, String) => DataFrame): Query =
     Query(name, body, oracle, headline)
 
-  // Banded-LSH candidate generators share one shape: bucket rows carry
-  // (id, <8-byte aux>) structs; in-bucket pairs (ids[i], ids[j]) for i < j
-  // are enumerated by [[graft.operators.BandedPairs]] (size-aware tiling so
-  // a hot bucket's O(size^2) pair work spreads across tasks instead of
-  // landing in one straggler) with the aux value (shingle count, simhash,
-  // fingerprint) verifying inline without re-joining — and thus
-  // re-computing — the per-doc hashes.
+  // Banded-LSH candidate generators share one shape: bucket rows carry the
+  // id plus an 8-byte aux value (shingle count, simhash, fingerprint), and
+  // in-bucket pairs are enumerated by a SHUFFLE_HASH-hinted equi-SELF-JOIN
+  // on (band, bucket) — identical shuffles on both sides, so ReuseExchange
+  // evaluates the signature scan once, pairs enumerate in whole-stage
+  // codegen, AQE skew-splits hot buckets, and the aux value verifies inline
+  // with no re-join. ([[graft.operators.BandedPairs]], the tiled collect
+  // generator, remains for ASYMMETRIC-side pair generation where exchange
+  // reuse is structurally unavailable — see its scaladoc.)
 
   // ---------------------------------------------------------------- dedup
 
@@ -764,9 +766,11 @@ object NorthStar {
       .select(col("vec_id"), col("f"),
         posexplode(expr(bandArraySql.replace("simhash", "f")))
           .as(Seq("band", "bucket")))
-    // cheap-signature regime (8-byte fingerprint): in-bucket self-join
-    // pair-gen, same account as simhashPairs
-    val ba = banded.as("a"); val bb = banded.as("b")
+    // in-bucket self-join pair-gen, same account as simhashPairs — incl.
+    // the SHUFFLE_HASH hint: the 63-projection hyperplane kernel is the
+    // most expensive signature in the family, so evaluating it once via
+    // ReuseExchange matters most here
+    val ba = banded.as("a"); val bb = banded.hint("SHUFFLE_HASH").as("b")
     val cand = ba.join(bb,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -965,13 +969,23 @@ assign AS (
     * 9-dp cosine, ties to the smallest id — encoded as array_max over
     * (sim, -cid) structs so the tie-break rides the struct comparison).
     */
-  private def trainedAssign(emb: DataFrame): DataFrame = {
-    val simStructs = TrainedIvfCodebook.centroids.zipWithIndex.map { case (v, i) =>
+  /** One (sim, -cid) struct per frozen centroid — the 9-dp-rounded cosine
+    * and the negated id whose struct-max encodes "highest sim, ties to the
+    * smallest cid". THE single definition of the tie-break/rounding lattice
+    * the oracle parity depends on: trainedAssign folds these per row, and
+    * s_ann_ivf_trained's probe-list selection explodes the same array —
+    * two copies of this expression would let the probe ranking silently
+    * desynchronize from vector assignment.
+    */
+  private def trainedSimStructs: Seq[Column] =
+    TrainedIvfCodebook.centroids.zipWithIndex.map { case (v, i) =>
       struct(round(Vectors.cosineSim(col("embedding"), typedlit(v)), 9).as("sim"),
         lit(-(i + 1).toLong).as("ncid"))
     }
-    emb.withColumn("centroid", -array_max(array(simStructs: _*)).getField("ncid"))
-  }
+
+  private def trainedAssign(emb: DataFrame): DataFrame =
+    emb.withColumn("centroid",
+      -array_max(array(trainedSimStructs: _*)).getField("ncid"))
 
   /** Trained-IVF ANN: the same search algebra as [[s_ann_ivf]] but the
     * coarse quantizer is the k-means codebook frozen in
@@ -984,7 +998,6 @@ assign AS (
     */
   val s_ann_ivf_trained: Query = {
     val NProbe = 2
-    val cb = TrainedIvfCodebook.centroids
     q("s_ann_ivf_trained", Some(
       s"""WITH $trainedAssignCte,
 probe_c AS (
@@ -1007,14 +1020,12 @@ j AS (
 SELECT vec_id, ROUND(dot / (SQRT(nc) * SQRT(np)), 3) AS sim
 FROM j ORDER BY sim DESC, vec_id LIMIT 5""")) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      // same assignment/tie/9-dp discipline as s_ann_ivf, frozen centroids
-      val simStructs = cb.zipWithIndex.map { case (v, i) =>
-        struct(round(Vectors.cosineSim(col("embedding"), typedlit(v)), 9).as("sim"),
-          lit(-(i + 1).toLong).as("ncid"))
-      }
+      // same assignment/tie/9-dp discipline as s_ann_ivf, frozen centroids;
+      // probe ranking explodes the SAME trainedSimStructs the assignment
+      // folds, so the lattice cannot desynchronize between the two
       val assigned = trainedAssign(emb)
       val probeLists = emb.filter(col("vec_id") === 1)
-        .select(explode(array(simStructs: _*)).as("s"))
+        .select(explode(array(trainedSimStructs: _*)).as("s"))
         .orderBy(col("s.sim").desc, col("s.ncid").desc)
         .limit(NProbe)
         .select((-col("s.ncid")).as("pcentroid"))

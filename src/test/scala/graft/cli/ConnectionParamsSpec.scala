@@ -31,6 +31,12 @@ class ConnectionParamsSpec extends AnyFunSuite {
     assert(ConnectionParams.parse(List("--port", "not_a_number", "export"), base).isLeft)
     assert(ConnectionParams.parse(List("--bogus", "v", "export"), base).isLeft)
     assert(ConnectionParams.parse(List("--host"), base).isLeft) // missing value
+    // an unknown flag in FINAL position is "unknown", not "missing value" —
+    // only KNOWN value-taking flags can be missing a value
+    assert(ConnectionParams.parse(List("--bogus"), base)
+      .swap.exists(_.contains("unknown option")))
+    assert(ConnectionParams.parse(List("--host"), base)
+      .swap.exists(_.contains("missing its value")))
   }
 
   test("no flags passes args through untouched") {
