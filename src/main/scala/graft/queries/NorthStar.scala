@@ -316,34 +316,45 @@ object NorthStar {
     * oracle is the same exact pair set ([[exactJaccard07Sql]]), so the
     * lossless claim is differentially checked, not just proved.
     */
-  private[graft] def prefixJaccard(docs: DataFrame): DataFrame = {
-    val withNg = docs.select(col("doc_id"), CharNgrams.charNgrams(col("text"), 5).as("ng"))
+  /** Threshold t = tNum/tDen as an exact rational so every bound is integer
+    * arithmetic — ceil(t*n) = (tNum*n + tDen - 1) div tDen — and float
+    * rounding can never shift a prefix boundary or a size-ratio cutoff.
+    * Defaults to 7/10 (the oracled d_ngram_jaccard_prefix configuration).
+    */
+  private[graft] def prefixJaccard(docs: DataFrame, gram: Int = 5,
+                                   tNum: Int = 7, tDen: Int = 10): DataFrame = {
+    require(tNum > 0 && tNum < tDen, s"threshold must be in (0,1): $tNum/$tDen")
+    val withNg = docs.select(col("doc_id"), CharNgrams.charNgrams(col("text"), gram).as("ng"))
     val sh = withNg.select(col("doc_id"), size(col("ng")).as("n"), explode(col("ng")).as("sh"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfreq, "sh")
       .withColumn("r", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+    // prefix length n - ceil(t*n) + 1
     val prefix = ranked
-      .filter(col("r") <= col("n") - expr("(n * 7 + 9) div 10") + 1)
+      .filter(col("r") <= col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
       .select(col("doc_id"), col("n"), col("sh"), col("r"))
     val a = prefix.as("a"); val b = prefix.as("b")
     // PPJoin positional filter (Xiao et al. WWW'08): a match at prefix
     // positions (i, j) can extend to at most 1 + min(na-i, nb-j) common
     // grams, which must reach the PAIRWISE overlap bound
-    // alpha = ceil(t/(1+t) * (na+nb)) — integer-exact at t = 0.7:
-    // (7*(na+nb)+16) div 17. Exactness: the smallest common gram w sits in
+    // alpha = ceil(t/(1+t) * (na+nb)) = (tNum*(na+nb) + tNum+tDen - 1)
+    // div (tNum+tDen). Exactness: the smallest common gram w sits in
     // both prefixes (lemma above) at positions where every common gram is
     // w-or-later, so o <= 1 + min(na-i, nb-j) holds AT w — a qualifying
     // pair always survives via its smallest shared prefix gram.
-    // Measured cut at sf0.1: 4.75M -> 3.0M distinct candidates.
-    val alpha = expr("(7 * (a.n + b.n) + 16) div 17")
+    // Measured cut at sf0.1, t=0.7: 4.75M -> 3.0M distinct candidates.
+    val alpha = expr(
+      s"($tNum * (a.n + b.n) + ${tNum + tDen - 1}) div ${tNum + tDen}")
+    // size-ratio prefilter: jac >= t forces t <= min/max
     val cand = a.join(b,
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * 10 >= col("b.n") * 7 && col("b.n") * 10 >= col("a.n") * 7 &&
+          col("a.n") * tDen >= col("b.n") * tNum &&
+          col("b.n") * tDen >= col("a.n") * tNum &&
           lit(1) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r")) >= alpha)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(cand, docs, gram = 5, t = 0.7)
+    verifyJaccard(cand, docs, gram = gram, t = tNum.toDouble / tDen)
   }
 
   val d_ngram_jaccard_prefix: Query =

@@ -16,18 +16,20 @@ import graft.functions.CharNgrams
   */
 class PrefixJaccardSpec extends SparkSpec {
 
-  private def bruteForce(docs: DataFrame): Set[(Long, Long, Double)] = {
-    val sh = docs.select(col("doc_id"), CharNgrams.charNgrams(col("text"), 5).as("s"))
+  private def bruteForce(docs: DataFrame, gram: Int = 5,
+                         t: Double = 0.7): Set[(Long, Long, Double)] = {
+    val sh = docs.select(col("doc_id"), CharNgrams.charNgrams(col("text"), gram).as("s"))
     val a = sh.as("a"); val b = sh.as("b")
     val jac = size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
       size(array_union(col("a.s"), col("b.s")))
-    a.crossJoin(b).filter(col("a.doc_id") < col("b.doc_id")).filter(jac >= 0.7)
+    a.crossJoin(b).filter(col("a.doc_id") < col("b.doc_id")).filter(jac >= t)
       .select(col("a.doc_id"), col("b.doc_id"), round(jac, 3))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
   }
 
-  private def prefixResult(docs: DataFrame): Set[(Long, Long, Double)] =
-    NorthStar.prefixJaccard(docs)
+  private def prefixResult(docs: DataFrame, gram: Int = 5,
+                           tNum: Int = 7, tDen: Int = 10): Set[(Long, Long, Double)] =
+    NorthStar.prefixJaccard(docs, gram, tNum, tDen)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
   private def toDf(rows: Seq[(Long, String)]): DataFrame = {
@@ -69,5 +71,19 @@ class PrefixJaccardSpec extends SparkSpec {
     val docs = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))
     assert(prefixResult(docs) === bruteForce(docs))
+  }
+
+  test("exact recall holds across thresholds and gram sizes (sf0.001)") {
+    // the prefix length, size-ratio, and positional-alpha bounds are all
+    // integer rational arithmetic in (tNum, tDen) — exercise thresholds
+    // where ceil() rounding and the alpha denominator differ from 7/10,
+    // and an 8-gram shingle where set sizes shift
+    val docs = graft.tables.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    for ((g, tn, td) <- Seq((5, 1, 2), (5, 9, 10), (8, 1, 4))) {
+      val t = tn.toDouble / td
+      assert(prefixResult(docs, g, tn, td) === bruteForce(docs, g, t),
+        s"mismatch at gram=$g t=$tn/$td")
+    }
   }
 }
