@@ -55,17 +55,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 corpus scan, found $scans:\n$plan")
   }
 
-  test("d_ngram_jaccard_prefix reuses the ranked-prefix exchange across the self-join") {
-    // the prefix self-join's two sides are identical subplans; if the
-    // second side ever re-shingles the corpus instead of rebuilding from a
-    // ReusedExchange of the first side's window shuffle, candidate
-    // generation pays the gram pipeline twice (final ADAPTIVE plan —
-    // reuse is decided at runtime, so the query must execute first)
-    val df = SparkEntry.queries("d_ngram_jaccard_prefix")(spark, sfDir)
+  for (name <- Seq("d_ngram_jaccard_prefix", "d_simhash", "d_simhash_weighted",
+    "d_minhash_lsh", "d_embed_neardup_lsh"))
+  test(s"$name evaluates its signature scan once via ReusedExchange") {
+    // every banded pair generator self-joins two IDENTICAL subplans with a
+    // SHUFFLE_HASH hint (prefix join: identical window shuffle) precisely
+    // so ReuseExchange materializes the signature scan once; if a plan
+    // change (dropped hint, diverged sides) breaks that, the kernel pass
+    // runs per join side again (final ADAPTIVE plan — reuse is decided at
+    // runtime, so the query must execute first)
+    val df = SparkEntry.queries(name)(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange"),
-      s"no ReusedExchange in d_ngram_jaccard_prefix final plan:\n$plan")
+      s"no ReusedExchange in $name final plan:\n$plan")
   }
 
   test("fused kernels evaluate inside WholeStageCodegen spans") {
