@@ -988,15 +988,25 @@ assign AS (
     * two copies of this expression would let the probe ranking silently
     * desynchronize from vector assignment.
     */
-  private def trainedSimStructs: Seq[Column] =
-    TrainedIvfCodebook.centroids.zipWithIndex.map { case (v, i) =>
+  private def simStructsFor(centroids: Seq[Seq[Float]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (v, i) =>
       struct(round(Vectors.cosineSim(col("embedding"), typedlit(v)), 9).as("sim"),
         lit(-(i + 1).toLong).as("ncid"))
     }
 
-  private def trainedAssign(emb: DataFrame): DataFrame =
+  private def trainedSimStructs: Seq[Column] =
+    simStructsFor(TrainedIvfCodebook.centroids)
+
+  /** Nearest-centroid assignment (1-based ids, highest 9-dp cosine, ties to
+    * the smallest id) against an arbitrary codebook; [[trainedAssign]]
+    * binds the frozen one.
+    */
+  private[graft] def assignTo(emb: DataFrame, centroids: Seq[Seq[Float]]): DataFrame =
     emb.withColumn("centroid",
-      -array_max(array(trainedSimStructs: _*)).getField("ncid"))
+      -array_max(array(simStructsFor(centroids): _*)).getField("ncid"))
+
+  private def trainedAssign(emb: DataFrame): DataFrame =
+    assignTo(emb, TrainedIvfCodebook.centroids)
 
   /** Trained-IVF ANN: the same search algebra as [[s_ann_ivf]] but the
     * coarse quantizer is the k-means codebook frozen in
@@ -1091,7 +1101,18 @@ drops AS (
 SELECT vec_id, CAST(cid AS BIGINT) AS centroid FROM assign
 WHERE vec_id NOT IN (SELECT id_b FROM drops)
 ORDER BY vec_id"""), headline = true) { (s, dir) =>
-    val assigned = trainedAssign(Tables.load(s, dir, "embeddings"))
+    semdedup(Tables.load(s, dir, "embeddings"), TrainedIvfCodebook.centroids, 0.4)
+  }
+
+  /** The SemDeDup core over an arbitrary codebook and threshold (the
+    * oracled d_semdedup binds the frozen codebook at t = 0.4). CONTRACT,
+    * spec-pinned by SemDedupSpec: near-duplicates assigned to DIFFERENT
+    * clusters both survive — the published algorithm's cluster-bounded
+    * approximation, not a bug.
+    */
+  private[graft] def semdedup(emb: DataFrame, centroids: Seq[Seq[Float]],
+                              t: Double): DataFrame = {
+    val assigned = assignTo(emb, centroids)
       .select(col("vec_id"), col("embedding"), col("centroid"))
     val a = assigned.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
       col("centroid"))
@@ -1099,7 +1120,7 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       col("centroid"))
     val sim = Vectors.cosineSim(col("ea"), col("eb"))
     val drops = a.join(b, Seq("centroid"))
-      .filter(col("id_a") < col("id_b") && sim >= 0.4)
+      .filter(col("id_a") < col("id_b") && sim >= t)
       .select(col("id_b").as("vec_id"))
       .distinct()
     assigned.join(drops, Seq("vec_id"), "left_anti")
