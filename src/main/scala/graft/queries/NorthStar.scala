@@ -1799,6 +1799,42 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       .orderBy("doc_id")
   }
 
+  /** Unigram-surprisal quality score — the CCNet-style "how unlike the
+    * corpus LM is this document" signal (Wenzek et al., CCNet: high
+    * perplexity under a reference LM flags gibberish and boilerplate
+    * alike), with the corpus's own unigram distribution standing in for
+    * the external LM. Per-token surprisal is INTEGER-exact:
+    * length(bin(N div c)) = floor(log2(N/c)) + 1 — so the per-doc score
+    * is an average of small integers, immune to both shuffle-order
+    * float-sum nondeterminism and last-ulp ln() divergence between
+    * engines (a float -ln(c/N) formulation risks a rounding flip per
+    * token across ~400k tokens at the gate's sf). Plan shape: one global
+    * token-frequency pass (map-side combined), one 1-row total broadcast,
+    * one equi-join keyed by token, one per-doc aggregate — every shuffle
+    * carries (token, count) or (doc_id, int) rows.
+    */
+  val t_unigram_surprise: Query = q("t_unigram_surprise", Some(
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |f AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM f),
+      |s AS (
+      |  SELECT tok.doc_id, LENGTH(bin(t.n // f.c)) AS s
+      |  FROM tok JOIN f ON tok.tk = f.tk CROSS JOIN t)
+      |SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(s), 4) AS surprise
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+    val freqs = tok.groupBy("tk").agg(count(lit(1)).as("c"))
+    val tot = freqs.agg(sum(col("c")).as("n"))
+    tok.join(freqs, "tk")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), expr("length(bin(n div c))").as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("s")), 4).as("surprise"))
+      .orderBy("doc_id")
+  }
+
   /** The composed training-data cleaning pass — what a corpus pipeline
     * actually runs: language filter (en) + quality floor + length floor +
     * exact keep-first dedup, in one declarative plan. Catalyst fuses the
@@ -2356,7 +2392,7 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     s_ann_ivf_trained, s_ann_pq, s_ann_ivfpq, s_label_centroid, d_semdedup,
     s_knn_batch,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
-    t_repetition, t_entropy,
+    t_repetition, t_entropy, t_unigram_surprise,
     t_fingerprint, t_decontam, t_sample_split, t_stratified, t_pii, p_clean_corpus, p_shard, p_pack,
     p_pack_exact, p_zorder, p_pipeline_full, p_token_budget,
     q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)

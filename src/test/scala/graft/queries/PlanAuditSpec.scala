@@ -21,9 +21,10 @@ class PlanAuditSpec extends SparkSpec {
   // like q24's probe row); e_gapfill crosses a 1-row-bounds-derived hour
   // spine with the tiny type dimension — both sides bounded by design
   // t_heavy_hitters crosses the exact top-5 with a ONE-row sketch aggregate
-  // s_knn_batch broadcasts a 20-row bounded-by-construction probe batch
+  // s_knn_batch broadcasts a 20-row bounded-by-construction probe batch;
+  // t_unigram_surprise crosses a ONE-row corpus-total aggregate (like t_bm25)
   private val exempt = Set("q24_cosine_topk", "s_ann_lsh", "s_ann_ivf",
-    "s_ann_ivf_trained", "t_bm25", "s_knn_batch",
+    "s_ann_ivf_trained", "t_bm25", "s_knn_batch", "t_unigram_surprise",
     "t_heavy_hitters",
     "e_gapfill", "st_tumbling", "st_session", "st_user_totals",
     "r_unload_roundtrip", "r_jdbc_roundtrip")
