@@ -1952,6 +1952,51 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       .orderBy("h", "event_type")
   }
 
+  /** Hourly traffic anomaly detection — flag (event_type, hour) buckets
+    * whose count sits >= 3 standard deviations from the type's mean (the
+    * monitoring query an event pipeline alarms on). Every z-score input is
+    * EXACT integer algebra: z = (c*n - s) / sqrt(n*sq - s^2) with c/n/s/sq
+    * all integer counts and sums, so the only float ops are one division
+    * and one sqrt — both IEEE correctly-rounded, hence bit-identical
+    * across engines (an avg/stddev_pop formulation would instead inherit
+    * shuffle-order float-sum nondeterminism). Plan: one hourly groupBy,
+    * one tiny per-type stats aggregate broadcast back over the buckets.
+    */
+  val e_anomaly: Query = q("e_anomaly", Some(
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hh, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s,
+      |         CAST(SUM(c * c) AS BIGINT) AS sq
+      |  FROM h GROUP BY event_type),
+      |z AS (
+      |  SELECT h.event_type, h.hh, h.c,
+      |         (h.c * st.n - st.s) / SQRT(CAST(st.n * st.sq - st.s * st.s AS DOUBLE)) AS z
+      |  FROM h JOIN st ON h.event_type = st.event_type)
+      |SELECT event_type, strftime(hh, '%Y-%m-%d %H:%M:%S') AS h, c AS cnt,
+      |       ROUND(z, 4) AS z
+      |FROM z WHERE ABS(z) >= 3
+      |ORDER BY event_type, h""".stripMargin)) { (s, dir) =>
+    val hourly = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hh"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("sq"))
+    val z = (col("c") * col("n") - col("s")) /
+      sqrt((col("n") * col("sq") - col("s") * col("s")).cast("double"))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"),
+        date_format(col("hh"), "yyyy-MM-dd HH:mm:ss").as("h"),
+        col("c").as("cnt"), z.as("zraw"))
+      .filter(abs(col("zraw")) >= 3) // filter on RAW z like the oracle; a
+      // rounded-z filter would admit 2.99997-rounds-to-3.0 boundary buckets
+      .select(col("event_type"), col("h"), col("cnt"),
+        round(col("zraw"), 4).as("z"))
+      .orderBy("event_type", "h")
+  }
+
   /** Sliding window (2h window, 1h slide) — batch twin of the Structured
     * Streaming window() operator; oracle enumerates the two covering windows.
     */
@@ -2395,5 +2440,5 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     t_repetition, t_entropy, t_unigram_surprise,
     t_fingerprint, t_decontam, t_sample_split, t_stratified, t_pii, p_clean_corpus, p_shard, p_pack,
     p_pack_exact, p_zorder, p_pipeline_full, p_token_budget,
-    q23_time_bucket, w_sliding_window, w_session_window, m_binary_meta)
+    q23_time_bucket, e_anomaly, w_sliding_window, w_session_window, m_binary_meta)
 }
