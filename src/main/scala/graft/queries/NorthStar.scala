@@ -620,11 +620,18 @@ object NorthStar {
     * (bounded by construction — the q24 discipline, PlanAuditSpec-exempt
     * for the same reason); the corpus streams ONCE through a codegen
     * cosine scan producing (probe_id, vec_id, sim) triples; per-probe
-    * top-k is one window ranked on the 9-dp sim lattice with vec_id
-    * tie-break (total order, so both engines pick identical rows). At
-    * scale the shuffle carries only the triples — nprobes x corpus rows;
-    * for UNBOUNDED probe sets this plan is wrong and the IVF/PQ family is
-    * the path.
+    * top-k is the bounded [[graft.functions.TopK]] Aggregator on the 9-dp
+    * sim lattice with vec_id tie-break (total order, so both engines pick
+    * identical rows). The Aggregator is mergeable, so Spark plans map-side
+    * partial aggregation: each scan task reduces its slice to <= k rows
+    * per probe BEFORE the exchange, the shuffle carries O(k * nprobes *
+    * tasks) rows, and no task ever sorts a probe's full corpus-sized
+    * triple set — the window-rank formulation this replaces
+    * (`row_number() OVER (PARTITION BY probe_id)`) would funnel ALL n
+    * corpus triples of each probe through one task's sort
+    * (ScaleTechniquesSpec pins the partial-agg/no-Window plan). For
+    * UNBOUNDED probe sets this plan is wrong and the IVF/PQ family is the
+    * path.
     */
   val s_knn_batch: Query = q("s_knn_batch", Some(
     """WITH p AS (
@@ -654,13 +661,15 @@ object NorthStar {
     val probes = emb.filter(col("vec_id") <= 20)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val s9 = round(Vectors.cosineSim(col("embedding"), col("pe")), 9)
-    val w = Window.partitionBy("probe_id").orderBy(col("s9").desc, col("vec_id"))
+    val topk = udaf(new graft.functions.TopK.TopKAgg(3))
     emb.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), s9.as("s9"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("probe_id"), col("vec_id"), round(col("s9"), 3).as("sim"))
+      .groupBy("probe_id")
+      .agg(topk(col("s9"), col("vec_id")).as("top"))
+      .select(col("probe_id"), explode(col("top")).as("r"))
+      .select(col("probe_id"), col("r.id").as("vec_id"),
+        round(col("r.ord"), 3).as("sim"))
       .orderBy(col("probe_id"), col("sim").desc, col("vec_id"))
   }
 

@@ -51,6 +51,20 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"q34 must not plan a window:\n$plan")
   }
 
+  test("s_knn_batch ranks per-probe via partial TopK agg, no Window sort") {
+    val df = graft.SparkEntry.queries("s_knn_batch")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // each corpus-scan task must reduce to <= k triples per probe BEFORE
+    // the exchange; the old row_number-over-Window formulation funneled
+    // every probe's full corpus triple set through one task's sort
+    val partialIdx = plan.indexOf("partial_topkagg")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(partialIdx > 0, s"no partial TopK aggregation in plan:\n$plan")
+    assert(exchangeIdx > 0 && exchangeIdx < partialIdx,
+      s"partial agg should sit below the exchange:\n$plan")
+    assert(!plan.contains("Window"), s"s_knn_batch must not plan a window:\n$plan")
+  }
+
   test("bucketed tables join with ZERO shuffle exchanges") {
     val wh = Files.createTempDirectory("graft_wh_").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS buckets LOCATION '$wh'")
