@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash
+
+/** Persisted simhash signature index — the production lifecycle behind
+  * incremental near-duplicate dedup of a continuously-crawled corpus.
+  *
+  * [[graft.queries.NorthStar]]'s `d_dedup_incremental` demonstrates the
+  * QUERY shape (delta-only probe side) but recomputes the base corpus's
+  * signatures from text on every batch — at 100 TB that is a full-corpus
+  * kernel pass per crawl increment. This operator makes the index a
+  * first-class stored artifact instead:
+  *
+  *   - [[build]] runs the fused simhash kernel over the base corpus ONCE
+  *     and writes `(doc_id, simhash, batch=0)` to parquet;
+  *   - [[ingest]] kernels ONLY the new batch and appends its signatures
+  *     under a monotonically increasing batch id;
+  *   - [[probe]] answers "which docs of batch N are near-dups of anything
+  *     ingested before them" from the STORED table alone: banding a stored
+  *     signature is seven shift-and-mask ops, so neither join side touches
+  *     text or the kernel — per-batch cost is O(index scan + bucket
+  *     collisions) with zero re-kerneling, and the index parquet (16 bytes
+  *     a doc + batch) is ~6 orders of magnitude smaller than a 100 TB
+  *     corpus.
+  *
+  * Keep-first semantics match `d_dedup_incremental`: a batch-N doc's
+  * witness (`dup_of`) is the minimum doc_id among earlier-batch matches
+  * and lower-id same-batch matches; NULL if novel. With 7 bands of 9 bits
+  * over the 63-bit signature, pigeonhole guarantees any pair within
+  * hamming distance 6 shares at least one exact band, so the match set
+  * provably equals an all-pairs scan's (the `d_simhash` argument).
+  *
+  * Reference analog: the manifest-driven incremental convert
+  * (spectrify/convert.py:97-99, examples/weekly_partitions.py:77-129)
+  * re-exports only new partitions; the signature table is the analogous
+  * persisted state for dedup.
+  */
+object SignatureIndex {
+  val Bands = 7
+  val BandBits = 9
+
+  /** `(doc_id, simhash)` from raw `(doc_id, text)` — the ONLY place the
+    * text kernel runs in this lifecycle.
+    */
+  def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), SimHash.simhash63Occ(col("text")).as("simhash"))
+
+  /** Kernel the base corpus once; write the index as batch 0. */
+  def build(docs: DataFrame, path: String): Unit =
+    signatures(docs).withColumn("batch", lit(0))
+      .write.mode("overwrite").parquet(path)
+
+  /** Kernel ONLY the delta; append its signatures as `batch`. */
+  def ingest(docs: DataFrame, path: String, batch: Int): Unit =
+    signatures(docs).withColumn("batch", lit(batch))
+      .write.mode("append").parquet(path)
+
+  // unrolled, not transform(sequence(...)): higher-order functions don't
+  // codegen and would drag the banding Project out of WholeStageCodegen
+  private val bandArray: Column = expr(
+    (0 until Bands)
+      .map(b => s"shiftright(simhash, ${b * BandBits}) & ${(1 << BandBits) - 1}")
+      .mkString("array(", ", ", ")"))
+
+  /** Band a stored signature relation — pure bit ops, no text, no kernel. */
+  def banded(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("simhash"), col("batch"),
+      posexplode(bandArray).as(Seq("band", "bucket")))
+
+  /** Near-dup witnesses for batch `batch`, entirely from the stored index.
+    *
+    * The (band, bucket) equi-join probes the delta's banded rows against
+    * the whole banded index; the SHUFFLE_HASH hint on the delta side makes
+    * it the hash-build side of a shuffled join (the delta is batch-sized;
+    * broadcasting the INDEX side would ship the whole corpus's signatures
+    * to every task). AQE splits skewed buckets at runtime. Returns
+    * `(doc_id, dup_of)` for every batch-`batch` doc, dup_of NULL if novel.
+    */
+  def probe(spark: SparkSession, path: String, batch: Int,
+            maxHamming: Int = 6): DataFrame = {
+    val idx = banded(spark.read.parquet(path))
+    val a = idx.filter(col("batch") === batch).hint("SHUFFLE_HASH").as("a")
+    val b = idx.as("b")
+    val matches = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          (col("b.batch") < batch ||
+            (col("b.batch") === batch && col("b.doc_id") < col("a.doc_id"))) &&
+          expr(s"bit_count(a.simhash ^ b.simhash) <= $maxHamming"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(min(col("b.doc_id")).as("dup_of"))
+    spark.read.parquet(path).filter(col("batch") === batch)
+      .select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** The persisted-signature-index lifecycle: build once, ingest deltas,
+  * probe each batch from the STORED table without re-kerneling anything
+  * already ingested.
+  */
+class SignatureIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Brute-force twin: batch-`n` docs vs ALL pairs over the given corpus
+    * slices, min witness among (earlier batch, any id) + (same batch,
+    * lower id). Computed straight from the kernel, no banding.
+    */
+  private def bruteWitness(docs: DataFrame, batchOf: org.apache.spark.sql.Column,
+                           batch: Int): DataFrame = {
+    val sigs = SignatureIndex.signatures(docs).withColumn("batch", batchOf)
+    val a = sigs.filter(col("batch") === batch).as("a")
+    val b = sigs.filter(col("batch") <= batch).as("b")
+    val m = a.join(b,
+        (col("b.batch") < batch || col("b.doc_id") < col("a.doc_id")) &&
+          expr("bit_count(a.simhash ^ b.simhash) <= 6"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(min(col("b.doc_id")).as("dup_of"))
+    sigs.filter(col("batch") === batch).select("doc_id")
+      .join(m, Seq("doc_id"), "left")
+  }
+
+  test("two-batch lifecycle matches the brute-force witness relation") {
+    val path = Files.createTempDirectory("graft_sigidx_spec_").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    val batchOf = (pmod(col("doc_id"), lit(3))).cast("int")
+
+    SignatureIndex.build(docs.filter(batchOf === 0), path)
+    SignatureIndex.ingest(docs.filter(batchOf === 1), path, batch = 1)
+    val probe1 = SignatureIndex.probe(spark, path, batch = 1)
+    assert(probe1.orderBy("doc_id").collect().toSeq ==
+      bruteWitness(docs, batchOf, 1).orderBy("doc_id").collect().toSeq)
+
+    // batch 2 must see base AND batch 1 from the index, plus lower-id peers
+    SignatureIndex.ingest(docs.filter(batchOf === 2), path, batch = 2)
+    val probe2 = SignatureIndex.probe(spark, path, batch = 2)
+    assert(probe2.orderBy("doc_id").collect().toSeq ==
+      bruteWitness(docs, batchOf, 2).orderBy("doc_id").collect().toSeq)
+
+    // at least one batch-2 doc should have witnessed a batch-1 or base doc
+    // (otherwise the cross-batch path went untested — fail loudly)
+    assert(probe2.filter(col("dup_of").isNotNull).count() > 0,
+      "test corpus produced no cross-batch near-dups; slice differently")
+  }
+
+  test("probe plan is kernel-free: no simhash, no text column read") {
+    val path = Files.createTempDirectory("graft_sigidx_plan_").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    SignatureIndex.build(docs.filter(col("doc_id") % 2 === 0), path)
+    SignatureIndex.ingest(docs.filter(col("doc_id") % 2 === 1), path, batch = 1)
+    val plan = SignatureIndex.probe(spark, path, batch = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("simhash63"),
+      s"probe must not re-kernel any corpus slice:\n$plan")
+    assert(!plan.contains("text"),
+      s"probe must never read document text:\n$plan")
+    assert(plan.contains("Batched: true") || plan.contains("FileScan parquet"),
+      s"probe must scan the stored index:\n$plan")
+  }
+
+  test("d_dedup_index query plan reads the index, not the kernel") {
+    val df = graft.SparkEntry.queries("d_dedup_index")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("simhash63"),
+      s"query plan must be kernel-free (index-only):\n$plan")
+  }
+}
