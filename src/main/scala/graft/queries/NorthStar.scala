@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CharNgrams, MinHash, SharedHash, SimHash, VecMeanAgg, Vectors}
+import graft.functions.{CharNgrams, MinHash, RollingHash, SharedHash, SimHash, VecMeanAgg, Vectors}
 import graft.operators.{BandedPairs, ConnectedComponents, SignatureIndex}
 import graft.tables.Tables
 
@@ -558,6 +558,90 @@ object NorthStar {
       p
     })
     SignatureIndex.probe(s, path, batch = 1).orderBy("doc_id")
+  }
+
+  /** Substring-level exact dedup — cross-document repeated token spans, the
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") EXACTSUBSTR shape: the whole-document dedup family (exact /
+    * near / semantic) misses the very common case where two docs share a
+    * long boilerplate run (licence headers, navigation chrome, quoted
+    * passages) inside otherwise-distinct text. Lee et al. cut >= 50-token
+    * repeats; this corpus's median doc is 56 tokens, so W = 20 exercises
+    * the same machinery at a span length the fixture actually repeats.
+    *
+    * Plan: one [[graft.functions.RollingHash]] pass per doc (O(n): one md5
+    * per token + constant work per window) explodes to (doc_id, off, h61)
+    * triples — the shuffle carries ONLY hashes and offsets, never text;
+    * hashes seen in >1 distinct doc mark their windows; per-doc marked
+    * offsets merge into maximal spans with one gaps-and-islands window
+    * (off - row_number() is constant within a contiguous run — per-doc
+    * partitions, bounded by doc token count). Dup-hash detection is a
+    * map-side-partial groupBy(h) + equi-join back, both AQE-skew-safe: a
+    * boilerplate span repeated in half the corpus is a hot hash, and the
+    * join splits it, where a collect_set-over-window formulation would
+    * funnel it through one task. The kernel runs twice (once per side);
+    * at 100 TB trade that for persisting the exploded triples, exactly as
+    * [[graft.operators.SignatureIndex]] does for whole-doc signatures.
+    */
+  val d_substring_dedup: Query = {
+    val W = 20
+    val M = "2305843009213693951" // 2^61 - 1
+    val B = "1000003"
+    // first 7 hex digits of md5 as an integer, shared-SQL (SharedHash doctrine)
+    val hex7 = (1 to 7)
+      .map(i => s"${SharedHash.digitSql("h", i.toString)} * ${1L << (4 * (7 - i))}")
+      .mkString("(", " + ", ")")
+    q("d_substring_dedup", Some(
+      s"""WITH RECURSIVE pw(k, p) AS (
+         |  SELECT 0, CAST(1 AS BIGINT)
+         |  UNION ALL
+         |  SELECT k + 1, CAST((CAST(p AS HUGEINT) * $B) % $M AS BIGINT)
+         |  FROM pw WHERE k < ${W - 1}),
+         |tok AS (
+         |  SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tk,
+         |         len(ts) AS n
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) s),
+         |th AS (
+         |  SELECT doc_id, pos, n, $hex7 AS t
+         |  FROM (SELECT doc_id, pos, n, md5(tk) AS h FROM tok) s),
+         |contrib AS (
+         |  SELECT doc_id, pos - (${W - 1} - k) AS off, n,
+         |         CAST(t AS HUGEINT) * CAST(p AS HUGEINT) AS c
+         |  FROM th, pw),
+         |win AS (
+         |  SELECT doc_id, off, CAST(SUM(c) % $M AS BIGINT) AS h
+         |  FROM contrib WHERE off >= 0 AND off <= n - $W
+         |  GROUP BY doc_id, off),
+         |dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+         |mk AS (
+         |  SELECT doc_id, off,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY off) AS rn
+         |  FROM win WHERE h IN (SELECT h FROM dup)),
+         |sp AS (
+         |  SELECT doc_id, MIN(off) AS span_start, MAX(off) + ${W - 1} AS span_end,
+         |         COUNT(*) AS n_windows
+         |  FROM mk GROUP BY doc_id, off - rn)
+         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |       CAST(span_end AS BIGINT) AS span_end,
+         |       CAST(n_windows AS BIGINT) AS n_windows
+         |FROM sp ORDER BY doc_id, span_start""".stripMargin),
+      headline = true) { (s, dir) =>
+      val win = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(RollingHash.windowHashes(col("text"), W)).as(Seq("off", "h")))
+      val dup = win.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") > 1).select("h")
+      val wn = Window.partitionBy("doc_id").orderBy("off")
+      win.join(dup, "h")
+        .select("doc_id", "off")
+        .withColumn("grp", col("off") - row_number().over(wn))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min("off").cast("long").as("span_start"),
+          (max("off") + (W - 1)).cast("long").as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select("doc_id", "span_start", "span_end", "n_windows")
+        .orderBy("doc_id", "span_start")
+    }
   }
 
   /** Sublinear-tf weighted SimHash near-dup (the variant actually used for
@@ -2479,7 +2563,7 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
 
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
-    d_minhash_lsh, d_simhash, d_dedup_incremental, d_dedup_index,
+    d_minhash_lsh, d_simhash, d_dedup_incremental, d_dedup_index, d_substring_dedup,
     d_simhash_weighted, d_dup_clusters, p_neardup_prune, p_dedup_weights, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_ivf_trained, s_ann_pq, s_ann_ivfpq, s_label_centroid, d_semdedup,

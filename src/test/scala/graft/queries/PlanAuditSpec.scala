@@ -81,7 +81,8 @@ class PlanAuditSpec extends SparkSpec {
       "d_simhash" -> "simhash63_occ",
       "d_simhash_weighted" -> "simhash63_tf",
       "d_minhash_lsh" -> "min_hash_ngram_sig",
-      "t_decontam" -> "char_ngrams")
+      "t_decontam" -> "char_ngrams",
+      "d_substring_dedup" -> "rolling_window_hash")
     for ((name, kernel) <- kernelIn) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // AQE: codegen spans only appear in the FINAL plan
