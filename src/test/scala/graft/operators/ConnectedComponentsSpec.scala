@@ -39,13 +39,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }
   }
 
-  test("100-link chain converges in <= 8 rounds (the O(log n) claim)") {
+  test("100-link chain converges in <= 10 rounds (the O(log n) claim)") {
     val chain = (0L until 100L).map(i => (i, i + 1))
     val (labels, rounds) = labelsOf(chain)
-    // 7 contraction rounds reach the star forest; the loop then needs 1 more
-    // round to observe the edge-set signature unchanged (fixed-point
-    // confirmation), so the deterministic count for a 100-link chain is 8.
-    assert(rounds <= 8, s"chain took $rounds rounds; contraction should be O(log n)")
+    // 7 contraction rounds reach the star forest; rounds run in batches of
+    // two per signature check, so that rounds up to 8, plus one spare batch
+    // observing the signature unchanged = 10 for a 100-link chain.
+    assert(rounds <= 10, s"chain took $rounds rounds; contraction should be O(log n)")
     assert(labels.size == 101)
     assert(labels.values.forall(_ == 0L), "every chain node labels to the minimum (0)")
   }
@@ -71,7 +71,7 @@ class ConnectedComponentsSpec extends SparkSpec {
         .filter(p => p._1 != p._2)
       val (labels, rounds) = labelsOf(pairs)
       assert(labels == expected(pairs), s"trial $trial diverged from union-find")
-      assert(rounds <= 10, s"trial $trial took $rounds rounds")
+      assert(rounds <= 12, s"trial $trial took $rounds rounds")
     }
   }
 }
