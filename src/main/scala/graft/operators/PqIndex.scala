@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Persisted product-quantization code table — the vector-side analog of
+  * [[SignatureIndex]]'s stored-artifact discipline, completing the ANN
+  * lifecycle: train (frozen codebook) -> encode -> WRITE the codes ->
+  * answer queries from the STORED table.
+  *
+  * The in-query PQ demonstrations (`s_ann_pq`, `s_ann_ivfpq`) re-encode
+  * every vector on every query — at 100 TB that is a full-corpus pass of
+  * M * KC sub-vector distance argmins per query. In production the code
+  * table is built once per corpus snapshot: M bytes a vector (here M = 4
+  * codes over 16-dim subspaces, KC = 8 entries a subspace — sized to the
+  * 64-dim fixture), ~3 orders of magnitude smaller than the float
+  * embeddings, and a query is M lookup-table reads per candidate over
+  * that table — the embedding column is never touched after encoding
+  * (FAISS's IndexPQ storage model).
+  *
+  * Determinism matches `s_ann_pq` exactly: sub-distances quantized to the
+  * 9-dp lattice before the argmin (ties break to the smaller centroid id),
+  * ADC partial dots rounded 9-dp before summing — so both engines, and
+  * both the inline and stored lifecycles, pick identical codes and ranks.
+  */
+object PqIndex {
+  val M = 4
+  val SubDim = 16
+  val KC = 8
+
+  private def subv(v: Seq[Float], m: Int): Seq[Float] =
+    v.slice(m * SubDim, (m + 1) * SubDim)
+
+  /** The frozen codebook: embedding rows vec_id 1..KC — a bounded collect
+    * (KC rows, ~KB), the TrainedIvfCodebook/q24 discipline.
+    */
+  def codebookOf(emb: DataFrame): Array[Seq[Float]] =
+    emb.filter(col("vec_id").between(1, KC)).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0))
+
+  /** Per-subspace nearest-codebook-entry codes (1-based), one row per
+    * vector: `(vec_id, code0..code{M-1})`. The ONLY place sub-vector
+    * distances are computed in this lifecycle.
+    */
+  def encode(emb: DataFrame, cb: Array[Seq[Float]]): DataFrame = {
+    val codeCols = (0 until M).map { m =>
+      val structs = (0 until KC).map { c =>
+        struct(
+          round(Vectors.l2Sq(expr(s"slice(embedding, ${m * SubDim + 1}, $SubDim)"),
+            typedlit(subv(cb(c), m))), 9).as("d"),
+          lit(c + 1).as("cid"))
+      }
+      array_min(array(structs: _*)).getField("cid").as(s"code$m")
+    }
+    emb.select(col("vec_id") +: codeCols: _*)
+  }
+
+  /** Encode the corpus once; write the code table. */
+  def build(emb: DataFrame, cb: Array[Seq[Float]], path: String): Unit =
+    encode(emb, cb).write.mode("overwrite").parquet(path)
+
+  /** ADC lookup table for one probe: lut(m)(c) = <probe_m, cb(c)_m>,
+    * 9-dp-rounded. M * KC doubles, computed on the driver.
+    */
+  def adcLut(probe: Seq[Float], cb: Array[Seq[Float]]): Array[Array[Double]] =
+    Array.tabulate(M, KC) { (m, c) =>
+      val p = subv(probe, m); val q = subv(cb(c), m)
+      BigDecimal((0 until SubDim).map(i => p(i).toDouble * q(i).toDouble).sum)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+  /** ADC ranking over a codes relation (`vec_id, code0..code{M-1}`): M
+    * lookup-table reads per row, 9-dp-rounded sum, total (asim, vec_id)
+    * order. Works identically over freshly-encoded codes or the stored
+    * table.
+    */
+  def adcRank(codes: DataFrame, lut: Array[Array[Double]], topN: Int): DataFrame = {
+    val asim9 = round((0 until M).map(m =>
+      element_at(typedlit(lut(m).toSeq), col(s"code$m"))).reduceLeft(_ + _), 9)
+    codes.select(col("vec_id"), asim9.as("a9"))
+      .orderBy(col("a9").desc, col("vec_id"))
+      .limit(topN)
+      .select(col("vec_id"), round(col("a9"), 4).as("asim"))
+  }
+
+  /** Approximate top-N for one probe, entirely from the STORED code table:
+    * the plan scans the code parquet — no embedding column, no sub-vector
+    * math, no re-encoding.
+    */
+  def query(spark: SparkSession, path: String,
+            lut: Array[Array[Double]], topN: Int): DataFrame =
+    adcRank(spark.read.parquet(path), lut, topN)
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CharNgrams, MinHash, RollingHash, SharedHash, SimHash, VecMeanAgg, Vectors}
-import graft.operators.{BandedPairs, ConnectedComponents, SignatureIndex}
+import graft.operators.{BandedPairs, ConnectedComponents, PqIndex, SignatureIndex}
 import graft.tables.Tables
 
 /** North-star extensions (SURVEY.md §2.3 Q21–Q24 + the large-scale
@@ -2209,10 +2209,14 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     * in PqRecallSpec (near-identical vector -> identical codes -> ties the
     * probe's own score).
     */
-  val s_ann_pq: Query = {
-    val M = 4; val SubDim = 16; val KC = 8; val TopN = 5
-    q("s_ann_pq", Some(
-      s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+  /** Shared by s_ann_pq and s_ann_pq_index — both compute the same ADC
+    * ranking; they differ in whether codes are re-encoded per query or
+    * read from the persisted code table.
+    */
+  private val pqAdcOracleSql: String = {
+    val M = PqIndex.M; val SubDim = PqIndex.SubDim
+    val KC = PqIndex.KC; val TopN = 5
+    s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings
          |            WHERE vec_id BETWEEN 1 AND $KC),
          |u AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
          |             generate_subscripts(embedding, 1) AS i FROM embeddings),
@@ -2239,42 +2243,46 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
          |  FROM code c JOIN lut l ON l.m = c.m AND l.cid = c.cid
          |  GROUP BY c.vec_id)
          |SELECT vec_id, ROUND(a9, 4) AS asim FROM asim
-         |ORDER BY a9 DESC, vec_id LIMIT $TopN""".stripMargin)) { (s, dir) =>
-      val emb = Tables.load(s, dir, "embeddings")
-      val embIdx = 1 // (vec_id, embedding, label)
-      // bounded collects: KC codebook rows + the probe (driver holds ~KB)
-      val cbRows: Array[Seq[Float]] = emb.filter(col("vec_id").between(1, KC))
-        .orderBy("vec_id").collect().map(_.getSeq[Float](embIdx))
-      val probe: Seq[Float] = emb.filter(col("vec_id") === 1)
-        .collect().head.getSeq[Float](embIdx)
-      def subv(v: Seq[Float], m: Int): Seq[Float] = v.slice(m * SubDim, (m + 1) * SubDim)
-      def round9(x: Double): Double =
-        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-      // ADC lookup table: lut(m)(c) = <probe_m, codebook_c_m>, index-ordered
-      val lut: Array[Array[Double]] = Array.tabulate(M, KC) { (m, c) =>
-        val p = subv(probe, m); val q = subv(cbRows(c), m)
-        round9((0 until SubDim).map(i => p(i).toDouble * q(i).toDouble).sum)
-      }
-      // encode: per subspace, argmin of 9-dp-quantized L2^2 (ties -> smaller
-      // centroid id via struct ordering); cid is 1-based like the oracle's
-      val codeCols = (0 until M).map { m =>
-        val structs = (0 until KC).map { c =>
-          struct(
-            round(Vectors.l2Sq(expr(s"slice(embedding, ${m * SubDim + 1}, $SubDim)"),
-              typedlit(subv(cbRows(c), m))), 9).as("d"),
-            lit(c + 1).as("cid"))
-        }
-        array_min(array(structs: _*)).getField("cid").as(s"code$m")
-      }
-      val asim9 = round((0 until M).map(m =>
-        element_at(typedlit(lut(m).toSeq), col(s"code$m"))).reduceLeft(_ + _), 9)
-      emb.select(col("vec_id") +: codeCols: _*)
-        .select(col("vec_id"), asim9.as("a9"))
-        .orderBy(col("a9").desc, col("vec_id"))
-        .limit(TopN)
-        .select(col("vec_id"), round(col("a9"), 4).as("asim"))
-    }
+         |ORDER BY a9 DESC, vec_id LIMIT $TopN""".stripMargin
   }
+
+  val s_ann_pq: Query =
+    q("s_ann_pq", Some(pqAdcOracleSql)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      // bounded collects: KC codebook rows + the probe (driver holds ~KB)
+      val cb = PqIndex.codebookOf(emb)
+      val probe: Seq[Float] = emb.filter(col("vec_id") === 1)
+        .select("embedding").collect().head.getSeq[Float](0)
+      PqIndex.adcRank(PqIndex.encode(emb, cb), PqIndex.adcLut(probe, cb), topN = 5)
+    }
+
+  /** PQ ANN against the PERSISTED code table — the [[graft.operators.PqIndex]]
+    * lifecycle (train -> encode -> WRITE -> query-from-disk), mirroring
+    * [[graft.operators.SignatureIndex]]'s discipline on the vector side:
+    * s_ann_pq re-encodes the corpus per query (a full-corpus M x KC argmin
+    * pass); here encoding runs once at build, and the query's plan scans
+    * ONLY the M-codes-a-row parquet — no embedding column, no sub-vector
+    * math (PqIndexSpec pins the encoder-free plan). Same oracle, same
+    * 9-dp ADC lattice, identical output to s_ann_pq. The build side effect
+    * is memoized per (JVM, sfDir) like the signature index: the code table
+    * is a durable per-snapshot artifact, so the recurring cost the bench
+    * slot times is the lookup scan.
+    */
+  private val pqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val s_ann_pq_index: Query =
+    q("s_ann_pq_index", Some(pqAdcOracleSql)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = PqIndex.codebookOf(emb)
+      val probe: Seq[Float] = emb.filter(col("vec_id") === 1)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val path = pqIndexCache.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_pqidx_").toString
+        PqIndex.build(emb, cb, p)
+        p
+      })
+      PqIndex.query(s, path, PqIndex.adcLut(probe, cb), topN = 5)
+    }
 
   /** Composed IVF-PQ — the production vector-index architecture (FAISS
     * IVFPQ): the coarse quantizer restricts the search to nProbe=2 of 16
@@ -2566,7 +2574,7 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     d_minhash_lsh, d_simhash, d_dedup_incremental, d_dedup_index, d_substring_dedup,
     d_simhash_weighted, d_dup_clusters, p_neardup_prune, p_dedup_weights, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
-    s_ann_ivf_trained, s_ann_pq, s_ann_ivfpq, s_label_centroid, d_semdedup,
+    s_ann_ivf_trained, s_ann_pq, s_ann_pq_index, s_ann_ivfpq, s_label_centroid, d_semdedup,
     s_knn_batch,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
     t_repetition, t_entropy, t_unigram_surprise,

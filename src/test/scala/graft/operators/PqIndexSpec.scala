@@ -1,0 +1,54 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** The persisted PQ-code-table lifecycle: encode once, store, answer ADC
+  * queries from the stored table with no re-encoding.
+  */
+class PqIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("stored-table query returns exactly the inline s_ann_pq result") {
+    val inline = graft.SparkEntry.queries("s_ann_pq")(spark, sfDir)
+    val stored = graft.SparkEntry.queries("s_ann_pq_index")(spark, sfDir)
+    assert(stored.collect().toSeq == inline.collect().toSeq)
+  }
+
+  test("query plan scans only the code table: no embeddings, no encoder") {
+    val path = Files.createTempDirectory("graft_pqidx_spec_").toString
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cb = PqIndex.codebookOf(emb)
+    PqIndex.build(emb, cb, path)
+    val probe = emb.filter(col("vec_id") === 1)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val plan = PqIndex.query(spark, path, PqIndex.adcLut(probe, cb), topN = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("embedding"),
+      s"query must never read the embedding column:\n$plan")
+    assert(!plan.contains("slice("),
+      s"query must not re-encode (sub-vector math found):\n$plan")
+    assert(plan.contains(path) || plan.contains("FileScan parquet"),
+      s"query must scan the stored code table:\n$plan")
+  }
+
+  test("code table stores M small codes per vector, 1-based") {
+    val path = Files.createTempDirectory("graft_pqidx_codes_").toString
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    PqIndex.build(emb, PqIndex.codebookOf(emb), path)
+    val codes = spark.read.parquet(path)
+    assert(codes.columns.toSeq ==
+      "vec_id" +: (0 until PqIndex.M).map(m => s"code$m"))
+    assert(codes.count() == emb.count())
+    for (m <- 0 until PqIndex.M) {
+      val mm = codes.agg(min(col(s"code$m")), max(col(s"code$m"))).first()
+      assert(mm.getInt(0) >= 1 && mm.getInt(1) <= PqIndex.KC,
+        s"code$m out of [1, ${PqIndex.KC}]: $mm")
+    }
+  }
+}
