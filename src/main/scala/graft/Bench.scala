@@ -30,20 +30,20 @@ object Bench {
     // so spread stays inspectable.
     val timedRuns = 3
     val results = SparkEntry.headlineQueries.map { query =>
-      var failed = false
-      val times = (1 to timedRuns).map { _ =>
+      val times = (1 to timedRuns).flatMap { _ =>
         val t0 = System.nanoTime()
-        try exec(query)
+        try { exec(query); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
-          failed = true
-          System.err.println(s"[bench] ${query.name}: $e")
+          System.err.println(s"[bench] ${query.name}: $e"); None
         }
-        (System.nanoTime() - t0) / 1e9
       }.sorted
       System.err.println(f"[bench-runs] ${query.name}: ${times.map(t => f"$t%.2f").mkString(" ")}")
-      // a query that regresses into a FAST failure must not enter the round
-      // record as a speedup: -1 is an unambiguous failed-slot sentinel
-      query.name -> (if (failed) -1.0 else times(timedRuns / 2))
+      // median of the SUCCESSFUL runs: a single transient fault must not
+      // void the slot that median-of-3 exists to protect (with 2 successes
+      // the upper one is taken — conservative). A query that fails every
+      // run records the unambiguous -1 sentinel: a regression into a FAST
+      // failure must never enter the round record as a speedup.
+      query.name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -35,7 +35,7 @@ final case class ConnectionParams(
 
 object ConnectionParams {
 
-  private val flagsWithValue = Set("--host", "--port", "--user", "--password", "--db")
+  private[cli] val flagsWithValue = Set("--host", "--port", "--user", "--password", "--db")
 
   /** Left(message) on a malformed GRAFT_PORT instead of an uncaught
     * NumberFormatException — the env fallback gets the same friendly

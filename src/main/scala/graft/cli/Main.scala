@@ -40,11 +40,30 @@ object Main {
     if (code != 0) sys.exit(code)
   }
 
+  /** `--yes` is recognized only where it is syntactically a FLAG — a token
+    * in value position after a value-taking connection flag is that flag's
+    * value (so `--password --yes` really sets the password to "--yes"
+    * instead of silently consuming the next token as the password, which
+    * is what a global partition did).
+    */
+  private def stripYes(args: List[String]): (Boolean, List[String]) = {
+    val out = List.newBuilder[String]
+    var yes = false
+    var rest = args
+    while (rest.nonEmpty) rest = rest match {
+      case f :: v :: tail if ConnectionParams.flagsWithValue(f) =>
+        out += f += v; tail
+      case "--yes" :: tail => yes = true; tail
+      case x :: tail => out += x; tail
+      case Nil => Nil
+    }
+    (yes, out.result())
+  }
+
   /** Testable core: returns the process exit code instead of calling it. */
   def run(args: List[String], spark: SparkSession,
           confirm: () => Boolean = stdinConfirm): Int = {
-    val (yes, noYes) = args.partition(_ == "--yes")
-    val skipConfirm = yes.nonEmpty
+    val (skipConfirm, noYes) = stripYes(args)
     ConnectionParams.parse(noYes) match {
       case Left(msg) =>
         System.err.println(msg)

@@ -112,8 +112,9 @@ object NorthStar {
     * `cap`: the declared query keeps the reference inventory's doc_id < 200
     * slice so the oracle stays cheap; pass None for the full corpus.
     */
-  def ngramJaccard(cap: Option[Long], threshold: Double = 0.25): (SparkSession, String) => DataFrame =
+  def ngramJaccard(cap: Option[Long], tNum: Long = 1, tDen: Long = 4): (SparkSession, String) => DataFrame =
     (s, dir) => {
+      require(tNum > 0 && tNum <= tDen, s"threshold must be in (0,1]: $tNum/$tDen")
       val base = Tables.load(s, dir, "documents")
       val docs = cap.fold(base)(c => base.filter(col("doc_id") < c))
       // shingle rows carry the per-doc distinct count, so |A| and |B| ride
@@ -127,10 +128,13 @@ object NorthStar {
         .select(col("doc_id"), CharNgrams.charNgrams(col("text"), 8).as("ng"))
         .select(col("doc_id"), size(col("ng")).as("n"), explode(col("ng")).as("sh"))
       val a = sh.as("a"); val b = sh.as("b")
-      // size prefilter: jac >= t bounds the size ratio by 1/t (exact-safe:
-      // |A n B| <= min, |A u B| >= max, so t <= min/max)
-      val ratioOk = col("a.n") <= col("b.n") / threshold &&
-        col("b.n") <= col("a.n") / threshold
+      // size prefilter: jac >= t bounds the size ratio by 1/t (|A n B| <=
+      // min, |A u B| >= max, so t <= min/max). The threshold is a RATIONAL
+      // tNum/tDen and both bounds are integer cross-multiplications — a
+      // float `a.n <= b.n / t` is exact only for dyadic t and could prune
+      // a boundary-qualifying pair via one-ulp rounding for, say, t = 0.3.
+      val ratioOk = col("a.n") * tNum <= col("b.n") * tDen &&
+        col("b.n") * tNum <= col("a.n") * tDen
       val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id")
           && ratioOk)
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -139,7 +143,9 @@ object NorthStar {
       val jac = col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common"))
       inter
-        .filter(jac >= threshold)
+        // integer-exact threshold test, same rational discipline
+        .filter(col("n_common") * tDen >=
+          (col("na") + col("nb") - col("n_common")) * tNum)
         .select(col("id_a"), col("id_b"), round(jac, 3).as("jac"))
         .orderBy("id_a", "id_b")
     }
@@ -1942,8 +1948,10 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     * engines (a float -ln(c/N) formulation risks a rounding flip per
     * token across ~400k tokens at the gate's sf). Plan shape: one global
     * token-frequency pass (map-side combined), one 1-row total broadcast,
-    * one equi-join keyed by token, one per-doc aggregate — every shuffle
-    * carries (token, count) or (doc_id, int) rows.
+    * a hot/tail split of the token-keyed join (see the inline note), one
+    * per-doc aggregate — every shuffle carries (token, count) or
+    * (doc_id, int) rows, and no reducer ever holds a stopword's full
+    * occurrence list.
     */
   val t_unigram_surprise: Query = q("t_unigram_surprise", Some(
     """WITH tok AS (
@@ -1955,13 +1963,29 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       |  FROM tok JOIN f ON tok.tk = f.tk CROSS JOIN t)
       |SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(s), 4) AS surprise
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    // Hot-token split: the token-keyed tok-to-frequency join is the one
+    // skewed exchange in this query — every occurrence of a stopword lands
+    // in a single reducer's hash bucket ("the" is ~5% of a real English
+    // corpus; this fixture's hottest token is 9.2k of 270k occurrences at
+    // sf0.1). AQE's skew-join split covers it at today's scale, but the
+    // structural fix costs one tiny broadcast: per-distinct-token
+    // surprisal is VOCABULARY-sized, so the top-K hottest tokens (which
+    // Zipf puts at ~half of all occurrences for K=1024) broadcast-join
+    // with no shuffle of their occurrences at all, and only the tail —
+    // whose per-token multiplicity is bounded by the K-th count — takes
+    // the token-keyed exchange. The two slices partition tok exactly, so
+    // the union is the original join.
     val tok = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
     val freqs = tok.groupBy("tk").agg(count(lit(1)).as("c"))
     val tot = freqs.agg(sum(col("c")).as("n"))
-    tok.join(freqs, "tk")
-      .crossJoin(broadcast(tot))
-      .select(col("doc_id"), expr("length(bin(n div c))").as("s"))
+    val stab = freqs.crossJoin(broadcast(tot))
+      .select(col("tk"), col("c"), expr("length(bin(n div c))").as("s"))
+    val hot = broadcast(stab.orderBy(col("c").desc, col("tk")).limit(1024))
+    val hotSide = tok.join(hot, "tk").select(col("doc_id"), col("s"))
+    val tailSide = tok.join(hot, Seq("tk"), "left_anti")
+      .join(stab, "tk").select(col("doc_id"), col("s"))
+    hotSide.unionByName(tailSide)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("s")), 4).as("surprise"))
       .orderBy("doc_id")

@@ -16,6 +16,19 @@ class MainSpec extends SparkSpec {
     assert(spark.table("spectrum.cli_nation").count() == 25)
   }
 
+  test("--yes in a flag's value position is the value, not the confirm flag") {
+    val base = Files.createTempDirectory("cli_").toString
+    Main.run(List("export", src, base), spark)
+    Main.run(List("convert", src, base), spark)
+    // '--yes' here is the --password VALUE; no confirm skip was requested,
+    // so the declined confirmation must abort (the old global partition
+    // stripped it and consumed 'create_table' as the password)
+    val code = Main.run(List("--password", "--yes", "create_table", src, base,
+      "spectrum", "cli_pwyes"), spark, confirm = () => false)
+    assert(code == 1)
+    assert(!spark.catalog.tableExists("spectrum.cli_pwyes"))
+  }
+
   test("create_table without confirmation aborts with exit 1") {
     val base = Files.createTempDirectory("cli_").toString
     Main.run(List("export", src, base), spark)
