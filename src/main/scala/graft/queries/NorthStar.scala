@@ -589,35 +589,58 @@ object NorthStar {
     * at 100 TB trade that for persisting the exploded triples, exactly as
     * [[graft.operators.SignatureIndex]] does for whole-doc signatures.
     */
-  val d_substring_dedup: Query = {
-    val W = 20
+  /** Window size for the substring-dedup family (Lee et al. use 50; this
+    * corpus's median doc is 56 tokens, so 20 exercises the machinery at a
+    * span length the fixture actually repeats).
+    */
+  private val SubW = 20
+
+  /** DuckDB CTE prefix recomputing [[graft.functions.RollingHash]]'s
+    * Mersenne-61 polynomial exactly (HUGEINT modular arithmetic over the
+    * same first-7-md5-hex-digit token hashes). Ends with
+    * `win(doc_id, off, h)` — shared by d_substring_dedup and p_cut_spans.
+    */
+  private val substringWinCte: String = {
     val M = "2305843009213693951" // 2^61 - 1
     val B = "1000003"
     // first 7 hex digits of md5 as an integer, shared-SQL (SharedHash doctrine)
     val hex7 = (1 to 7)
       .map(i => s"${SharedHash.digitSql("h", i.toString)} * ${1L << (4 * (7 - i))}")
       .mkString("(", " + ", ")")
+    s"""WITH RECURSIVE pw(k, p) AS (
+       |  SELECT 0, CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT k + 1, CAST((CAST(p AS HUGEINT) * $B) % $M AS BIGINT)
+       |  FROM pw WHERE k < ${SubW - 1}),
+       |tok AS (
+       |  SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tk,
+       |         len(ts) AS n
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) s),
+       |th AS (
+       |  SELECT doc_id, pos, n, $hex7 AS t
+       |  FROM (SELECT doc_id, pos, n, md5(tk) AS h FROM tok) s),
+       |contrib AS (
+       |  SELECT doc_id, pos - (${SubW - 1} - k) AS off, n,
+       |         CAST(t AS HUGEINT) * CAST(p AS HUGEINT) AS c
+       |  FROM th, pw),
+       |win AS (
+       |  SELECT doc_id, off, CAST(SUM(c) % $M AS BIGINT) AS h
+       |  FROM contrib WHERE off >= 0 AND off <= n - $SubW
+       |  GROUP BY doc_id, off)""".stripMargin
+  }
+
+  /** (doc_id, off, h) rolling-window triples — the Spark twin of
+    * [[substringWinCte]], one codegen kernel pass per document.
+    */
+  private def substringWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(RollingHash.windowHashes(col("text"), SubW)).as(Seq("off", "h")))
+
+  val d_substring_dedup: Query = {
+    val W = SubW
     q("d_substring_dedup", Some(
-      s"""WITH RECURSIVE pw(k, p) AS (
-         |  SELECT 0, CAST(1 AS BIGINT)
-         |  UNION ALL
-         |  SELECT k + 1, CAST((CAST(p AS HUGEINT) * $B) % $M AS BIGINT)
-         |  FROM pw WHERE k < ${W - 1}),
-         |tok AS (
-         |  SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tk,
-         |         len(ts) AS n
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) s),
-         |th AS (
-         |  SELECT doc_id, pos, n, $hex7 AS t
-         |  FROM (SELECT doc_id, pos, n, md5(tk) AS h FROM tok) s),
-         |contrib AS (
-         |  SELECT doc_id, pos - (${W - 1} - k) AS off, n,
-         |         CAST(t AS HUGEINT) * CAST(p AS HUGEINT) AS c
-         |  FROM th, pw),
-         |win AS (
-         |  SELECT doc_id, off, CAST(SUM(c) % $M AS BIGINT) AS h
-         |  FROM contrib WHERE off >= 0 AND off <= n - $W
-         |  GROUP BY doc_id, off),
+      s"""$substringWinCte,
          |dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
          |mk AS (
          |  SELECT doc_id, off,
@@ -632,9 +655,7 @@ object NorthStar {
          |       CAST(n_windows AS BIGINT) AS n_windows
          |FROM sp ORDER BY doc_id, span_start""".stripMargin),
       headline = true) { (s, dir) =>
-      val win = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(RollingHash.windowHashes(col("text"), W)).as(Seq("off", "h")))
+      val win = substringWindows(s, dir)
       val dup = win.groupBy("h").agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") > 1).select("h")
       val wn = Window.partitionBy("doc_id").orderBy("off")
@@ -647,6 +668,73 @@ object NorthStar {
           count(lit(1)).as("n_windows"))
         .select("doc_id", "span_start", "span_end", "n_windows")
         .orderBy("doc_id", "span_start")
+    }
+  }
+
+  /** Substring-dedup REMOVAL — the corpus rewrite d_substring_dedup only
+    * detects (Lee et al. 2022 cut every repeated span but one occurrence;
+    * dropping whole documents over a shared boilerplate run would throw
+    * away their unique text). Every token covered by a cross-document
+    * duplicated window is cut, EXCEPT in the window's corpus-first
+    * occurrence (minimum (doc_id, off) — a deterministic canonical keeper
+    * both engines agree on); surviving tokens reassemble in order.
+    *
+    * Scale shape: the first-occurrence choice is a map-side-partial
+    * groupBy(h) with a min(struct) — skew-safe where a row_number window
+    * over h would funnel a boilerplate hash's every occurrence through one
+    * task; cut positions explode only from MARKED windows (output-sized,
+    * W rows each); the anti-join and the rebuild shuffle (doc_id,
+    * pos, token) rows. Rebuild determinism: tokens sort by unique
+    * per-doc pos before array_join — no collect_list order dependence.
+    */
+  val p_cut_spans: Query = {
+    val W = SubW
+    q("p_cut_spans", Some(
+      s"""$substringWinCte,
+         |dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+         |mk AS (
+         |  SELECT doc_id, off,
+         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, off) AS rn
+         |  FROM win WHERE h IN (SELECT h FROM dup)),
+         |cut AS (SELECT doc_id, off FROM mk WHERE rn > 1),
+         |cov AS (SELECT DISTINCT doc_id, off + k.k AS pos
+         |        FROM cut, (SELECT unnest(range(0, $W)) AS k) k),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tk
+         |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.pos IS NULL),
+         |ag AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |         string_agg(tk, ' ' ORDER BY pos) AS text_out
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(ag.n_kept, 0) AS BIGINT) AS n_kept,
+         |       COALESCE(ag.text_out, '') AS text_out
+         |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+         |ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val win = substringWindows(s, dir)
+      val dupFirst = win.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("off"))).as("first"),
+          countDistinct("doc_id").as("nd"))
+        .filter(col("nd") > 1)
+      val cut = win.join(dupFirst, "h")
+        .filter(!(col("doc_id") === col("first.doc_id") &&
+          col("off") === col("first.off")))
+      val covered = cut
+        .select(col("doc_id"),
+          explode(sequence(col("off"), col("off") + (W - 1))).as("pos"))
+        .distinct()
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tk")))
+      val ag = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(struct(pos, tk)))," +
+            " x -> x.tk), ' ')").as("text_out"))
+      docs.select("doc_id").join(ag, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("text_out"), lit("")).as("text_out"))
+        .orderBy("doc_id")
     }
   }
 
@@ -2596,6 +2684,7 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
     d_minhash_lsh, d_simhash, d_dedup_incremental, d_dedup_index, d_substring_dedup,
+    p_cut_spans,
     d_simhash_weighted, d_dup_clusters, p_neardup_prune, p_dedup_weights, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_ivf_trained, s_ann_pq, s_ann_pq_index, s_ann_ivfpq, s_label_centroid, d_semdedup,
