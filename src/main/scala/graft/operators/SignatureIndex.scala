@@ -91,8 +91,13 @@ object SignatureIndex {
           expr(s"bit_count(a.simhash ^ b.simhash) <= $maxHamming"))
       .groupBy(col("a.doc_id").as("doc_id"))
       .agg(min(col("b.doc_id")).as("dup_of"))
+    // distinct: the probe is DUPLICATE-INSENSITIVE end to end (the min
+    // witness doesn't care how many index rows repeat a signature), which
+    // is what makes at-least-once appenders — a replayed streaming
+    // micro-batch (st_sig_ingest), a retried batch ingest — safe without
+    // any sink-side exactly-once machinery
     spark.read.parquet(path).filter(col("batch") === batch)
-      .select(col("doc_id"))
+      .select(col("doc_id")).distinct()
       .join(matches, Seq("doc_id"), "left")
   }
 }

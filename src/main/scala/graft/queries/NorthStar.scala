@@ -482,8 +482,12 @@ object NorthStar {
     * delta-vs-(base + lower-id delta) witness relation; they differ only in
     * where the base signatures come from (recomputed vs persisted index).
     */
-  private val incrementalDedupOracleSql: String =
-    s"""WITH tok AS (
+  /** DuckDB CTE chain recomputing the per-occurrence 63-bit simhash of every
+    * document, ending with `sh(doc_id, simhash)` — shared by the incremental
+    * dedup oracles and st_sig_ingest's.
+    */
+  val simhashShCte: String =
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
        |th AS (SELECT doc_id, md5(tk) AS h FROM tok),
        |tb AS (
@@ -495,7 +499,10 @@ object NorthStar {
        |sh AS (
        |  SELECT doc_id,
        |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
-       |  FROM bs GROUP BY doc_id),
+       |  FROM bs GROUP BY doc_id)""".stripMargin
+
+  private val incrementalDedupOracleSql: String =
+    s"""WITH $simhashShCte,
        |m AS (
        |  SELECT doc_id, simhash,
        |         substring(md5(CAST(doc_id AS VARCHAR) || ':delta'), 1, 1) <= '2' AS is_delta

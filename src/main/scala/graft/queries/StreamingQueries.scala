@@ -213,6 +213,48 @@ object StreamingQueries {
            |FROM (SELECT * FROM m UNION ALL SELECT * FROM um) u
            |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin))
 
+  /** Streaming signature-index ingest — the production crawl path feeding
+    * [[graft.operators.SignatureIndex]]: documents stream in, the fused
+    * simhash kernel runs per row (stateless — no watermark, no aggregation
+    * state), and `(doc_id, simhash, batch)` appends to the index parquet.
+    *
+    * foreachBatch + the plain batch writer, NOT the streaming file sink:
+    * the file sink's exactly-once manifest (`_spark_metadata`) makes the
+    * directory PRIVATE to the sink — any later read of it consults the
+    * manifest and silently hides files appended by batch `ingest`, so a
+    * shared artifact cannot live behind it. The ingest is therefore
+    * at-least-once under micro-batch replay, which is safe here by
+    * construction: `probe` is duplicate-insensitive (min-witness over
+    * however many copies of a signature row — see its scaladoc), the
+    * SignatureIndexSpec interop test proves the streamed+batch handoff.
+    * Oracle: the same simhash CTE the incremental-dedup oracles recompute.
+    */
+  val st_sig_ingest: Query = Query(
+    "st_sig_ingest",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_sigidx_")
+      val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      val docs = s.readStream
+        .schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val sigs = graft.operators.SignatureIndex.signatures(docs)
+        .withColumn("batch", lit(0))
+      val q = sigs.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$base/idx")
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/idx")
+        .select(col("doc_id"), col("simhash"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${NorthStar.simhashShCte}
+            |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
-    st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch)
+    st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest)
 }

@@ -72,6 +72,35 @@ class SignatureIndexSpec extends SparkSpec {
       s"probe must scan the stored index:\n$plan")
   }
 
+  test("streamed ingest (st_sig_ingest path) interoperates with batch probe") {
+    val base = Files.createTempDirectory("graft_sigidx_stream_").toString
+    val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    // batch 0 arrives over the STREAMING path (foreachBatch append — the
+    // manifest-committed file sink would hide later batch appends)...
+    val streamed = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(col("doc_id") % 2 === 0)
+    val q = SignatureIndex.signatures(streamed).withColumn("batch", lit(0))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(s"$base/idx")
+      }
+      .option("checkpointLocation", s"$base/cp")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // ...batch 1 through the batch ingest; probe must equal a twin index
+    // built entirely by batch
+    val docs = Tables.load(spark, sfDir, "documents")
+    SignatureIndex.ingest(docs.filter(col("doc_id") % 2 === 1), s"$base/idx", batch = 1)
+    val twin = Files.createTempDirectory("graft_sigidx_twin_").toString
+    SignatureIndex.build(docs.filter(col("doc_id") % 2 === 0), twin)
+    SignatureIndex.ingest(docs.filter(col("doc_id") % 2 === 1), twin, batch = 1)
+    assert(
+      SignatureIndex.probe(spark, s"$base/idx", batch = 1).orderBy("doc_id").collect().toSeq ==
+        SignatureIndex.probe(spark, twin, batch = 1).orderBy("doc_id").collect().toSeq)
+  }
+
   test("d_dedup_index query plan reads the index, not the kernel") {
     val df = graft.SparkEntry.queries("d_dedup_index")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
