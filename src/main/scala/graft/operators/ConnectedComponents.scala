@@ -51,6 +51,11 @@ object ConnectedComponents {
     // so canonicalization + signature are ONE job (eager would be two) —
     // run under the CALLER's conf, because this step consumes the
     // corpus-sized pair feed the caller's shuffle width was sized for
+    // The feed distinct stays: a banded pair generator emits a pair once
+    // per colliding band (<= 7x here), and folding that ONCE in this wide
+    // exchange beats carrying 7x rows through the loop's first batch (two
+    // more exchanges) — measured neutral at sf0.1, clearly better shuffled
+    // volume at scale (7E once + E onward vs 14E through round 1).
     val canonical = pairs
       .select(greatest(col(cols(0)), col(cols(1))).as("u"),
         least(col(cols(0)), col(cols(1))).as("v"))
