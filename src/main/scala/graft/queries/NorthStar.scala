@@ -1658,6 +1658,39 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     * be deterministic per shard, which is what training reproducibility
     * requires).
     */
+  /** Domain-mixture reweighting — temperature-smoothed source sampling
+    * (the mT5/XLM-R recipe, Xue et al. 2021 §3.1: sample source s with
+    * probability proportional to |s|^alpha, alpha = 0.5, so rare domains
+    * up-weight without drowning the head; DoReMi-style learned weights
+    * would slot into the same per-source rate table). Emits the per-source
+    * target share and the per-doc sampling-rate multiplier a downstream
+    * sampler applies (>1 = upsample).
+    *
+    * N^alpha cancels in the softmax, so q_s = n_s^alpha / sum_t n_t^alpha —
+    * one map-side-combined groupBy over sources plus a 1-row broadcast of
+    * the normalizer; nothing here scales with docs. sqrt is IEEE-exact in
+    * both engines; the 6-dp round follows the float-aggregate discipline.
+    */
+  val p_domain_mix: Query = q("p_domain_mix", Some(
+    """WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |t AS (SELECT SUM(POWER(n, 0.5)) AS sp, CAST(SUM(n) AS BIGINT) AS nn FROM s)
+      |SELECT source, CAST(n AS BIGINT) AS n_docs,
+      |       ROUND(POWER(n, 0.5) / t.sp, 6) AS target_share,
+      |       ROUND(POWER(n, 0.5) / t.sp * t.nn / n, 6) AS sample_rate
+      |FROM s CROSS JOIN t ORDER BY source""".stripMargin)) { (s, dir) =>
+    val bySrc = Tables.load(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val norm = bySrc.agg(
+      sum(pow(col("n").cast("double"), 0.5)).as("sp"),
+      sum(col("n")).as("nn"))
+    val w = pow(col("n").cast("double"), 0.5) / col("sp")
+    bySrc.crossJoin(broadcast(norm))
+      .select(col("source"), col("n").as("n_docs"),
+        round(w, 6).as("target_share"),
+        round(w * col("nn").cast("double") / col("n").cast("double"), 6).as("sample_rate"))
+      .orderBy("source")
+  }
+
   val p_shard: Query = {
     val nShards = 8
     // ((d1*16 + d2)*16 + d3)*16 + d4 over the first four md5 hex digits —
@@ -2698,7 +2731,8 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     s_knn_batch,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
     t_repetition, t_entropy, t_unigram_surprise,
-    t_fingerprint, t_decontam, t_sample_split, t_stratified, t_pii, p_clean_corpus, p_shard, p_pack,
+    t_fingerprint, t_decontam, t_sample_split, t_stratified, t_pii, p_clean_corpus,
+    p_domain_mix, p_shard, p_pack,
     p_pack_exact, p_zorder, p_pipeline_full, p_token_budget,
     q23_time_bucket, e_anomaly, w_sliding_window, w_session_window, m_binary_meta)
 }
