@@ -40,12 +40,13 @@ object PqIndex {
     emb.filter(col("vec_id").between(1, KC)).orderBy("vec_id")
       .select("embedding").collect().map(_.getSeq[Float](0))
 
-  /** Per-subspace nearest-codebook-entry codes (1-based), one row per
-    * vector: `(vec_id, code0..code{M-1})`. The ONLY place sub-vector
-    * distances are computed in this lifecycle.
+  /** The M per-subspace nearest-codebook-entry code columns (1-based):
+    * argmin of 9-dp-quantized sub-vector L2^2, ties to the smaller id via
+    * struct ordering. Exposed so composed indexes ([[IvfPqIndex]]) can
+    * encode while keeping extra columns.
     */
-  def encode(emb: DataFrame, cb: Array[Seq[Float]]): DataFrame = {
-    val codeCols = (0 until M).map { m =>
+  def codeColumns(cb: Array[Seq[Float]]): Seq[org.apache.spark.sql.Column] =
+    (0 until M).map { m =>
       val structs = (0 until KC).map { c =>
         struct(
           round(Vectors.l2Sq(expr(s"slice(embedding, ${m * SubDim + 1}, $SubDim)"),
@@ -54,8 +55,13 @@ object PqIndex {
       }
       array_min(array(structs: _*)).getField("cid").as(s"code$m")
     }
-    emb.select(col("vec_id") +: codeCols: _*)
-  }
+
+  /** Per-subspace nearest-codebook-entry codes (1-based), one row per
+    * vector: `(vec_id, code0..code{M-1})`. The ONLY place sub-vector
+    * distances are computed in this lifecycle.
+    */
+  def encode(emb: DataFrame, cb: Array[Seq[Float]]): DataFrame =
+    emb.select(col("vec_id") +: codeColumns(cb): _*)
 
   /** Encode the corpus once; write the code table. */
   def build(emb: DataFrame, cb: Array[Seq[Float]], path: String): Unit =

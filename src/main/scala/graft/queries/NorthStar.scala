@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CharNgrams, MinHash, RollingHash, SharedHash, SimHash, VecMeanAgg, Vectors}
-import graft.operators.{BandedPairs, ConnectedComponents, PqIndex, SignatureIndex}
+import graft.operators.{BandedPairs, ConnectedComponents, IvfPqIndex, PqIndex, SignatureIndex}
 import graft.tables.Tables
 
 /** North-star extensions (SURVEY.md §2.3 Q21–Q24 + the large-scale
@@ -2445,11 +2445,15 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     * surviving scan 4 table reads per candidate over a RAM-resident code
     * table. Same 9-dp quantization discipline as both parents.
     */
-  val s_ann_ivfpq: Query = {
+  /** Shared by s_ann_ivfpq and s_ann_ivfpq_index — both compute the same
+    * nProbe-restricted ADC ranking; they differ in whether assignment +
+    * codes are recomputed per query or read partition-pruned from the
+    * stored IVF-PQ table.
+    */
+  private val ivfpqOracleSql: String = {
     val KCoarse = 16; val NProbe = 2
     val M = 4; val SubDim = 16; val KC = 8; val TopN = 5
-    q("s_ann_ivfpq", Some(
-      s"""WITH cent AS (SELECT vec_id AS ccid, embedding FROM embeddings
+    s"""WITH cent AS (SELECT vec_id AS ccid, embedding FROM embeddings
          |              WHERE vec_id <= $KCoarse),
          |u AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
          |             generate_subscripts(embedding, 1) AS i FROM embeddings),
@@ -2495,7 +2499,13 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
          |  FROM code c JOIN lut l ON l.m = c.m AND l.cid = c.cid
          |  GROUP BY c.vec_id)
          |SELECT vec_id, ROUND(a9, 4) AS asim FROM asim
-         |ORDER BY a9 DESC, vec_id LIMIT $TopN""".stripMargin)) { (s, dir) =>
+         |ORDER BY a9 DESC, vec_id LIMIT $TopN""".stripMargin
+  }
+
+  val s_ann_ivfpq: Query = {
+    val KCoarse = 16; val NProbe = 2
+    val M = 4; val SubDim = 16; val KC = 8; val TopN = 5
+    q("s_ann_ivfpq", Some(ivfpqOracleSql)) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val embIdx = 1
       val cents: Array[(Long, Seq[Float])] = emb.filter(col("vec_id") <= KCoarse)
@@ -2550,6 +2560,34 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
         .select(col("vec_id"), round(col("a9"), 4).as("asim"))
     }
   }
+
+  /** IVF-PQ against the STORED list-partitioned code table — the composed
+    * on-disk index [[graft.operators.IvfPqIndex]] (FAISS IndexIVFPQ
+    * persisted): s_ann_ivfpq recomputes assignment + codes per query; here
+    * both happened once at build, the code table is partitioned by coarse
+    * list on disk, and the query's nProbe restriction is PARTITION PRUNING
+    * — unmatched list directories never become tasks, so the scan reads
+    * ~nProbe/K of the index bytes and no embedding at all
+    * (IvfPqIndexSpec pins PartitionFilters, the pruned partition count,
+    * and byte-identical output to the inline query). Same oracle, same
+    * 9-dp lattices. Build memoized per (JVM, sfDir) as with the other
+    * stored indexes.
+    */
+  private val ivfpqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val s_ann_ivfpq_index: Query =
+    q("s_ann_ivfpq_index", Some(ivfpqOracleSql)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = IvfPqIndex.centroidsOf(emb)
+      val cb = PqIndex.codebookOf(emb)
+      val probe: Seq[Float] = cents.find(_._1 == 1L).get._2
+      val path = ivfpqIndexCache.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_ivfpqidx_").toString
+        IvfPqIndex.build(emb, cents, cb, p)
+        p
+      })
+      IvfPqIndex.query(s, path, probe, cents, cb, topN = 5)
+    }
 
   /** BM25 keyword search (k1=1.2, b=0.75) for a fixed 3-term query — the
     * retrieval scorer a search user of the engine runs. Per-doc term
@@ -2727,7 +2765,8 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     p_cut_spans,
     d_simhash_weighted, d_dup_clusters, p_neardup_prune, p_dedup_weights, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
-    s_ann_ivf_trained, s_ann_pq, s_ann_pq_index, s_ann_ivfpq, s_label_centroid, d_semdedup,
+    s_ann_ivf_trained, s_ann_pq, s_ann_pq_index, s_ann_ivfpq, s_ann_ivfpq_index,
+    s_label_centroid, d_semdedup,
     s_knn_batch,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
     t_repetition, t_entropy, t_unigram_surprise,
