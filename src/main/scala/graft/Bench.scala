@@ -38,12 +38,14 @@ object Bench {
         }
       }.sorted
       System.err.println(f"[bench-runs] ${query.name}: ${times.map(t => f"$t%.2f").mkString(" ")}")
-      // median of the SUCCESSFUL runs: a single transient fault must not
-      // void the slot that median-of-3 exists to protect (with 2 successes
-      // the upper one is taken — conservative). A query that fails every
-      // run records the unambiguous -1 sentinel: a regression into a FAST
-      // failure must never enter the round record as a speedup.
-      query.name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
+      // median of the SUCCESSFUL runs when successes hold the MAJORITY: a
+      // single transient fault must not void the slot that median-of-3
+      // exists to protect (with 2 successes the upper one is taken —
+      // conservative). Majority failure records the unambiguous -1
+      // sentinel — a state-dependent regression (first run works, warm
+      // runs throw) must never enter the round record as one healthy
+      // number, and a FAST failure must never read as a speedup.
+      query.name -> (if (times.size * 2 <= timedRuns) -1.0 else times(times.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

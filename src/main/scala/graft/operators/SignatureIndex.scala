@@ -81,7 +81,11 @@ object SignatureIndex {
     */
   def probe(spark: SparkSession, path: String, batch: Int,
             maxHamming: Int = 6): DataFrame = {
-    val idx = banded(spark.read.parquet(path))
+    // pre-filter batch <= probed batch: the disjunctive join condition
+    // below is not inferable as a pushable b-side predicate, so without
+    // this a historical-batch probe would band and shuffle every LATER
+    // batch's rows only to drop them in the join
+    val idx = banded(spark.read.parquet(path).filter(col("batch") <= batch))
     val a = idx.filter(col("batch") === batch).hint("SHUFFLE_HASH").as("a")
     val b = idx.as("b")
     val matches = a.join(b,

@@ -1668,22 +1668,25 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     *
     * N^alpha cancels in the softmax, so q_s = n_s^alpha / sum_t n_t^alpha —
     * one map-side-combined groupBy over sources plus a 1-row broadcast of
-    * the normalizer; nothing here scales with docs. sqrt is IEEE-exact in
-    * both engines; the 6-dp round follows the float-aggregate discipline.
+    * the normalizer; nothing here scales with docs. alpha = 0.5 is
+    * computed as SQRT on BOTH engines — sqrt is correctly rounded per
+    * IEEE 754 where pow(x, 0.5) is only 1-ulp-accurate (Math.pow) and
+    * could flip a 6-dp ROUND boundary between engines; the 6-dp round
+    * follows the float-aggregate discipline.
     */
   val p_domain_mix: Query = q("p_domain_mix", Some(
     """WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
-      |t AS (SELECT SUM(POWER(n, 0.5)) AS sp, CAST(SUM(n) AS BIGINT) AS nn FROM s)
+      |t AS (SELECT SUM(SQRT(n)) AS sp, CAST(SUM(n) AS BIGINT) AS nn FROM s)
       |SELECT source, CAST(n AS BIGINT) AS n_docs,
-      |       ROUND(POWER(n, 0.5) / t.sp, 6) AS target_share,
-      |       ROUND(POWER(n, 0.5) / t.sp * t.nn / n, 6) AS sample_rate
+      |       ROUND(SQRT(n) / t.sp, 6) AS target_share,
+      |       ROUND(SQRT(n) / t.sp * t.nn / n, 6) AS sample_rate
       |FROM s CROSS JOIN t ORDER BY source""".stripMargin)) { (s, dir) =>
     val bySrc = Tables.load(s, dir, "documents")
       .groupBy("source").agg(count(lit(1)).as("n"))
     val norm = bySrc.agg(
-      sum(pow(col("n").cast("double"), 0.5)).as("sp"),
+      sum(sqrt(col("n").cast("double"))).as("sp"),
       sum(col("n")).as("nn"))
-    val w = pow(col("n").cast("double"), 0.5) / col("sp")
+    val w = sqrt(col("n").cast("double")) / col("sp")
     bySrc.crossJoin(broadcast(norm))
       .select(col("source"), col("n").as("n_docs"),
         round(w, 6).as("target_share"),
@@ -2502,64 +2505,21 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
          |ORDER BY a9 DESC, vec_id LIMIT $TopN""".stripMargin
   }
 
-  val s_ann_ivfpq: Query = {
-    val KCoarse = 16; val NProbe = 2
-    val M = 4; val SubDim = 16; val KC = 8; val TopN = 5
+  val s_ann_ivfpq: Query =
     q("s_ann_ivfpq", Some(ivfpqOracleSql)) { (s, dir) =>
+      // single source of the quantization lattice: assignment, list pick,
+      // LUT, and codes all come from IvfPqIndex/PqIndex, so the inline and
+      // stored lifecycles cannot drift apart (IvfPqIndexSpec pins their
+      // output equality)
       val emb = Tables.load(s, dir, "embeddings")
-      val embIdx = 1
-      val cents: Array[(Long, Seq[Float])] = emb.filter(col("vec_id") <= KCoarse)
-        .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Float](embIdx)))
-      // PQ codebook/probe ids are 1-based (vec_id 0 exists and is NOT in them)
-      val cbRows: Array[Seq[Float]] = cents.filter(c => c._1 >= 1 && c._1 <= KC).map(_._2)
+      val cents = IvfPqIndex.centroidsOf(emb)
+      val cb = PqIndex.codebookOf(emb)
       val probe: Seq[Float] = cents.find(_._1 == 1L).get._2
-      def round9(x: Double): Double =
-        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-      def cos(a: Seq[Float], b: Seq[Float]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < a.length) {
-          val x = a(i).toDouble; val y = b(i).toDouble
-          dot += x * y; na += x * x; nb += y * y; i += 1
-        }
-        dot / (math.sqrt(na) * math.sqrt(nb))
-      }
-      // coarse assignment: argmax of 9dp-quantized cosine, ties -> smaller ccid
-      val simStructs = cents.map { case (ccid, v) =>
-        struct(round(Vectors.cosineSim(col("embedding"), typedlit(v)), 9).as("sim"),
-          lit(-ccid).as("nccid"))
-      }
-      val assigned = emb.withColumn("ccid",
-        -array_max(array(simStructs.toSeq: _*)).getField("nccid"))
-      // probe's top-nProbe lists, driver-side on the same 9dp lattice
-      val probeLists: Seq[Long] = cents
-        .map { case (ccid, v) => (ccid, round9(cos(probe, v))) }
-        .sortBy { case (ccid, sim) => (-sim, ccid) }
-        .take(NProbe).map(_._1).toSeq
-      val cand = assigned.filter(col("ccid").isin(probeLists: _*))
-      // PQ ADC over the candidates
-      def subv(v: Seq[Float], m: Int): Seq[Float] = v.slice(m * SubDim, (m + 1) * SubDim)
-      val lut: Array[Array[Double]] = Array.tabulate(M, KC) { (m, c) =>
-        val pv = subv(probe, m); val qv = subv(cbRows(c), m)
-        round9((0 until SubDim).map(i => pv(i).toDouble * qv(i).toDouble).sum)
-      }
-      val codeCols = (0 until M).map { m =>
-        val structs = (0 until KC).map { c =>
-          struct(
-            round(Vectors.l2Sq(expr(s"slice(embedding, ${m * SubDim + 1}, $SubDim)"),
-              typedlit(subv(cbRows(c), m))), 9).as("d"),
-            lit(c + 1).as("cid"))
-        }
-        array_min(array(structs: _*)).getField("cid").as(s"code$m")
-      }
-      val asim9 = round((0 until M).map(m =>
-        element_at(typedlit(lut(m).toSeq), col(s"code$m"))).reduceLeft(_ + _), 9)
-      cand.select(col("vec_id") +: codeCols: _*)
-        .select(col("vec_id"), asim9.as("a9"))
-        .orderBy(col("a9").desc, col("vec_id"))
-        .limit(TopN)
-        .select(col("vec_id"), round(col("a9"), 4).as("asim"))
+      val cand = emb.withColumn("list", IvfPqIndex.coarseList(cents))
+        .filter(col("list").isin(IvfPqIndex.probeLists(probe, cents): _*))
+      PqIndex.adcRank(cand.select(col("vec_id") +: PqIndex.codeColumns(cb): _*),
+        PqIndex.adcLut(probe, cb), topN = 5)
     }
-  }
 
   /** IVF-PQ against the STORED list-partitioned code table — the composed
     * on-disk index [[graft.operators.IvfPqIndex]] (FAISS IndexIVFPQ
@@ -2656,8 +2616,9 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     * [[graft.operators.ConnectedComponents]] large-star/small-star
     * contraction: O(log n) rounds regardless of component diameter (an
     * adversarial duplicate CHAIN converges instead of hitting a round cap
-    * — ConnectedComponentsSpec pins a 100-link chain at <= 8 rounds: 7
-    * contractions + 1 fixed-point confirmation round). Each
+    * — ConnectedComponentsSpec pins a 100-link chain at <= 10 rounds:
+    * rounds run in BATCHES of two per convergence signature, so 7
+    * contractions round up to 8 plus one confirming batch). Each
     * round is one groupBy(min) + equi-join per star half — the same
     * shuffle shape as a propagation round, so the per-round scale story is
     * unchanged; only the round count drops. The oracle is DuckDB's

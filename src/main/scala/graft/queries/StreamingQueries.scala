@@ -248,8 +248,12 @@ object StreamingQueries {
         .option("checkpointLocation", s"$base/cp")
         .start()
       try q.processAllAvailable() finally q.stop()
+      // dropDuplicates: the at-least-once contract means a replayed
+      // micro-batch may have appended a signature twice; probe tolerates
+      // that (min witness), but THIS query's contract is one row per doc
       s.read.parquet(s"$base/idx")
         .select(col("doc_id"), col("simhash"))
+        .dropDuplicates("doc_id", "simhash")
         .orderBy("doc_id")
     },
     Some(s"""WITH ${NorthStar.simhashShCte}

@@ -50,6 +50,10 @@ object ScaleRun {
       val t0 = System.nanoTime()
       val rows = byName(name).run(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
+      // the listener bus is async — the slowest task's end event (the one
+      // the skew stat exists to capture) is the likeliest to still be
+      // queued when count() returns; give the bus a moment to drain
+      Thread.sleep(1000)
       import scala.jdk.CollectionConverters._
       val stats = stageTasks.asScala.toSeq.map { case (sid, l) =>
         val d = l.asScala.toSeq.sorted
