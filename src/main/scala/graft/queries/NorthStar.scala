@@ -2061,10 +2061,16 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     val ev = docs.filter(col("doc_id") % 50 === 0)
       .select(explode(charNgrams(col("text"), 20)).as("g")).distinct()
+    // NO distinct on the train grams: that shuffled the ENTIRE exploded
+    // gram stream (corpus x doc-length rows) before the join. Joining raw
+    // grams first and counting DISTINCT matches after means per-doc gram
+    // dedup happens in the aggregate's map-side partials over MATCHED rows
+    // only — the sole train-side exchange carries contaminated (doc, gram)
+    // pairs, which are output-sized, not corpus-sized.
     val tr = docs.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), explode(charNgrams(col("text"), 20)).as("g"))
     tr.join(ev, "g")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .groupBy("doc_id").agg(countDistinct("g").as("n_hits"))
       .orderBy("doc_id")
   }
 
