@@ -44,17 +44,22 @@ object Main {
     * in value position after a value-taking connection flag is that flag's
     * value (so `--password --yes` really sets the password to "--yes"
     * instead of silently consuming the next token as the password, which
-    * is what a global partition did).
+    * is what a global partition did). The flag/value pairing applies only
+    * to the LEADING flag prefix — exactly the region ConnectionParams.parse
+    * consumes — so a positional arg that happens to spell a value flag
+    * (a literal `--password` table name) cannot shield a following
+    * `--yes` from being the confirm flag.
     */
   private def stripYes(args: List[String]): (Boolean, List[String]) = {
     val out = List.newBuilder[String]
     var yes = false
     var rest = args
+    var leading = true
     while (rest.nonEmpty) rest = rest match {
-      case f :: v :: tail if ConnectionParams.flagsWithValue(f) =>
+      case f :: v :: tail if leading && ConnectionParams.flagsWithValue(f) =>
         out += f += v; tail
       case "--yes" :: tail => yes = true; tail
-      case x :: tail => out += x; tail
+      case x :: tail => leading = false; out += x; tail
       case Nil => Nil
     }
     (yes, out.result())

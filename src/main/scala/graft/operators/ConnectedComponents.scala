@@ -9,11 +9,8 @@ import org.apache.spark.sql.graft.Bridge
   * — the O(log n)-round replacement for plain min-label propagation, whose
   * round count is the component DIAMETER (a 100-link duplicate chain costs
   * 100 joins propagating vs 7 contraction rounds here). Rounds run in
-  * BATCHES of two per convergence signature, so the returned round count is
-  * even and includes up to one spare batch confirming the fixed point (the
-  * chain converges with rounds = 10: 7 contracting, rounded up to 8, + 2
-  * confirming) — see the loop notes for why neither a per-round signature
-  * nor a structural early-exit beats this.
+  * BATCHES of two per convergence check, so the returned round count is
+  * even (the chain converges with rounds = 8: 7 contracting, rounded up).
   *
   * Edges live canonically as (u, v) with u > v. Per round:
   *   large-star: every node links its strictly-larger neighbors to the
@@ -25,10 +22,19 @@ import org.apache.spark.sql.graft.Bridge
   * round count drops. The fixed point is a star forest rooted at each
   * component's minimum node, from which labels read off directly.
   *
-  * Convergence is detected from an order-insensitive edge-set signature
-  * (count + XOR of xxhash64(u, v)) — one tiny aggregate per round, the only
-  * driver interaction. localCheckpoint truncates lineage so round k's plan
-  * does not embed rounds 1..k-1.
+  * Convergence is detected STRUCTURALLY: a relation is the fixed point iff
+  * it IS a star forest (each u exactly once, no node on both sides) — a
+  * star forest maps to itself under both stars, and the alternation
+  * strictly decreases the Kiveris potential until it reaches one. One
+  * by-node aggregate per batch is the only driver interaction; it replaces
+  * the earlier edge-set-signature equality test, which (a) needed a spare
+  * confirming batch after the fixed point, (b) rested on the
+  * no-period-2-cycles property — a cycling edge set would have passed
+  * silently — and (c) still needed a separate post-loop forest audit to
+  * fail loudly on that. The structural test is the audit, runs one batch
+  * fewer, and converts any non-contracting pathology into the maxRounds
+  * require. localCheckpoint truncates lineage so round k's plan does not
+  * embed rounds 1..k-1.
   */
 object ConnectedComponents {
 
@@ -47,8 +53,8 @@ object ConnectedComponents {
     val cols = pairs.columns
     require(cols.length == 2, s"pairs must have 2 columns, got ${cols.length}")
     val caller = pairs.sparkSession
-    // lazy checkpoint: the signature aggregate right below materializes it,
-    // so canonicalization + signature are ONE job (eager would be two) —
+    // lazy checkpoint: the forest-stats aggregate right below materializes
+    // it, so canonicalization + stats are ONE job (eager would be two) —
     // run under the CALLER's conf, because this step consumes the
     // corpus-sized pair feed the caller's shuffle width was sized for
     // The feed distinct stays: a banded pair generator emits a pair once
@@ -62,7 +68,11 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(eager = false)
-    val sig = signature(canonical)
+    // one job: edge count (sizes loopSp) + forest violations (an already-
+    // forest input — disjoint pairs, pre-contracted edges — skips the loop
+    // entirely, rounds = 0)
+    val (edgeCount, viol0) = forestStats(canonical)
+    if (viol0 == 0L) return (readOff(canonical), 0)
     // The contraction loop runs on the EDGE set, which is usually orders of
     // magnitude smaller than the corpus (sf0.1: 9k edges vs 5k docs x 7
     // bands x 2 join sides; 100 TB: pair graphs are output-sized, not
@@ -84,7 +94,7 @@ object ConnectedComponents {
     //    at sp=32 before loopSp existed, where AQE's coalescing was doing
     //    the down-sizing the loop now does explicitly.)
     val loopSp = math.min(caller.conf.get("spark.sql.shuffle.partitions").toInt,
-      1 + (sig._1 / 100000L).toInt)
+      1 + (edgeCount / 100000L).toInt)
     // one cached fork per caller session: newSession() builds a fresh
     // SessionState (analyzer, optimizer, injected extensions) — measured
     // ~0.5 s per call if re-created per invocation. The fork's conf is
@@ -102,18 +112,23 @@ object ConnectedComponents {
       // (4 scheduling barriers per batch, the dominant cost at loop scale).
       fork.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       fork.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-      runLoop(Bridge.ofRows(fork, Bridge.analyzed(canonical)), sig, maxRounds)
+      runLoop(Bridge.ofRows(fork, Bridge.analyzed(canonical)), maxRounds)
     }
-    // fixed point = star forest: each non-root appears exactly once as u,
-    // pointing at its component min; roots label themselves. The final edge
-    // set is a checkpointed LogicalRDD, so hand it back at the PLAN level
-    // and build the label read-off in the caller's session — downstream
-    // joins and the read-off's own distinct plan under the caller's conf.
-    val eCaller = Bridge.ofRows(caller, Bridge.analyzed(eFinal))
-    val leaves = eCaller.select(col("u").as("id"), col("v").as("lab"))
-    val roots = eCaller.select(col("v")).distinct()
+    // The final edge set is a checkpointed LogicalRDD, so hand it back at
+    // the PLAN level and build the label read-off in the caller's session —
+    // downstream joins and the read-off's own distinct plan run under the
+    // caller's conf.
+    (readOff(Bridge.ofRows(caller, Bridge.analyzed(eFinal))), rounds)
+  }
+
+  /** Labels from a star forest: each non-root appears exactly once as u,
+    * pointing at its component min; roots label themselves.
+    */
+  private def readOff(forest: DataFrame): DataFrame = {
+    val leaves = forest.select(col("u").as("id"), col("v").as("lab"))
+    val roots = forest.select(col("v")).distinct()
       .select(col("v").as("id"), col("v").as("lab"))
-    (leaves.unionByName(roots), rounds)
+    leaves.unionByName(roots)
   }
 
   /** One cached fork per caller session, WEAKLY keyed: a strong map would
@@ -137,34 +152,32 @@ object ConnectedComponents {
     }
 
   /** The contraction loop proper; runs entirely in the fork session. */
-  private def runLoop(e0: DataFrame, sig0: (Long, Long),
-                      maxRounds: Int): (DataFrame, Int) = {
+  private def runLoop(e0: DataFrame, maxRounds: Int): (DataFrame, Int) = {
     var e = e0
-    var sig = sig0
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      // TWO contraction rounds per signature check; the inner round skips
+      // TWO contraction rounds per convergence check; the inner round skips
       // its closing distinct (duplicates pass 1:1 through both stars — no
       // join multiplies them — and the batch-final distinct restores set
-      // semantics before the signature). At loop scale the cost model is
-      // scheduling barriers, not data: batching halves the signature jobs
+      // semantics before the check). At loop scale the cost model is
+      // scheduling barriers, not data: batching halves the check jobs
       // and their collect barriers (measured with the no-broadcast conf
       // above: sf0.1 median 4.9 -> 3.3 s under one load window).
-      // Correctness of the sparser check: the alternation strictly
-      // decreases the Kiveris potential until the star-forest fixed point
-      // (no period-2 cycles), so equal consecutive-batch signatures still
-      // witness convergence; the lag grows to at most one spare batch of
-      // an already-fixed forest — cheaper than a signature job per round.
-      // MEASURED DEAD END (round 7, kept as a note): a structural
-      // star-forest test (every u exactly once, no node both u and v)
-      // can detect the fixed point one round early — a star forest maps
-      // to itself under both stars — but every formulation pays a
-      // per-round by-node shuffle (~0.3 s x rounds at sf0.1, whether as
-      // a parallel aggregate branch + crossJoin barrier or fused into a
-      // two-level signature aggregation) that exceeds the one saved
-      // ~0.7 s round: 5.3-5.7 s vs 4.1 s median signature-only. The
-      // signature's one-round lag is the cheaper convergence test.
+      // HISTORY: rounds 7-8 used an edge-set-signature equality check
+      // (count + xxhash64 XOR) with the structural test rejected as a
+      // per-ROUND tax (~0.3 s x rounds > the one saved round). Both
+      // premises changed in round 9: the check runs per BATCH (half as
+      // often), and soundness now requires the structural test anyway
+      // (signature equality rested on the no-period-2-cycles property and
+      // needed a separate post-loop forest audit to fail loudly) — at
+      // which point the structural test as THE convergence check is
+      // strictly better: it detects the fixed point the batch it forms
+      // (signature equality needs a spare confirming batch to see "no
+      // change"), so the loop runs a whole batch fewer, and a
+      // non-contracting pathology hits the maxRounds require instead of
+      // silently mislabeling. Measured at sf0.1: 6 -> 4 rounds, loop
+      // ~2.9 s -> ~2.2 s.
       // the inner round STILL lazily checkpoints: localCheckpoint replaces
       // the logical plan with a flat LogicalRDD immediately (materialization
       // stays lazy), which is what keeps the batch tree bounded — composing
@@ -172,30 +185,43 @@ object ConnectedComponents {
       // inner tree once per consumer (dir's union x the m/join branches),
       // 144 scan leaves after two rounds, and ReuseExchange stops finding
       // anything (measured: 4-6 s per batch vs 0.5 s per round). The inner
-      // checkpoint materializes inside the same signature job as the outer
+      // checkpoint materializes inside the same stats job as the outer
       // one, so the batch still costs ONE job.
       val mid = smallStar(largeStar(e), dedupe = false).localCheckpoint(eager = false)
       val next = smallStar(largeStar(mid)).localCheckpoint(eager = false)
-      val nextSig = signature(next)
-      converged = nextSig == sig
       e = next
-      sig = nextSig
       rounds += 2
+      // first check at round 4: one-batch convergence is the already-a-
+      // forest case the pre-loop check catches, so a round-2 stats job is
+      // almost always wasted. An unchecked batch stays LAZY (its
+      // checkpoints replace the plan immediately but materialize inside
+      // the next stats job), so skipping the check removes a whole job
+      // barrier and an aggregate, not just the aggregate.
+      if (rounds >= 4 || rounds >= maxRounds)
+        converged = forestStats(e)._2 == 0L
     }
     require(converged,
       s"connected components: star contraction did not converge within $rounds rounds")
     (e, rounds)
   }
 
-  /** (edge count, order-insensitive hash XOR) — the edge sets are distinct,
-    * so XOR over per-edge hashes is set-determined; equal signatures on
-    * unequal edge sets need a 64-bit collision (~2^-64, accepted; the cap
-    * still bounds any pathological loop). XOR, not SUM: ANSI mode makes a
-    * long hash sum an overflow error.
+  /** (edge count, star-forest violation count) in ONE aggregate job. A
+    * relation is the contraction fixed point iff it is a star forest: each
+    * u exactly once (one parent per non-root) and no node on both sides
+    * (an internal node would chain labels through the read-off). The
+    * violation count is exact — no hashing, no collision caveat — so a
+    * zero is a PROOF the read-off's preconditions hold, and the loop's
+    * convergence claim never rests on dynamics alone. Edge count rides
+    * along (sum of per-node u-appearances) for loopSp sizing.
     */
-  private def signature(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  private def forestStats(e: DataFrame): (Long, Long) = {
+    val perNode = e.select(col("u").as("n"), lit(1L).as("cu"), lit(0L).as("cv"))
+      .unionAll(e.select(col("v").as("n"), lit(0L).as("cu"), lit(1L).as("cv")))
+      .groupBy("n").agg(sum("cu").as("cu"), sum("cv").as("cv"))
+    val r = perNode.agg(
+      sum(col("cu")),
+      count(when(col("cu") > 1 || (col("cu") > 0 && col("cv") > 0), 1))).first()
+    (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
   }
 
   /** Γ(x) seen from BOTH endpoints; each strictly-larger neighbor y of x is

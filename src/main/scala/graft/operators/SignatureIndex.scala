@@ -81,6 +81,12 @@ object SignatureIndex {
     */
   def probe(spark: SparkSession, path: String, batch: Int,
             maxHamming: Int = 6): DataFrame = {
+    // pigeonhole recall guarantee: hamming <= Bands-1 forces >= 1 shared
+    // band. A larger maxHamming would SILENTLY lose matches the scaladoc
+    // promises (pairs differing in maxHamming bits spread across all bands
+    // never collide), so refuse it loudly.
+    require(maxHamming < Bands,
+      s"maxHamming=$maxHamming breaks the $Bands-band pigeonhole recall bound (max ${Bands - 1})")
     // pre-filter batch <= probed batch: the disjunctive join condition
     // below is not inferable as a pushable b-side predicate, so without
     // this a historical-batch probe would band and shuffle every LATER
