@@ -42,15 +42,32 @@ object IvfPqIndex {
     -array_max(array(simStructs.toSeq: _*)).getField("nccid")
   }
 
+  private def codeTable(emb: DataFrame, cents: Array[(Long, Seq[Float])],
+                        cb: Array[Seq[Float]]): DataFrame =
+    emb.withColumn("list", coarseList(cents))
+      .select(col("vec_id") +: col("list") +: PqIndex.codeColumns(cb): _*)
+
   /** Assign + encode the corpus once; write the code table partitioned by
     * coarse list. One pass: K cosine + M x KC sub-distances per vector,
     * never again after build.
     */
   def build(emb: DataFrame, cents: Array[(Long, Seq[Float])],
             cb: Array[Seq[Float]], path: String): Unit =
-    emb.withColumn("list", coarseList(cents))
-      .select(col("vec_id") +: col("list") +: PqIndex.codeColumns(cb): _*)
+    codeTable(emb, cents, cb)
       .write.partitionBy("list").mode("overwrite").parquet(path)
+
+  /** Assign + encode ONLY a delta against the FROZEN coarse centroids and
+    * codebook; append its codes into the same list directories. Both
+    * quantizers are frozen by design, so appended rows land in the correct
+    * partition directory and partition pruning keeps working unchanged —
+    * per-crawl cost is delta-sized, not corpus-sized (the
+    * [[SignatureIndex.ingest]] discipline; IvfPqIndexSpec chains batches
+    * and pins byte-equality with a from-scratch build).
+    */
+  def ingest(emb: DataFrame, cents: Array[(Long, Seq[Float])],
+             cb: Array[Seq[Float]], path: String): Unit =
+    codeTable(emb, cents, cb)
+      .write.partitionBy("list").mode("append").parquet(path)
 
   /** The probe's top-nProbe coarse lists, on the same 9-dp lattice the
     * build assigned with — K cosines on the driver.

@@ -67,6 +67,17 @@ object PqIndex {
   def build(emb: DataFrame, cb: Array[Seq[Float]], path: String): Unit =
     encode(emb, cb).write.mode("overwrite").parquet(path)
 
+  /** Encode ONLY a delta against the FROZEN codebook; append its codes —
+    * [[SignatureIndex.ingest]]'s discipline on the vector side. The
+    * codebook is frozen by design (every stored code's meaning depends on
+    * it), so a growing corpus appends M-byte code rows instead of
+    * re-encoding everything; queries over build+ingested batches are
+    * byte-identical to a from-scratch build over the union (PqIndexSpec
+    * chains batches and pins the equality).
+    */
+  def ingest(emb: DataFrame, cb: Array[Seq[Float]], path: String): Unit =
+    encode(emb, cb).write.mode("append").parquet(path)
+
   /** ADC lookup table for one probe: lut(m)(c) = <probe_m, cb(c)_m>,
     * 9-dp-rounded. M * KC doubles, computed on the driver.
     */

@@ -58,6 +58,62 @@ object SignatureIndex {
     signatures(docs).withColumn("batch", lit(batch))
       .write.mode("append").parquet(path)
 
+  /** The next free batch id in a stored index — max(batch) + 1, or 0 for a
+    * fresh/empty path: the monotone base offset a streamed appender adds to
+    * its micro-batch ids so stream batches continue the batch-API sequence.
+    */
+  def nextBatch(spark: SparkSession, path: String): Int =
+    try {
+      val r = spark.read.parquet(path).agg(max("batch")).first()
+      if (r.isNullAt(0)) 0 else r.getInt(0) + 1
+    } catch { case _: org.apache.spark.sql.AnalysisException => 0 }
+
+  /** Streamed ingest of a documents stream: the fused kernel runs per
+    * micro-batch (stateless — no watermark, no aggregation state) and each
+    * micro-batch appends under batch = base + batchId — REAL, distinct,
+    * monotone ids, so `probe(n)` can treat earlier micro-batches as index
+    * side and the streamed path reaches the same delta-sized-probe cost
+    * model as batch ingest.
+    *
+    * foreachBatch + the plain batch writer, NOT the streaming file sink:
+    * the file sink's exactly-once manifest (`_spark_metadata`) makes the
+    * directory PRIVATE to the sink — any later read consults the manifest
+    * and silently hides files appended by batch `ingest`, so a shared
+    * artifact cannot live behind it.
+    *
+    * The base offset is pinned to the CHECKPOINT lifetime (a marker file
+    * beside the offsets log), not recomputed per start: after a restart,
+    * Structured Streaming replays an uncommitted micro-batch under its
+    * ORIGINAL batchId, and a recomputed max(batch)+1 base would land that
+    * replay under a fresh id — the same doc in two batches, which turns
+    * at-least-once replay (harmless: probe's min-witness is duplicate-
+    * insensitive) into a semantic shift (the doc's earlier copy becomes
+    * index side for its later one). Same-id replay keeps appends idempotent
+    * in witness space.
+    */
+  def ingestStream(docs: DataFrame, path: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val baseFile = java.nio.file.Paths.get(checkpoint, "graft_base_batch")
+    val base =
+      if (java.nio.file.Files.exists(baseFile))
+        new String(java.nio.file.Files.readAllBytes(baseFile),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      else {
+        val b = nextBatch(docs.sparkSession, path)
+        java.nio.file.Files.createDirectories(baseFile.getParent)
+        java.nio.file.Files.write(baseFile,
+          b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        b
+      }
+    signatures(docs).writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.withColumn("batch", lit(base + batchId.toInt))
+          .write.mode("append").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   // unrolled, not transform(sequence(...)): higher-order functions don't
   // codegen and would drag the banding Project out of WholeStageCodegen
   private val bandArray: Column = expr(
@@ -94,8 +150,13 @@ object SignatureIndex {
     val idx = banded(spark.read.parquet(path).filter(col("batch") <= batch))
     val a = idx.filter(col("batch") === batch).hint("SHUFFLE_HASH").as("a")
     val b = idx.as("b")
+    // a.doc_id != b.doc_id: a doc re-ingested under a LATER batch (an
+    // upstream that crawled it twice) must not witness itself through its
+    // earlier copy — same-doc rows are never duplicates of each other,
+    // matching the incremental-dedup oracle's a.doc_id != b.doc_id
     val matches = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
           (col("b.batch") < batch ||
             (col("b.batch") === batch && col("b.doc_id") < col("a.doc_id"))) &&
           expr(s"bit_count(a.simhash ^ b.simhash) <= $maxHamming"))

@@ -2487,6 +2487,30 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       PqIndex.query(s, path, PqIndex.adcLut(probe, cb), topN = 5)
     }
 
+  /** PQ ANN over a 2-BATCH stored code table — the ingest lifecycle:
+    * [[graft.operators.PqIndex.build]] encodes half the corpus, `ingest`
+    * appends the other half's codes encoded against the SAME frozen
+    * codebook, and the query scans the combined table. The oracle is
+    * s_ann_pq's full-corpus SQL unchanged, which is the point: a grown
+    * index answers byte-identically to a from-scratch build over the
+    * union, so a 100 TB corpus never re-encodes on append — per-crawl
+    * cost is the delta's M x KC argmins, nothing else.
+    */
+  val s_ann_pq_ingest: Query =
+    q("s_ann_pq_ingest", Some(pqAdcOracleSql)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cb = PqIndex.codebookOf(emb)
+      val probe: Seq[Float] = emb.filter(col("vec_id") === 1)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val path = pqIndexCache.computeIfAbsent(s"$dir#2batch", _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_pqidx_ing_").toString
+        PqIndex.build(emb.filter(col("vec_id") % 2 === 1), cb, p)
+        PqIndex.ingest(emb.filter(col("vec_id") % 2 === 0), cb, p)
+        p
+      })
+      PqIndex.query(s, path, PqIndex.adcLut(probe, cb), topN = 5)
+    }
+
   /** Composed IVF-PQ — the production vector-index architecture (FAISS
     * IVFPQ): the coarse quantizer restricts the search to nProbe=2 of 16
     * inverted lists (s_ann_ivf's mechanism), then candidates are scored by
@@ -2592,6 +2616,29 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       val path = ivfpqIndexCache.computeIfAbsent(dir, _ => {
         val p = java.nio.file.Files.createTempDirectory("graft_ivfpqidx_").toString
         IvfPqIndex.build(emb, cents, cb, p)
+        p
+      })
+      IvfPqIndex.query(s, path, probe, cents, cb, topN = 5)
+    }
+
+  /** IVF-PQ over a 2-BATCH stored list-partitioned code table — vector
+    * ingest composed with partition pruning: `ingest` assigns + encodes a
+    * delta against the SAME frozen coarse centroids and codebook and
+    * appends into the existing list directories, so partition pruning (and
+    * the oracle) are unchanged from s_ann_ivfpq_index. Frozen quantizers
+    * are what make append O(delta): any re-trained centroid would
+    * invalidate every stored code's list directory.
+    */
+  val s_ann_ivfpq_ingest: Query =
+    q("s_ann_ivfpq_ingest", Some(ivfpqOracleSql)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = IvfPqIndex.centroidsOf(emb)
+      val cb = PqIndex.codebookOf(emb)
+      val probe: Seq[Float] = cents.find(_._1 == 1L).get._2
+      val path = ivfpqIndexCache.computeIfAbsent(s"$dir#2batch", _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_ivfpqidx_ing_").toString
+        IvfPqIndex.build(emb.filter(col("vec_id") % 2 === 1), cents, cb, p)
+        IvfPqIndex.ingest(emb.filter(col("vec_id") % 2 === 0), cents, cb, p)
         p
       })
       IvfPqIndex.query(s, path, probe, cents, cb, topN = 5)
@@ -2840,7 +2887,8 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     d_simhash_weighted, d_dup_clusters, p_collapse_neardup, p_neardup_prune,
     p_dedup_weights, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
-    s_ann_ivf_trained, s_ann_pq, s_ann_pq_index, s_ann_ivfpq, s_ann_ivfpq_index,
+    s_ann_ivf_trained, s_ann_pq, s_ann_pq_index, s_ann_pq_ingest,
+    s_ann_ivfpq, s_ann_ivfpq_index, s_ann_ivfpq_ingest,
     s_label_centroid, d_semdedup,
     s_knn_batch,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,

@@ -214,19 +214,17 @@ object StreamingQueries {
            |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin))
 
   /** Streaming signature-index ingest — the production crawl path feeding
-    * [[graft.operators.SignatureIndex]]: documents stream in, the fused
-    * simhash kernel runs per row (stateless — no watermark, no aggregation
-    * state), and `(doc_id, simhash, batch)` appends to the index parquet.
-    *
-    * foreachBatch + the plain batch writer, NOT the streaming file sink:
-    * the file sink's exactly-once manifest (`_spark_metadata`) makes the
-    * directory PRIVATE to the sink — any later read of it consults the
-    * manifest and silently hides files appended by batch `ingest`, so a
-    * shared artifact cannot live behind it. The ingest is therefore
-    * at-least-once under micro-batch replay, which is safe here by
-    * construction: `probe` is duplicate-insensitive (min-witness over
-    * however many copies of a signature row — see its scaladoc), the
-    * SignatureIndexSpec interop test proves the streamed+batch handoff.
+    * [[graft.operators.SignatureIndex]]: documents stream in and
+    * [[graft.operators.SignatureIndex.ingestStream]] appends
+    * `(doc_id, simhash, batch)` per micro-batch under REAL batch ids
+    * (base-offset + foreachBatch batchId — see its scaladoc for the
+    * manifest-trap and replay-id rationale), so a streamed index supports
+    * `probe(n)` with earlier micro-batches as index side exactly like the
+    * batch-API lifecycle. The ingest is at-least-once under micro-batch
+    * replay, which is safe by construction: `probe` is duplicate-
+    * insensitive (min-witness over however many copies of a signature
+    * row), and SignatureIndexSpec's interop tests pin the streamed+batch
+    * handoff and the two-micro-batch probe equivalence.
     * Oracle: the same simhash CTE the incremental-dedup oracles recompute.
     */
   val st_sig_ingest: Query = Query(
@@ -239,14 +237,8 @@ object StreamingQueries {
         .schema(docSchema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
-      val sigs = graft.operators.SignatureIndex.signatures(docs)
-        .withColumn("batch", lit(0))
-      val q = sigs.writeStream
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          df.write.mode("append").parquet(s"$base/idx")
-        }
-        .option("checkpointLocation", s"$base/cp")
-        .start()
+      val q = graft.operators.SignatureIndex.ingestStream(
+        docs, s"$base/idx", s"$base/cp")
       try q.processAllAvailable() finally q.stop()
       // dropDuplicates: the at-least-once contract means a replayed
       // micro-batch may have appended a signature twice; probe tolerates

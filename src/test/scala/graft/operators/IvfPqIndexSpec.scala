@@ -21,6 +21,25 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(stored.collect().toSeq == inline.collect().toSeq)
   }
 
+  test("build + chained ingests are byte-identical to a from-scratch build") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = IvfPqIndex.centroidsOf(emb)
+    val cb = PqIndex.codebookOf(emb)
+    val grown = Files.createTempDirectory("graft_ivfpq_grown_").toString
+    IvfPqIndex.build(emb.filter(col("vec_id") % 3 === 0), cents, cb, grown)
+    IvfPqIndex.ingest(emb.filter(col("vec_id") % 3 === 1), cents, cb, grown)
+    IvfPqIndex.ingest(emb.filter(col("vec_id") % 3 === 2), cents, cb, grown)
+    val scratch = Files.createTempDirectory("graft_ivfpq_scratch_").toString
+    IvfPqIndex.build(emb, cents, cb, scratch)
+    assert(spark.read.parquet(grown).orderBy("vec_id").collect().toSeq ==
+      spark.read.parquet(scratch).orderBy("vec_id").collect().toSeq)
+    // appended rows landed inside the existing list directories: queries
+    // still answer identically (and still prune) over the grown index
+    val probe = cents.find(_._1 == 1L).get._2
+    assert(IvfPqIndex.query(spark, grown, probe, cents, cb, topN = 5).collect().toSeq ==
+      IvfPqIndex.query(spark, scratch, probe, cents, cb, topN = 5).collect().toSeq)
+  }
+
   test("nProbe restriction is partition pruning: <= NProbe directories scanned") {
     val path = Files.createTempDirectory("graft_ivfpq_spec_").toString
     val emb = Tables.load(spark, sfDir, "embeddings")

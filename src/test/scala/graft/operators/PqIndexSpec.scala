@@ -37,6 +37,19 @@ class PqIndexSpec extends SparkSpec {
       s"query must scan the stored code table:\n$plan")
   }
 
+  test("build + chained ingests are byte-identical to a from-scratch build") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cb = PqIndex.codebookOf(emb)
+    val grown = Files.createTempDirectory("graft_pqidx_grown_").toString
+    PqIndex.build(emb.filter(col("vec_id") % 3 === 0), cb, grown)
+    PqIndex.ingest(emb.filter(col("vec_id") % 3 === 1), cb, grown)
+    PqIndex.ingest(emb.filter(col("vec_id") % 3 === 2), cb, grown)
+    val scratch = Files.createTempDirectory("graft_pqidx_scratch_").toString
+    PqIndex.build(emb, cb, scratch)
+    assert(spark.read.parquet(grown).orderBy("vec_id").collect().toSeq ==
+      spark.read.parquet(scratch).orderBy("vec_id").collect().toSeq)
+  }
+
   test("code table stores M small codes per vector, 1-based") {
     val path = Files.createTempDirectory("graft_pqidx_codes_").toString
     val emb = Tables.load(spark, sfDir, "embeddings")

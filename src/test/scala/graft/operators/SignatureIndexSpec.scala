@@ -81,13 +81,7 @@ class SignatureIndexSpec extends SparkSpec {
     val streamed = spark.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
       .filter(col("doc_id") % 2 === 0)
-    val q = SignatureIndex.signatures(streamed).withColumn("batch", lit(0))
-      .writeStream
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        df.write.mode("append").parquet(s"$base/idx")
-      }
-      .option("checkpointLocation", s"$base/cp")
-      .start()
+    val q = SignatureIndex.ingestStream(streamed, s"$base/idx", s"$base/cp")
     try q.processAllAvailable() finally q.stop()
     // ...batch 1 through the batch ingest; probe must equal a twin index
     // built entirely by batch
@@ -99,6 +93,45 @@ class SignatureIndexSpec extends SparkSpec {
     assert(
       SignatureIndex.probe(spark, s"$base/idx", batch = 1).orderBy("doc_id").collect().toSeq ==
         SignatureIndex.probe(spark, twin, batch = 1).orderBy("doc_id").collect().toSeq)
+  }
+
+  test("streamed micro-batches land real batch ids: probe treats earlier ones as index side") {
+    // base corpus via batch build; the delta arrives as TWO micro-batches
+    // (two source files, maxFilesPerTrigger=1) whose ids must continue the
+    // stored sequence (1, 2) — then probe(2) answers "batch-2 docs vs base
+    // + batch 1 + lower-id peers" purely from the stored table, the
+    // delta-sized-probe cost model the streamed path previously could not
+    // express (every append landed as batch 0).
+    val base = Files.createTempDirectory("graft_sigidx_mb_").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    val batchOf = pmod(col("doc_id"), lit(3)).cast("int")
+    SignatureIndex.build(docs.filter(batchOf === 0), s"$base/idx")
+
+    def oneFile(df: org.apache.spark.sql.DataFrame, dest: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_onefile_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+      Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
+      Files.move(part.toPath, java.nio.file.Paths.get(dest))
+      assert(new java.io.File(dest).setLastModified(mtime))
+    }
+    // distinct mtimes make the file-source pick-up order deterministic
+    oneFile(docs.filter(batchOf === 1), s"$base/src/d1.parquet", 1000000000000L)
+    oneFile(docs.filter(batchOf === 2), s"$base/src/d2.parquet", 1000000060000L)
+
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = SignatureIndex.ingestStream(streamed, s"$base/idx", s"$base/cp")
+    try q.processAllAvailable() finally q.stop()
+
+    val batches = spark.read.parquet(s"$base/idx")
+      .select("batch").distinct().collect().map(_.getInt(0)).toSet
+    assert(batches == Set(0, 1, 2), s"expected batch ids 0,1,2; got $batches")
+
+    assert(SignatureIndex.probe(spark, s"$base/idx", batch = 2)
+        .orderBy("doc_id").collect().toSeq ==
+      bruteWitness(docs, batchOf, 2).orderBy("doc_id").collect().toSeq)
   }
 
   test("d_dedup_index query plan reads the index, not the kernel") {
