@@ -69,24 +69,31 @@ object IvfPqIndex {
     codeTable(emb, cents, cb)
       .write.partitionBy("list").mode("append").parquet(path)
 
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def dotD(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var i = 0
+    while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    dot
+  }
+
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** The probe's top-nProbe coarse lists, on the same 9-dp lattice the
     * build assigned with — K cosines on the driver.
     */
-  def probeLists(probe: Seq[Float], cents: Array[(Long, Seq[Float])]): Seq[Long] = {
-    def round9(x: Double): Double =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+  def probeLists(probe: Seq[Float], cents: Array[(Long, Seq[Float])]): Seq[Long] =
     cents.map { case (ccid, v) => (ccid, round9(cos(probe, v))) }
       .sortBy { case (ccid, sim) => (-sim, ccid) }
       .take(NProbe).map(_._1).toSeq
-  }
 
   /** Approximate top-N for one probe from the STORED table: the list
     * restriction prunes partitions at planning (PartitionFilters, not a
@@ -98,4 +105,75 @@ object IvfPqIndex {
     PqIndex.adcRank(
       spark.read.parquet(path).filter(col("list").isin(probeLists(probe, cents): _*)),
       PqIndex.adcLut(probe, cb), topN)
+
+  // ------------------------------------------- residual encoding (FAISS)
+
+  /** Per-row residual v - centroid(list(v)), FLOAT-quantized per dimension
+    * (exact on both engines: double widening, double subtract, one float
+    * rounding — DuckDB replicates it as CAST(u.v - cu.v AS FLOAT)). The
+    * actual FAISS IndexIVFPQ encodes residuals, not raw vectors: residuals
+    * concentrate near zero, so one shared sub-codebook quantizes every
+    * list's vectors with far less error than raw-space codes. zip_with is
+    * a non-codegen higher-order function, which is fine HERE because
+    * residuals are computed once per vector at build/ingest — never on the
+    * query path. Requires contiguous 1..K centroid ids (element_at indexes
+    * the literal by list id).
+    */
+  private def residualCol(cents: Array[(Long, Seq[Float])]): Column = {
+    require(cents.map(_._1).sorted.sameElements(1L to cents.length),
+      s"residual encoding needs contiguous 1..K centroid ids, got ${cents.map(_._1).mkString(",")}")
+    val centArr = typedlit(cents.sortBy(_._1).map(_._2.map(_.toDouble)).toSeq)
+    zip_with(col("embedding"), element_at(centArr, col("list").cast("int")),
+      (x, y) => (x.cast("double") - y).cast("float"))
+  }
+
+  /** Residual sub-codebook: the residuals of embedding rows vec_id 1..KC,
+    * each against ITS OWN nearest coarse centroid (the same 9-dp cosine /
+    * smaller-id tie lattice the build assigns with) — data-derived and
+    * SQL-expressible like PqIndex.codebookOf, but living in residual space
+    * where the codes actually operate. Bounded driver collect (KC rows).
+    */
+  def residualCodebookOf(emb: DataFrame, cents: Array[(Long, Seq[Float])]): Array[Seq[Float]] =
+    PqIndex.codebookOf(emb).map { v =>
+      val ccid = cents.map { case (id, c) => (id, round9(cos(v, c))) }
+        .minBy { case (id, sim) => (-sim, id) }._1
+      val c = cents.find(_._1 == ccid).get._2
+      v.indices.map(i => (v(i).toDouble - c(i).toDouble).toFloat): Seq[Float]
+    }
+
+  /** Assign + residual-encode the corpus; write partitioned by coarse list.
+    * Same directory layout (and therefore the same partition pruning) as
+    * [[build]]; only the code semantics change — each code names the
+    * nearest RESIDUAL-codebook entry of v - centroid(list).
+    */
+  def buildResidual(emb: DataFrame, cents: Array[(Long, Seq[Float])],
+                    cb: Array[Seq[Float]], path: String): Unit =
+    emb.withColumn("list", coarseList(cents))
+      .withColumn("embedding", residualCol(cents))
+      .select(col("vec_id") +: col("list") +: PqIndex.codeColumns(cb): _*)
+      .write.partitionBy("list").mode("overwrite").parquet(path)
+
+  /** Residual-ADC top-N from the stored table: score(v) decomposes as
+    * <p, centroid(list)> + <p, residual-code> (the FAISS inner-product
+    * residual identity applied to quantized residuals), so the query adds
+    * a per-LIST constant — K driver-computed 9-dp dots, rides the pruned
+    * scan's `list` column — to the usual M lookup-table reads. Still no
+    * embedding column, still partition-pruned to nProbe directories.
+    */
+  def queryResidual(spark: SparkSession, path: String, probe: Seq[Float],
+                    cents: Array[(Long, Seq[Float])], cb: Array[Seq[Float]],
+                    topN: Int): DataFrame = {
+    val lut = PqIndex.adcLut(probe, cb)
+    val ipc = cents.sortBy(_._1).map { case (_, c) => round9(dotD(probe, c)) }.toSeq
+    val codes = spark.read.parquet(path)
+      .filter(col("list").isin(probeLists(probe, cents): _*))
+    val asim9 = round(
+      element_at(typedlit(ipc), col("list").cast("int")) +
+        (0 until PqIndex.M).map(m =>
+          element_at(typedlit(lut(m).toSeq), col(s"code$m"))).reduceLeft(_ + _), 9)
+    codes.select(col("vec_id"), asim9.as("a9"))
+      .orderBy(col("a9").desc, col("vec_id"))
+      .limit(topN)
+      .select(col("vec_id"), round(col("a9"), 4).as("asim"))
+  }
 }

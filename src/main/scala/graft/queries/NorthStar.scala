@@ -2644,6 +2644,80 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       IvfPqIndex.query(s, path, probe, cents, cb, topN = 5)
     }
 
+  /** On-disk IVF-PQ with a TRAINED coarse quantizer and RESIDUAL codes —
+    * the actual FAISS IndexIVFPQ: s_ann_ivfpq_index's coarse centroids are
+    * the first 16 vectors by fiat; here they are the k-means codebook
+    * frozen in [[TrainedIvfCodebook]] (IvfIndex.train's output — balanced
+    * lists come from training, not luck), and each stored code quantizes
+    * the RESIDUAL v - centroid(list) rather than v itself — residuals
+    * concentrate near zero, so the shared sub-codebook (itself living in
+    * residual space: [[graft.operators.IvfPqIndex.residualCodebookOf]])
+    * spends its 8 entries per subspace on actual within-list variation.
+    * The query adds the per-list constant <probe, centroid> (K driver
+    * dots) to the usual M lookup-table reads — the inner-product residual
+    * identity — and is still a partition-pruned scan of nProbe list
+    * directories with no embedding column. Both the float residual
+    * quantization and every distance/score sit on the shared 9-dp
+    * lattice, so the DuckDB oracle reproduces assignment, codes, and
+    * ranking exactly from the frozen centroid literals.
+    */
+  val s_ann_ivfpq_trained: Query = {
+    val NProbe = IvfPqIndex.NProbe; val SubDim = PqIndex.SubDim
+    val KC = PqIndex.KC; val TopN = 5
+    q("s_ann_ivfpq_trained", Some(
+      s"""WITH $trainedAssignCte,
+ru AS (
+  SELECT u.vec_id, u.i, CAST(CAST(u.v - cu.v AS FLOAT) AS DOUBLE) AS rv
+  FROM u JOIN assign a ON u.vec_id = a.vec_id
+         JOIN cu ON cu.cid = a.cid AND cu.i = u.i),
+rcb AS (SELECT vec_id AS ccid, i, rv FROM ru WHERE vec_id BETWEEN 1 AND $KC),
+probe_c AS (
+  SELECT cid FROM (
+    SELECT cid, ROW_NUMBER() OVER (ORDER BY sim DESC, cid) AS rn
+    FROM sims WHERE vec_id = 1) r WHERE rn <= $NProbe),
+cand AS (SELECT a.vec_id, a.cid FROM assign a JOIN probe_c p ON a.cid = p.cid),
+dist AS (
+  SELECT r.vec_id, c.ccid, (r.i - 1) // $SubDim AS m,
+         ROUND(SUM((r.rv - c.rv) * (r.rv - c.rv)), 9) AS d
+  FROM ru r JOIN rcb c ON r.i = c.i
+  WHERE r.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY r.vec_id, c.ccid, (r.i - 1) // $SubDim),
+code AS (
+  SELECT vec_id, m, ccid FROM (
+    SELECT vec_id, m, ccid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, ccid) AS rn
+    FROM dist) x WHERE rn = 1),
+p AS (SELECT CAST(UNNEST(embedding) AS DOUBLE) AS pv,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 1),
+lut AS (SELECT c.ccid, (c.i - 1) // $SubDim AS m, ROUND(SUM(c.rv * p.pv), 9) AS pd
+        FROM rcb c JOIN p ON c.i = p.i GROUP BY c.ccid, (c.i - 1) // $SubDim),
+ipc AS (SELECT cu.cid, ROUND(SUM(cu.v * p.pv), 9) AS base
+        FROM cu JOIN p ON cu.i = p.i GROUP BY cu.cid),
+asim AS (
+  SELECT cd.vec_id, ROUND(i.base + SUM(l.pd), 9) AS a9
+  FROM code cd
+  JOIN cand ca ON ca.vec_id = cd.vec_id
+  JOIN ipc i ON i.cid = ca.cid
+  JOIN lut l ON l.m = cd.m AND l.ccid = cd.ccid
+  GROUP BY cd.vec_id, i.base)
+SELECT vec_id, ROUND(a9, 4) AS asim FROM asim
+ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents: Array[(Long, Seq[Float])] = TrainedIvfCodebook.centroids
+        .zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }.toArray
+      val cb = IvfPqIndex.residualCodebookOf(emb, cents)
+      val probe: Seq[Float] = emb.filter(col("vec_id") === 1)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val path = ivfpqIndexCache.computeIfAbsent(s"$dir#trained", _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_ivfpqidx_tr_").toString
+        IvfPqIndex.buildResidual(emb, cents, cb, p)
+        p
+      })
+      IvfPqIndex.queryResidual(s, path, probe, cents, cb, topN = 5)
+    }
+  }
+
   /** BM25 keyword search (k1=1.2, b=0.75) for a fixed 3-term query — the
     * retrieval scorer a search user of the engine runs. Per-doc term
     * frequencies are per-row array counts (no explode, no shuffle); corpus
@@ -2888,7 +2962,7 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     p_dedup_weights, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_ivf_trained, s_ann_pq, s_ann_pq_index, s_ann_pq_ingest,
-    s_ann_ivfpq, s_ann_ivfpq_index, s_ann_ivfpq_ingest,
+    s_ann_ivfpq, s_ann_ivfpq_index, s_ann_ivfpq_ingest, s_ann_ivfpq_trained,
     s_label_centroid, d_semdedup,
     s_knn_batch,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,

@@ -40,6 +40,61 @@ class IvfPqIndexSpec extends SparkSpec {
       IvfPqIndex.query(spark, scratch, probe, cents, cb, topN = 5).collect().toSeq)
   }
 
+  test("trained residual index: balanced lists, pruned scan, lower ADC error than raw codes") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val trained = graft.queries.TrainedIvfCodebook.centroids.zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toArray
+    val cbR = IvfPqIndex.residualCodebookOf(emb, trained)
+    val path = Files.createTempDirectory("graft_ivfpq_tr_spec_").toString
+    IvfPqIndex.buildResidual(emb, trained, cbR, path)
+
+    // k-means training is what guarantees a usable inverted index: every
+    // list non-empty, no list hoarding the corpus (the first-K fiat gives
+    // no such guarantee on adversarial data)
+    val sizes = spark.read.parquet(path).groupBy("list").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length == IvfPqIndex.KCoarse,
+      s"expected ${IvfPqIndex.KCoarse} non-empty lists, got ${sizes.length}")
+    assert(sizes.max <= 2 * (sizes.sum / sizes.length),
+      s"list skew: max ${sizes.max} vs mean ${sizes.sum / sizes.length}")
+
+    // the query is still a pruned, embedding-free scan, and finds the
+    // probe's own vector first (its residual quantizes to its own region)
+    val probe = emb.filter(col("vec_id") === 1)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val df = IvfPqIndex.queryResidual(spark, path, probe, trained, cbR, topN = 5)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [list"), s"no partition pruning:\n$planStr")
+    assert(!planStr.contains("embedding"), s"stored query must not read embeddings:\n$planStr")
+    assert(df.collect().head.getLong(0) == 1L)
+
+    // residuals are the point: ADC reconstruction error (|adc - exact ip|,
+    // scored over ALL lists so candidate sets match) must beat raw-vector
+    // codes for the same probe, M, and KC
+    val ipCol = org.apache.spark.sql.functions.expr(
+      "aggregate(zip_with(embedding, pv, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val exact = emb.withColumn("pv", typedlit(probe.map(_.toDouble)))
+      .select(col("vec_id"), ipCol.as("ip"))
+    val lutR = PqIndex.adcLut(probe, cbR)
+    val ipc = trained.sortBy(_._1).map { case (_, c) =>
+      c.indices.map(i => probe(i).toDouble * c(i).toDouble).sum }.toSeq
+    val adcR = spark.read.parquet(path).select(col("vec_id"),
+      (element_at(typedlit(ipc), col("list").cast("int")) +
+        (0 until PqIndex.M).map(m =>
+          element_at(typedlit(lutR(m).toSeq), col(s"code$m"))).reduceLeft(_ + _)).as("a"))
+    val rawPath = Files.createTempDirectory("graft_ivfpq_raw_spec_").toString
+    val cbF = PqIndex.codebookOf(emb)
+    PqIndex.build(emb, cbF, rawPath)
+    val lutF = PqIndex.adcLut(probe, cbF)
+    val adcF = spark.read.parquet(rawPath).select(col("vec_id"),
+      (0 until PqIndex.M).map(m =>
+        element_at(typedlit(lutF(m).toSeq), col(s"code$m"))).reduceLeft(_ + _).as("a"))
+    def mae(adc: org.apache.spark.sql.DataFrame): Double =
+      adc.join(exact, "vec_id").select(avg(abs(col("a") - col("ip")))).first().getDouble(0)
+    val (mR, mF) = (mae(adcR), mae(adcF))
+    assert(mR < mF, s"residual codes should reduce ADC error: residual $mR vs raw $mF")
+  }
+
   test("nProbe restriction is partition pruning: <= NProbe directories scanned") {
     val path = Files.createTempDirectory("graft_ivfpq_spec_").toString
     val emb = Tables.load(spark, sfDir, "embeddings")
