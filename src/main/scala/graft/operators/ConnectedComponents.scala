@@ -68,11 +68,14 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(eager = false)
-    // one job: edge count (sizes loopSp) + forest violations (an already-
-    // forest input — disjoint pairs, pre-contracted edges — skips the loop
-    // entirely, rounds = 0)
-    val (edgeCount, viol0) = forestStats(canonical)
-    if (viol0 == 0L) return (readOff(canonical), 0)
+    // one job: the count materializes the checkpoint and sizes loopSp. A
+    // NARROW aggregate on purpose — running forestStats here would add a
+    // by-node exchange (and, under the caller's AQE, a job barrier) to
+    // every call just to early-exit the rare already-forest input; that
+    // shape instead converges at the loop's first structural check, paying
+    // two cheap loopSp-width batches. Empty input needs no loop at all.
+    val edgeCount = canonical.count()
+    if (edgeCount == 0L) return (readOff(canonical), 0)
     // The contraction loop runs on the EDGE set, which is usually orders of
     // magnitude smaller than the corpus (sf0.1: 9k edges vs 5k docs x 7
     // bands x 2 join sides; 100 TB: pair graphs are output-sized, not
