@@ -141,6 +141,12 @@ object IvfPqIndex {
       v.indices.map(i => (v(i).toDouble - c(i).toDouble).toFloat): Seq[Float]
     }
 
+  private def residualCodeTable(emb: DataFrame, cents: Array[(Long, Seq[Float])],
+                                cb: Array[Seq[Float]]): DataFrame =
+    emb.withColumn("list", coarseList(cents))
+      .withColumn("embedding", residualCol(cents))
+      .select(col("vec_id") +: col("list") +: PqIndex.codeColumns(cb): _*)
+
   /** Assign + residual-encode the corpus; write partitioned by coarse list.
     * Same directory layout (and therefore the same partition pruning) as
     * [[build]]; only the code semantics change — each code names the
@@ -148,10 +154,18 @@ object IvfPqIndex {
     */
   def buildResidual(emb: DataFrame, cents: Array[(Long, Seq[Float])],
                     cb: Array[Seq[Float]], path: String): Unit =
-    emb.withColumn("list", coarseList(cents))
-      .withColumn("embedding", residualCol(cents))
-      .select(col("vec_id") +: col("list") +: PqIndex.codeColumns(cb): _*)
+    residualCodeTable(emb, cents, cb)
       .write.partitionBy("list").mode("overwrite").parquet(path)
+
+  /** Append a delta's residual codes against the frozen centroids +
+    * codebook — [[ingest]]'s discipline for the residual lattice; both
+    * quantizers frozen means appended rows land in the right list
+    * directory and mean exactly what build-time rows mean.
+    */
+  def ingestResidual(emb: DataFrame, cents: Array[(Long, Seq[Float])],
+                     cb: Array[Seq[Float]], path: String): Unit =
+    residualCodeTable(emb, cents, cb)
+      .write.partitionBy("list").mode("append").parquet(path)
 
   /** Residual-ADC top-N from the stored table: score(v) decomposes as
     * <p, centroid(list)> + <p, residual-code> (the FAISS inner-product

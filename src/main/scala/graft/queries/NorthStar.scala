@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CharNgrams, MinHash, RollingHash, SharedHash, SimHash, VecMeanAgg, Vectors}
-import graft.operators.{BandedPairs, ConnectedComponents, IvfPqIndex, PqIndex, SignatureIndex}
+import graft.operators.{BandedPairs, ConnectedComponents, IvfPqIndex, PqIndex, SignatureIndex, SubstringIndex}
 import graft.tables.Tables
 
 /** North-star extensions (SURVEY.md §2.3 Q21–Q24 + the large-scale
@@ -635,8 +635,9 @@ object NorthStar {
     * boilerplate span repeated in half the corpus is a hot hash, and the
     * join splits it, where a collect_set-over-window formulation would
     * funnel it through one task. The kernel runs twice (once per side);
-    * at 100 TB trade that for persisting the exploded triples, exactly as
-    * [[graft.operators.SignatureIndex]] does for whole-doc signatures.
+    * the persisted-triples production shape is
+    * [[graft.operators.SubstringIndex]] (see d_substring_index), which
+    * removes both kernel passes from the recurring path.
     */
   /** Window size for the substring-dedup family (Lee et al. use 50; this
     * corpus's median doc is 56 tokens, so 20 exercises the machinery at a
@@ -717,6 +718,51 @@ object NorthStar {
           count(lit(1)).as("n_windows"))
         .select("doc_id", "span_start", "span_end", "n_windows")
         .orderBy("doc_id", "span_start")
+    }
+  }
+
+  /** Incremental substring dedup against the PERSISTED window index — the
+    * lifecycle d_substring_dedup's scaladoc promises ("persist the
+    * exploded triples"): [[graft.operators.SubstringIndex]] kernels the
+    * base corpus once at build, kernels only the delta at ingest, and
+    * probe finds the delta docs' duplicated spans from the stored
+    * 16-byte-a-window triples with NO rolling-hash kernel and no text in
+    * the plan (SubstringIndexSpec pins the kernel-free plan, chains
+    * batches, and proves replay insensitivity). Same delta split as
+    * d_dedup_index; dup criterion = d_substring_dedup's cross-document
+    * rule over the visible batches (the full corpus here, so the oracle
+    * is the same win/dup CTE with the span merge restricted to delta
+    * docs). Build memoized per (JVM, sfDir) like the other stored indexes.
+    */
+  private val subIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val d_substring_index: Query = {
+    val W = SubW
+    q("d_substring_index", Some(
+      s"""$substringWinCte,
+         |dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+         |mk AS (
+         |  SELECT doc_id, off,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY off) AS rn
+         |  FROM win WHERE h IN (SELECT h FROM dup)
+         |    AND substring(md5(CAST(doc_id AS VARCHAR) || ':delta'), 1, 1) <= '2'),
+         |sp AS (
+         |  SELECT doc_id, MIN(off) AS span_start, MAX(off) + ${W - 1} AS span_end,
+         |         COUNT(*) AS n_windows
+         |  FROM mk GROUP BY doc_id, off - rn)
+         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |       CAST(span_end AS BIGINT) AS span_end,
+         |       CAST(n_windows AS BIGINT) AS n_windows
+         |FROM sp ORDER BY doc_id, span_start""".stripMargin),
+      headline = true) { (s, dir) =>
+      val path = subIndexCache.computeIfAbsent(dir, _ => {
+        val docs = Tables.load(s, dir, "documents")
+        val p = java.nio.file.Files.createTempDirectory("graft_subidx_").toString
+        SubstringIndex.build(docs.filter(!isDeltaCol), p, W)
+        SubstringIndex.ingest(docs.filter(isDeltaCol), p, batch = 1, W)
+        p
+      })
+      SubstringIndex.probe(s, path, batch = 1, W).orderBy("doc_id", "span_start")
     }
   }
 
@@ -2957,7 +3003,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
     d_minhash_lsh, d_simhash, d_dedup_incremental, d_dedup_index, d_substring_dedup,
-    p_cut_spans,
+    d_substring_index, p_cut_spans,
     d_simhash_weighted, d_dup_clusters, p_collapse_neardup, p_neardup_prune,
     p_dedup_weights, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,

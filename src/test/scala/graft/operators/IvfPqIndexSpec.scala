@@ -51,6 +51,14 @@ class IvfPqIndexSpec extends SparkSpec {
     // k-means training is what guarantees a usable inverted index: every
     // list non-empty, no list hoarding the corpus (the first-K fiat gives
     // no such guarantee on adversarial data)
+    // the residual lifecycle also grows by append: a build+ingest split is
+    // byte-identical to the from-scratch build (frozen quantizers)
+    val grown = Files.createTempDirectory("graft_ivfpq_tr_grown_").toString
+    IvfPqIndex.buildResidual(emb.filter(col("vec_id") % 2 === 1), trained, cbR, grown)
+    IvfPqIndex.ingestResidual(emb.filter(col("vec_id") % 2 === 0), trained, cbR, grown)
+    assert(spark.read.parquet(grown).orderBy("vec_id").collect().toSeq ==
+      spark.read.parquet(path).orderBy("vec_id").collect().toSeq)
+
     val sizes = spark.read.parquet(path).groupBy("list").count()
       .collect().map(_.getLong(1))
     assert(sizes.length == IvfPqIndex.KCoarse,

@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** The persisted window-triple lifecycle: kernel each batch once, probe
+  * duplicated spans from the stored table without re-kerneling anything.
+  */
+class SubstringIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val W = 20
+
+  /** Brute-force twin computed straight from text: spans of batch-`n`
+    * docs whose windows occur in >1 distinct doc among batches <= n.
+    */
+  private def bruteSpans(docs: DataFrame, batchOf: org.apache.spark.sql.Column,
+                         batch: Int): DataFrame = {
+    val win = SubstringIndex.windows(docs, W).withColumn("batch", batchOf)
+      .filter(col("batch") <= batch)
+    val dup = win.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val wn = Window.partitionBy("doc_id").orderBy("off")
+    win.filter(col("batch") === batch).join(dup, "h").select("doc_id", "off")
+      .withColumn("grp", col("off") - row_number().over(wn))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("off").cast("long").as("span_start"),
+        (max("off") + (W - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  test("two-batch lifecycle matches the brute-force span relation") {
+    val path = Files.createTempDirectory("graft_subidx_spec_").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    val batchOf = pmod(col("doc_id"), lit(3)).cast("int")
+
+    SubstringIndex.build(docs.filter(batchOf === 0), path, W)
+    SubstringIndex.ingest(docs.filter(batchOf === 1), path, batch = 1, W)
+    assert(SubstringIndex.probe(spark, path, batch = 1, W)
+        .orderBy("doc_id", "span_start").collect().toSeq ==
+      bruteSpans(docs, batchOf, 1).orderBy("doc_id", "span_start").collect().toSeq)
+
+    // batch 2 sees base + batch 1 + itself from the index
+    SubstringIndex.ingest(docs.filter(batchOf === 2), path, batch = 2, W)
+    val probe2 = SubstringIndex.probe(spark, path, batch = 2, W)
+    assert(probe2.orderBy("doc_id", "span_start").collect().toSeq ==
+      bruteSpans(docs, batchOf, 2).orderBy("doc_id", "span_start").collect().toSeq)
+    assert(probe2.count() > 0,
+      "test corpus produced no cross-batch duplicated spans; slice differently")
+
+    // replay safety: re-appending batch 2 (at-least-once) changes nothing
+    SubstringIndex.ingest(docs.filter(batchOf === 2), path, batch = 2, W)
+    assert(SubstringIndex.probe(spark, path, batch = 2, W)
+        .orderBy("doc_id", "span_start").collect().toSeq ==
+      probe2.orderBy("doc_id", "span_start").collect().toSeq)
+  }
+
+  test("probe plan is kernel-free: no rolling hash, no text column read") {
+    val path = Files.createTempDirectory("graft_subidx_plan_").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    SubstringIndex.build(docs.filter(col("doc_id") % 2 === 0), path, W)
+    SubstringIndex.ingest(docs.filter(col("doc_id") % 2 === 1), path, batch = 1, W)
+    val plan = SubstringIndex.probe(spark, path, batch = 1, W)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rolling_window_hash"),
+      s"probe must not re-kernel any corpus slice:\n$plan")
+    assert(!plan.contains("text"),
+      s"probe must never read document text:\n$plan")
+  }
+
+  test("d_substring_index query plan reads the index, not the kernel") {
+    val plan = graft.SparkEntry.queries("d_substring_index")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rolling_window_hash"),
+      s"query plan must be kernel-free (index-only):\n$plan")
+  }
+}
