@@ -78,6 +78,28 @@ object PqIndex {
   def ingest(emb: DataFrame, cb: Array[Seq[Float]], path: String): Unit =
     encode(emb, cb).write.mode("append").parquet(path)
 
+  /** Streamed ingest of an embeddings stream: codes are encoded per
+    * micro-batch against the FROZEN codebook and appended to the stored
+    * table — the continuous-arrival path for a vector corpus (embeddings
+    * stream out of an upstream featurizer; the index grows without ever
+    * re-encoding). foreachBatch + the plain batch writer for the same
+    * reason as [[SignatureIndex.ingestStream]]: the streaming file sink's
+    * `_spark_metadata` manifest would hide batch-API appends from every
+    * later read of the shared artifact. At-least-once replay can duplicate
+    * rows; codes are DETERMINISTIC (frozen codebook, 9-dp lattice), so
+    * duplicates are byte-identical and any consumer restores set semantics
+    * with a dropDuplicates("vec_id") — top-k consumers must do so before
+    * ranking (a duplicated row would occupy two top-k slots).
+    */
+  def ingestStream(emb: DataFrame, cb: Array[Seq[Float]], path: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    encode(emb, cb).writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** ADC lookup table for one probe: lut(m)(c) = <probe_m, cb(c)_m>,
     * 9-dp-rounded. M * KC doubles, computed on the driver.
     */

@@ -251,6 +251,65 @@ object StreamingQueries {
     Some(s"""WITH ${NorthStar.simhashShCte}
             |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin))
 
+  /** Streaming PQ-code ingest — the vector twin of [[st_sig_ingest]]:
+    * embeddings stream in (the output of an upstream featurizer), each
+    * micro-batch is encoded against the FROZEN codebook
+    * ([[graft.operators.PqIndex.ingestStream]]), and the M-codes-a-row
+    * table grows by append — the ANN index keeps up with a continuously
+    * embedded corpus without ever re-encoding history. The codebook is a
+    * bounded batch-side collect (KC rows) taken before the stream starts,
+    * which is exactly the frozen-quantizer contract: stream-time rows mean
+    * the same thing build-time rows meant. Oracle: the code CTE of the PQ
+    * oracles widened to every vector (one row per vec_id, code0..3).
+    */
+  val st_pq_ingest: Query = Query(
+    "st_pq_ingest",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_pqidx_")
+      val cb = graft.operators.PqIndex.codebookOf(
+        graft.tables.Tables.load(s, dir, "embeddings"))
+      val embSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      val emb = s.readStream
+        .schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+      val q = graft.operators.PqIndex.ingestStream(emb, cb, s"$base/idx", s"$base/cp")
+      try q.processAllAvailable() finally q.stop()
+      // dropDuplicates: the at-least-once contract (codes are deterministic,
+      // so replayed rows are byte-identical; set semantics restored here)
+      s.read.parquet(s"$base/idx")
+        .dropDuplicates("vec_id")
+        .orderBy("vec_id")
+    },
+    Some {
+      val M = graft.operators.PqIndex.M
+      val SubDim = graft.operators.PqIndex.SubDim
+      val KC = graft.operators.PqIndex.KC
+      val codeCols = (0 until M).map(m =>
+        s"CAST(MAX(CASE WHEN m = $m THEN cid END) AS INTEGER) AS code$m").mkString(",\n|       ")
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+         |            WHERE vec_id BETWEEN 1 AND $KC),
+         |u AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |cu AS (SELECT cid, CAST(UNNEST(embedding) AS DOUBLE) AS cv,
+         |              generate_subscripts(embedding, 1) AS i FROM cb),
+         |dist AS (
+         |  SELECT u.vec_id, cu.cid, (cu.i - 1) // $SubDim AS m,
+         |         ROUND(SUM((u.v - cu.cv) * (u.v - cu.cv)), 9) AS d
+         |  FROM u JOIN cu ON u.i = cu.i
+         |  GROUP BY u.vec_id, cu.cid, (cu.i - 1) // $SubDim),
+         |code AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+         |    FROM dist) r WHERE rn = 1)
+         |SELECT vec_id,
+         |       $codeCols
+         |FROM code GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    })
+
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
-    st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest)
+    st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
+    st_pq_ingest)
 }

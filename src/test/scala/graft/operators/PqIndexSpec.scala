@@ -50,6 +50,26 @@ class PqIndexSpec extends SparkSpec {
       spark.read.parquet(scratch).orderBy("vec_id").collect().toSeq)
   }
 
+  test("streamed ingest produces a table the batch query answers from identically") {
+    val base = Files.createTempDirectory("graft_pqidx_stream_").toString
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cb = PqIndex.codebookOf(emb)
+    val embSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    val streamed = spark.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+    val q = PqIndex.ingestStream(streamed, cb, s"$base/idx", s"$base/cp")
+    try q.processAllAvailable() finally q.stop()
+
+    val twin = Files.createTempDirectory("graft_pqidx_twin_").toString
+    PqIndex.build(emb, cb, twin)
+    val probe = emb.filter(col("vec_id") === 1)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val lut = PqIndex.adcLut(probe, cb)
+    assert(PqIndex.query(spark, s"$base/idx", lut, topN = 5).collect().toSeq ==
+      PqIndex.query(spark, twin, lut, topN = 5).collect().toSeq)
+  }
+
   test("code table stores M small codes per vector, 1-based") {
     val path = Files.createTempDirectory("graft_pqidx_codes_").toString
     val emb = Tables.load(spark, sfDir, "embeddings")
