@@ -475,7 +475,7 @@ object NorthStar {
     * band): ConnectedComponents.label's canonicalization distinct folds
     * that, same as the simhashPairs(dedupe = false) feed it replaces.
     */
-  private def storedSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def storedSimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val banded = s.read.parquet(sigIndexPath(s, dir))
       .select(col("doc_id"), col("simhash"),
         posexplode(expr(bandArraySql)).as(Seq("band", "bucket")))

@@ -140,4 +140,19 @@ class SignatureIndexSpec extends SparkSpec {
     assert(!plan.contains("simhash63"),
       s"query plan must be kernel-free (index-only):\n$plan")
   }
+
+  test("cluster-family pair feed is index-fed: no kernel, no text in its plan") {
+    // round 9 moved d_dup_clusters / p_neardup_prune / p_dedup_weights off
+    // the in-plan text kernel onto the stored signature index. The final
+    // query plans embed checkpointed LogicalRDDs (the feed runs inside
+    // label()), so pin the FEED's own plan — the relation all three
+    // queries consume — against the kernel sneaking back in; it carried
+    // all the 10x feed variance (SCALE.md round-9 section).
+    val plan = graft.queries.NorthStar.storedSimhashPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("simhash63"),
+      s"pair feed must band the stored index, not re-kernel text:\n$plan")
+    assert(!plan.contains("text"),
+      s"pair feed must never read document text:\n$plan")
+  }
 }
