@@ -240,12 +240,14 @@ object NorthStar {
     * size-ratio prefilter joins 8-byte counts, and shingle arrays are
     * re-joined only for the candidates that survive it.
     */
-  val d_minhash_lsh: Query = q("d_minhash_lsh", Some(exactJaccard07Sql),
-    headline = true) { (s, dir) =>
-    val raw = Tables.load(s, dir, "documents")
+  /** The LSH -> prefilter -> exact-verify pipeline over an arbitrary docs
+    * relation; d_minhash_lsh binds the whole corpus, d_minhash_collapse
+    * binds exact-dup representatives only.
+    */
+  private def minhashVerifiedPairs(docs: DataFrame): DataFrame = {
     // ONE fused pass: text -> (distinct-shingle count, 192-perm signature)
     // without materializing shingle arrays (MinHash is duplicate-insensitive)
-    val sigs = raw.select(col("doc_id"), MinHash.ngramSig(col("text"), 5, 192).as("ns"))
+    val sigs = docs.select(col("doc_id"), MinHash.ngramSig(col("text"), 5, 192).as("ns"))
     // banding rows carry the shingle count (4 bytes) so the size-ratio prune
     // needs no extra scan or join: jac >= 0.7 forces the set sizes within
     // [0.7, 1/0.7] of each other — exact-safe
@@ -268,7 +270,61 @@ object NorthStar {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     // no dropDuplicates: the verification groupBy(pair) below folds pairs
     // that collided in several bands — one fewer shuffle stage
-    verifyJaccard(cand, raw, gram = 5, t = 0.7)
+    verifyJaccard(cand, docs, gram = 5, t = 0.7)
+  }
+
+  val d_minhash_lsh: Query = q("d_minhash_lsh", Some(exactJaccard07Sql),
+    headline = true) { (s, dir) =>
+    minhashVerifiedPairs(Tables.load(s, dir, "documents"))
+  }
+
+  /** Collapse-first MinHash — the ordering fix for THE query the 10x run
+    * showed paying duplication^2 (d_minhash_lsh: 182-194 s on the
+    * 10x-duplicated corpus for pair work one upstream groupBy collapses).
+    * Unlike [[p_collapse_neardup]] (whose simhash kernel is cheap enough
+    * to fuse into the collapse pass), the 192-permutation MinHash kernel
+    * is the expensive stage here, so the collapse happens BEFORE the
+    * kernel: a cheap fingerprint pass groups exact duplicates, ONLY each
+    * group's representative is re-read and kerneled (a doc_id equi-join —
+    * rep text flows once, 1/dup_factor of the corpus), and the verified
+    * rep pairs fan back out through the groups:
+    *
+    *   - cross-group: members(A) x members(B) inherit the rep pair's
+    *     exact jac (identical texts have identical shingle sets);
+    *   - within-group: every member pair of a multi-doc group is a
+    *     jac = 1.0 pair (>= 0.7 by definition).
+    *
+    * Both expansions are OUTPUT-sized (each emitted row is a row of the
+    * answer), so the same exact-pair oracle as d_minhash_lsh verifies the
+    * whole composition — and at 10x duplication the kernel + banding +
+    * verification all run at representative (1x) scale.
+    */
+  val d_minhash_collapse: Query = q("d_minhash_collapse", Some(exactJaccard07Sql),
+    headline = true) { (s, dir) =>
+    val raw = Tables.load(s, dir, "documents")
+    val fp = raw.select(xxhash64(col("text")).as("h1"),
+        xxhash64(col("text"), lit(1)).as("h2"), col("doc_id"))
+      .localCheckpoint(eager = false)
+    val groups = fp.groupBy("h1", "h2")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("gsz"))
+    val members = fp.join(groups.select("h1", "h2", "rep"), Seq("h1", "h2"))
+      .select("doc_id", "rep")
+    // only representatives are kerneled: text re-read through a doc_id
+    // equi-join, so the expensive stage sees distinct texts only
+    val repDocs = raw.join(groups.select(col("rep").as("doc_id")), "doc_id")
+      .select("doc_id", "text")
+    val repPairs = minhashVerifiedPairs(repDocs)
+    val cross = repPairs
+      .join(members.as("ma"), col("ma.rep") === col("id_a"))
+      .join(members.as("mb"), col("mb.rep") === col("id_b"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("id_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("id_b"), col("jac"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        lit(1.0).as("jac"))
+    cross.unionByName(within).orderBy("id_a", "id_b")
   }
 
   /** Exact-recall prefix-filtered similarity self-join (AllPairs, Bayardo
@@ -3002,8 +3058,8 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
 
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
-    d_minhash_lsh, d_simhash, d_dedup_incremental, d_dedup_index, d_substring_dedup,
-    d_substring_index, p_cut_spans,
+    d_minhash_lsh, d_minhash_collapse, d_simhash, d_dedup_incremental,
+    d_dedup_index, d_substring_dedup, d_substring_index, p_cut_spans,
     d_simhash_weighted, d_dup_clusters, p_collapse_neardup, p_neardup_prune,
     p_dedup_weights, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,

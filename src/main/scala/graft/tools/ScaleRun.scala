@@ -45,8 +45,8 @@ object ScaleRun {
 
     val byName = graft.SparkEntry.catalog.map(q => q.name -> q).toMap
     for (name <- Seq("d_simhash", "d_simhash_weighted", "d_minhash_lsh", "d_dup_clusters",
-      "p_collapse_neardup", "d_substring_dedup", "d_substring_index",
-      "d_dedup_index", "p_cut_spans")) {
+      "d_minhash_collapse", "p_collapse_neardup", "d_substring_dedup",
+      "d_substring_index", "d_dedup_index", "p_cut_spans")) {
       stageTasks.clear()
       val t0 = System.nanoTime()
       val rows = byName(name).run(spark, dir).count()

@@ -44,5 +44,15 @@ class CollapseNeardupSpec extends SparkSpec {
     // every doc is an exact dup here, so every doc must be clustered and
     // each original doc's 5 copies share one cluster
     assert(composed.size == dup.count())
+
+    // the collapse-first MinHash must emit the identical exact pair set the
+    // direct LSH+verify emits on the duplicated corpus — within-group 1.0
+    // pairs, cross-group inherited-jac pairs, nothing else
+    assert(run("d_minhash_collapse", dir) == run("d_minhash_lsh", dir))
+  }
+
+  test("collapse-first MinHash equals direct LSH+verify (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    assert(run("d_minhash_collapse", dir) == run("d_minhash_lsh", dir))
   }
 }
