@@ -134,6 +134,46 @@ class SignatureIndexSpec extends SparkSpec {
       bruteWitness(docs, batchOf, 2).orderBy("doc_id").collect().toSeq)
   }
 
+  test("stream restart continues batch ids from the checkpoint-pinned base") {
+    // base arrives by batch API (nextBatch -> 1); a stream ingests one
+    // file, stops, and a RESTARTED stream (same checkpoint) ingests a
+    // second file. The restarted query must keep the ORIGINAL base from
+    // the checkpoint marker — recomputing max(batch)+1 at restart would
+    // shift ids (and would mis-batch a replayed micro-batch).
+    val base = Files.createTempDirectory("graft_sigidx_restart_").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    val batchOf = pmod(col("doc_id"), lit(3)).cast("int")
+    SignatureIndex.build(docs.filter(batchOf === 0), s"$base/idx")
+    assert(SignatureIndex.nextBatch(spark, s"$base/idx") == 1)
+
+    def oneFile(df: org.apache.spark.sql.DataFrame, dest: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_onefile_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+      Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
+      Files.move(part.toPath, java.nio.file.Paths.get(dest))
+      assert(new java.io.File(dest).setLastModified(mtime))
+    }
+    def runStream(): Unit = {
+      val streamed = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = SignatureIndex.ingestStream(streamed, s"$base/idx", s"$base/cp")
+      try q.processAllAvailable() finally q.stop()
+    }
+    oneFile(docs.filter(batchOf === 1), s"$base/src/d1.parquet", 1000000000000L)
+    runStream()
+    oneFile(docs.filter(batchOf === 2), s"$base/src/d2.parquet", 1000000060000L)
+    runStream() // restart: checkpoint assigns the new file batchId 1 -> batch 1+1=2
+
+    val batches = spark.read.parquet(s"$base/idx")
+      .select("batch").distinct().collect().map(_.getInt(0)).toSet
+    assert(batches == Set(0, 1, 2), s"expected batch ids 0,1,2 across restart; got $batches")
+    assert(SignatureIndex.probe(spark, s"$base/idx", batch = 2)
+        .orderBy("doc_id").collect().toSeq ==
+      bruteWitness(docs, batchOf, 2).orderBy("doc_id").collect().toSeq)
+  }
+
   test("d_dedup_index query plan reads the index, not the kernel") {
     val df = graft.SparkEntry.queries("d_dedup_index")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
