@@ -205,30 +205,27 @@ object ConnectedComponents {
       // the next stats job), so skipping the check removes a whole job
       // barrier and an aggregate, not just the aggregate.
       if (rounds >= 4 || rounds >= maxRounds)
-        converged = forestStats(e)._2 == 0L
+        converged = forestViolations(e) == 0L
     }
     require(converged,
       s"connected components: star contraction did not converge within $rounds rounds")
     (e, rounds)
   }
 
-  /** (edge count, star-forest violation count) in ONE aggregate job. A
-    * relation is the contraction fixed point iff it is a star forest: each
-    * u exactly once (one parent per non-root) and no node on both sides
-    * (an internal node would chain labels through the read-off). The
-    * violation count is exact — no hashing, no collision caveat — so a
-    * zero is a PROOF the read-off's preconditions hold, and the loop's
-    * convergence claim never rests on dynamics alone. Edge count rides
-    * along (sum of per-node u-appearances) for loopSp sizing.
+  /** Star-forest violation count, ONE aggregate job. A relation is the
+    * contraction fixed point iff it is a star forest: each u exactly once
+    * (one parent per non-root) and no node on both sides (an internal
+    * node would chain labels through the read-off). The count is exact —
+    * no hashing, no collision caveat — so a zero is a PROOF the
+    * read-off's preconditions hold, and the loop's convergence claim
+    * never rests on dynamics alone.
     */
-  private def forestStats(e: DataFrame): (Long, Long) = {
+  private def forestViolations(e: DataFrame): Long = {
     val perNode = e.select(col("u").as("n"), lit(1L).as("cu"), lit(0L).as("cv"))
       .unionAll(e.select(col("v").as("n"), lit(0L).as("cu"), lit(1L).as("cv")))
       .groupBy("n").agg(sum("cu").as("cu"), sum("cv").as("cv"))
-    val r = perNode.agg(
-      sum(col("cu")),
-      count(when(col("cu") > 1 || (col("cu") > 0 && col("cv") > 0), 1))).first()
-    (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    perNode.agg(
+      count(when(col("cu") > 1 || (col("cu") > 0 && col("cv") > 0), 1))).first().getLong(0)
   }
 
   /** Γ(x) seen from BOTH endpoints; each strictly-larger neighbor y of x is

@@ -103,7 +103,8 @@ object IvfPqIndex {
             cents: Array[(Long, Seq[Float])], cb: Array[Seq[Float]],
             topN: Int): DataFrame =
     PqIndex.adcRank(
-      spark.read.parquet(path).filter(col("list").isin(probeLists(probe, cents): _*)),
+      PqIndex.readCodes(spark, path)
+        .filter(col("list").isin(probeLists(probe, cents): _*)),
       PqIndex.adcLut(probe, cb), topN)
 
   // ------------------------------------------- residual encoding (FAISS)
@@ -177,17 +178,11 @@ object IvfPqIndex {
   def queryResidual(spark: SparkSession, path: String, probe: Seq[Float],
                     cents: Array[(Long, Seq[Float])], cb: Array[Seq[Float]],
                     topN: Int): DataFrame = {
-    val lut = PqIndex.adcLut(probe, cb)
     val ipc = cents.sortBy(_._1).map { case (_, c) => round9(dotD(probe, c)) }.toSeq
-    val codes = spark.read.parquet(path)
-      .filter(col("list").isin(probeLists(probe, cents): _*))
-    val asim9 = round(
-      element_at(typedlit(ipc), col("list").cast("int")) +
-        (0 until PqIndex.M).map(m =>
-          element_at(typedlit(lut(m).toSeq), col(s"code$m"))).reduceLeft(_ + _), 9)
-    codes.select(col("vec_id"), asim9.as("a9"))
-      .orderBy(col("a9").desc, col("vec_id"))
-      .limit(topN)
-      .select(col("vec_id"), round(col("a9"), 4).as("asim"))
+    PqIndex.adcRank(
+      PqIndex.readCodes(spark, path)
+        .filter(col("list").isin(probeLists(probe, cents): _*)),
+      PqIndex.adcLut(probe, cb), topN,
+      base = element_at(typedlit(ipc), col("list").cast("int")))
   }
 }

@@ -111,12 +111,18 @@ object PqIndex {
     }
 
   /** ADC ranking over a codes relation (`vec_id, code0..code{M-1}`): M
-    * lookup-table reads per row, 9-dp-rounded sum, total (asim, vec_id)
-    * order. Works identically over freshly-encoded codes or the stored
-    * table.
+    * lookup-table reads per row (plus an optional per-row `base` term —
+    * the residual lifecycle's per-list <probe, centroid> constant),
+    * 9-dp-rounded sum, total (asim, vec_id) order. THE single copy of the
+    * ranking lattice: every PQ lifecycle (inline, stored, residual) ranks
+    * through here so the round-9-then-round-4 / vec_id tie-break contract
+    * cannot drift between them. base defaults to an exact 0.0 (x + 0.0
+    * == x for every finite double), so non-residual callers are
+    * unchanged.
     */
-  def adcRank(codes: DataFrame, lut: Array[Array[Double]], topN: Int): DataFrame = {
-    val asim9 = round((0 until M).map(m =>
+  def adcRank(codes: DataFrame, lut: Array[Array[Double]], topN: Int,
+              base: org.apache.spark.sql.Column = lit(0.0)): DataFrame = {
+    val asim9 = round(base + (0 until M).map(m =>
       element_at(typedlit(lut(m).toSeq), col(s"code$m"))).reduceLeft(_ + _), 9)
     codes.select(col("vec_id"), asim9.as("a9"))
       .orderBy(col("a9").desc, col("vec_id"))
@@ -124,11 +130,21 @@ object PqIndex {
       .select(col("vec_id"), round(col("a9"), 4).as("asim"))
   }
 
+  /** Stored-table read for querying: restores SET semantics before any
+    * ranking. Build/ingest write each vector once, but a STREAMED table's
+    * at-least-once appends can replay byte-identical rows ([[ingestStream]]
+    * scaladoc), and a duplicated row would occupy two top-k slots — the
+    * dedup is an all-column dropDuplicates (duplicates are byte-identical
+    * by construction), a map-side-combined exchange of M-byte rows.
+    */
+  private[operators] def readCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).dropDuplicates()
+
   /** Approximate top-N for one probe, entirely from the STORED code table:
     * the plan scans the code parquet — no embedding column, no sub-vector
     * math, no re-encoding.
     */
   def query(spark: SparkSession, path: String,
             lut: Array[Array[Double]], topN: Int): DataFrame =
-    adcRank(spark.read.parquet(path), lut, topN)
+    adcRank(readCodes(spark, path), lut, topN)
 }

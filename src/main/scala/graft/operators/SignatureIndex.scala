@@ -66,7 +66,15 @@ object SignatureIndex {
     try {
       val r = spark.read.parquet(path).agg(max("batch")).first()
       if (r.isNullAt(0)) 0 else r.getInt(0) + 1
-    } catch { case _: org.apache.spark.sql.AnalysisException => 0 }
+    } catch {
+      // ONLY a genuinely absent path means "fresh index". Any other
+      // analysis failure — empty dir from a crashed build, corrupt
+      // footer, missing batch column — must fail loudly: starting over at
+      // base 0 would hand out batch ids an existing half-written index
+      // already uses, silently corrupting the same-batch witness rule.
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => 0
+    }
 
   /** Streamed ingest of a documents stream: the fused kernel runs per
     * micro-batch (stateless — no watermark, no aggregation state) and each
@@ -90,19 +98,34 @@ object SignatureIndex {
     * insensitive) into a semantic shift (the doc's earlier copy becomes
     * index side for its later one). Same-id replay keeps appends idempotent
     * in witness space.
+    *
+    * Writer contract: while a stream checkpoint is live, the stream is the
+    * path's only appender. Interleaving batch [[ingest]] calls with a live
+    * stream can reuse a batch id the stream's pinned base already covers
+    * (two unrelated doc sets sharing one id weakens the same-batch
+    * lower-id witness rule to their union). Batch and stream appends
+    * compose safely in SEQUENCE — each new stream checkpoint re-reads
+    * max(batch)+1 — which the restart spec pins.
     */
   def ingestStream(docs: DataFrame, path: String,
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val baseFile = java.nio.file.Paths.get(checkpoint, "graft_base_batch")
+    // the marker lives BESIDE Spark's offsets log, resolved through the
+    // Hadoop FS of the checkpoint URI — java.nio against the raw string
+    // would silently put it on the driver's local disk for an hdfs://s3a://
+    // checkpoint, and the restart-base guarantee would vanish exactly when
+    // the checkpoint is remote enough to survive a driver loss
+    val markerPath = new org.apache.hadoop.fs.Path(checkpoint, "graft_base_batch")
+    val fs = markerPath.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
     val base =
-      if (java.nio.file.Files.exists(baseFile))
-        new String(java.nio.file.Files.readAllBytes(baseFile),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-      else {
+      if (fs.exists(markerPath)) {
+        val in = fs.open(markerPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      } else {
         val b = nextBatch(docs.sparkSession, path)
-        java.nio.file.Files.createDirectories(baseFile.getParent)
-        java.nio.file.Files.write(baseFile,
-          b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val out = fs.create(markerPath, false)
+        try out.write(b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
         b
       }
     signatures(docs).writeStream

@@ -72,6 +72,16 @@ object NorthStar {
     * only accepted risk is a full 128-bit agreement between distinct texts
     * (~2^-128), same as before.
     */
+  /** The 128-bit exact-duplicate text fingerprint — xxhash64(text) under
+    * two seeds. THE single definition: keep-first exact dedup
+    * (q21_dedup_first) and both collapse-first composed pipelines
+    * (p_collapse_neardup, d_minhash_collapse) group on it, so "same text"
+    * cannot drift between the direct and composed paths. Accepted risk: a
+    * full 128-bit agreement between distinct texts (~2^-128).
+    */
+  private val textFingerprint: Seq[Column] =
+    Seq(xxhash64(col("text")).as("h1"), xxhash64(col("text"), lit(1)).as("h2"))
+
   val q21_dedup_first: Query = q("q21_dedup_first", Some(
     """SELECT doc_id FROM (
       |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
@@ -79,10 +89,7 @@ object NorthStar {
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin), headline = true) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     // partial agg makes the map side emit one row per distinct text per task
-    docs.select(
-        xxhash64(col("text")).as("h1"),
-        xxhash64(col("text"), lit(1)).as("h2"),
-        col("doc_id"))
+    docs.select(textFingerprint :+ col("doc_id"): _*)
       .groupBy("h1", "h2").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
       .orderBy("doc_id")
@@ -302,8 +309,7 @@ object NorthStar {
   val d_minhash_collapse: Query = q("d_minhash_collapse", Some(exactJaccard07Sql),
     headline = true) { (s, dir) =>
     val raw = Tables.load(s, dir, "documents")
-    val fp = raw.select(xxhash64(col("text")).as("h1"),
-        xxhash64(col("text"), lit(1)).as("h2"), col("doc_id"))
+    val fp = raw.select(textFingerprint :+ col("doc_id"): _*)
       .localCheckpoint(eager = false)
     val groups = fp.groupBy("h1", "h2")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("gsz"))
@@ -2973,8 +2979,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
        |SELECT doc_id, cluster FROM cl ORDER BY doc_id""".stripMargin),
     headline = true) { (s, dir) =>
     val hashed = Tables.load(s, dir, "documents")
-      .select(xxhash64(col("text")).as("h1"), xxhash64(col("text"), lit(1)).as("h2"),
-        col("doc_id"), simhashExpr.as("simhash"))
+      .select(textFingerprint ++ Seq(col("doc_id"), simhashExpr.as("simhash")): _*)
       .localCheckpoint(eager = false)
     // exact collapse: min(simhash) == the group's one signature (all equal)
     val groups = hashed.groupBy("h1", "h2")

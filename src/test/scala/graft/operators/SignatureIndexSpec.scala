@@ -16,6 +16,20 @@ class SignatureIndexSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** Write `df` as ONE plain parquet file at `dest` with a chosen mtime —
+    * the file-stream source picks files up in mtime order, which is what
+    * makes the multi-micro-batch tests deterministic.
+    */
+  private def oneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft_onefile_").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
+    Files.move(part.toPath, java.nio.file.Paths.get(dest))
+    assert(new java.io.File(dest).setLastModified(mtime))
+  }
+
   /** Brute-force twin: batch-`n` docs vs ALL pairs over the given corpus
     * slices, min witness among (earlier batch, any id) + (same batch,
     * lower id). Computed straight from the kernel, no banding.
@@ -107,15 +121,6 @@ class SignatureIndexSpec extends SparkSpec {
     val batchOf = pmod(col("doc_id"), lit(3)).cast("int")
     SignatureIndex.build(docs.filter(batchOf === 0), s"$base/idx")
 
-    def oneFile(df: org.apache.spark.sql.DataFrame, dest: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_onefile_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
-      Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
-      Files.move(part.toPath, java.nio.file.Paths.get(dest))
-      assert(new java.io.File(dest).setLastModified(mtime))
-    }
     // distinct mtimes make the file-source pick-up order deterministic
     oneFile(docs.filter(batchOf === 1), s"$base/src/d1.parquet", 1000000000000L)
     oneFile(docs.filter(batchOf === 2), s"$base/src/d2.parquet", 1000000060000L)
@@ -146,15 +151,6 @@ class SignatureIndexSpec extends SparkSpec {
     SignatureIndex.build(docs.filter(batchOf === 0), s"$base/idx")
     assert(SignatureIndex.nextBatch(spark, s"$base/idx") == 1)
 
-    def oneFile(df: org.apache.spark.sql.DataFrame, dest: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_onefile_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
-      Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
-      Files.move(part.toPath, java.nio.file.Paths.get(dest))
-      assert(new java.io.File(dest).setLastModified(mtime))
-    }
     def runStream(): Unit = {
       val streamed = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
