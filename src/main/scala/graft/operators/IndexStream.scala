@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared foreachBatch append discipline for streaming into a persisted
+  * index ([[SignatureIndex]], [[SubstringIndex]]): plain batch writer (the
+  * streaming file sink's `_spark_metadata` manifest would make the
+  * directory private to the sink and hide batch-API appends from every
+  * later read), with a REAL monotone batch id per micro-batch —
+  * batch = base + batchId, where base continues the stored sequence and is
+  * pinned to the CHECKPOINT lifetime via a marker beside the offsets log.
+  *
+  * The marker is resolved through the Hadoop FS of the checkpoint URI, so
+  * a remote (hdfs://, s3a://) checkpoint keeps the restart guarantee: a
+  * restarted query replays an uncommitted micro-batch under its ORIGINAL
+  * batchId, and the pinned base lands that replay under its original
+  * BATCH id — at-least-once appends stay idempotent in the index's
+  * semantics (both probes are duplicate-insensitive).
+  *
+  * Writer contract (shared by both indexes): while a stream checkpoint is
+  * live, the stream is the path's only appender; batch and stream appends
+  * compose safely in SEQUENCE, each new checkpoint re-reading the stored
+  * max batch.
+  */
+private[operators] object IndexStream {
+
+  /** Start a stream appending `rows` (plus a `batch` id column) to `path`.
+    * `nextBatch` is evaluated lazily — only when no marker exists yet.
+    */
+  def appendWithBatchIds(rows: DataFrame, nextBatch: => Int, path: String,
+                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.lit
+    val markerPath = new org.apache.hadoop.fs.Path(checkpoint, "graft_base_batch")
+    val fs = markerPath.getFileSystem(rows.sparkSession.sessionState.newHadoopConf())
+    val base =
+      if (fs.exists(markerPath)) {
+        val in = fs.open(markerPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      } else {
+        val b = nextBatch
+        val out = fs.create(markerPath, false)
+        try out.write(b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        b
+      }
+    rows.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.withColumn("batch", lit(base + batchId.toInt))
+          .write.mode("append").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+}

@@ -83,59 +83,18 @@ object SignatureIndex {
     * side and the streamed path reaches the same delta-sized-probe cost
     * model as batch ingest.
     *
-    * foreachBatch + the plain batch writer, NOT the streaming file sink:
-    * the file sink's exactly-once manifest (`_spark_metadata`) makes the
-    * directory PRIVATE to the sink — any later read consults the manifest
-    * and silently hides files appended by batch `ingest`, so a shared
-    * artifact cannot live behind it.
-    *
-    * The base offset is pinned to the CHECKPOINT lifetime (a marker file
-    * beside the offsets log), not recomputed per start: after a restart,
-    * Structured Streaming replays an uncommitted micro-batch under its
-    * ORIGINAL batchId, and a recomputed max(batch)+1 base would land that
-    * replay under a fresh id — the same doc in two batches, which turns
-    * at-least-once replay (harmless: probe's min-witness is duplicate-
-    * insensitive) into a semantic shift (the doc's earlier copy becomes
-    * index side for its later one). Same-id replay keeps appends idempotent
-    * in witness space.
-    *
-    * Writer contract: while a stream checkpoint is live, the stream is the
-    * path's only appender. Interleaving batch [[ingest]] calls with a live
-    * stream can reuse a batch id the stream's pinned base already covers
-    * (two unrelated doc sets sharing one id weakens the same-batch
-    * lower-id witness rule to their union). Batch and stream appends
-    * compose safely in SEQUENCE — each new stream checkpoint re-reads
-    * max(batch)+1 — which the restart spec pins.
+    * Sink choice, the checkpoint-pinned base offset, and the single-writer
+    * contract are [[IndexStream]]'s (shared with the substring index). A
+    * recomputed base on restart would land a replayed micro-batch under a
+    * fresh id — the same doc in two batches, turning at-least-once replay
+    * (harmless: probe's min-witness is duplicate-insensitive) into a
+    * semantic shift (the doc's earlier copy becomes index side for its
+    * later one); the restart spec pins the pinned-base behavior.
     */
   def ingestStream(docs: DataFrame, path: String,
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    // the marker lives BESIDE Spark's offsets log, resolved through the
-    // Hadoop FS of the checkpoint URI — java.nio against the raw string
-    // would silently put it on the driver's local disk for an hdfs://s3a://
-    // checkpoint, and the restart-base guarantee would vanish exactly when
-    // the checkpoint is remote enough to survive a driver loss
-    val markerPath = new org.apache.hadoop.fs.Path(checkpoint, "graft_base_batch")
-    val fs = markerPath.getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
-    val base =
-      if (fs.exists(markerPath)) {
-        val in = fs.open(markerPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
-      } else {
-        val b = nextBatch(docs.sparkSession, path)
-        val out = fs.create(markerPath, false)
-        try out.write(b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        b
-      }
-    signatures(docs).writeStream
-      .foreachBatch { (df: DataFrame, batchId: Long) =>
-        df.withColumn("batch", lit(base + batchId.toInt))
-          .write.mode("append").parquet(path)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
-  }
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    IndexStream.appendWithBatchIds(signatures(docs),
+      nextBatch(docs.sparkSession, path), path, checkpoint)
 
   // unrolled, not transform(sequence(...)): higher-order functions don't
   // codegen and would drag the banding Project out of WholeStageCodegen

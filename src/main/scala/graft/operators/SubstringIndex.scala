@@ -58,6 +58,32 @@ object SubstringIndex {
     windows(docs, w).withColumn("batch", lit(batch))
       .write.mode("append").parquet(path)
 
+  /** The next free batch id in a stored index — max(batch) + 1, or 0 for a
+    * genuinely absent path; any other analysis failure (empty dir from a
+    * crashed build, corrupt footer) fails loudly, as with
+    * [[SignatureIndex.nextBatch]].
+    */
+  def nextBatch(spark: SparkSession, path: String): Int =
+    try {
+      val r = spark.read.parquet(path).agg(max("batch")).first()
+      if (r.isNullAt(0)) 0 else r.getInt(0) + 1
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => 0
+    }
+
+  /** Streamed ingest: the rolling-hash kernel runs per micro-batch
+    * (stateless) and each micro-batch's triples append under a REAL
+    * monotone batch id — sink choice, checkpoint-pinned base offset, and
+    * the single-writer contract are [[IndexStream]]'s, shared with the
+    * signature index. probe() is duplicate-insensitive, so at-least-once
+    * replays are safe by construction.
+    */
+  def ingestStream(docs: DataFrame, path: String, checkpoint: String,
+                   w: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    IndexStream.appendWithBatchIds(windows(docs, w),
+      nextBatch(docs.sparkSession, path), path, checkpoint)
+
   /** Maximal duplicated spans `(doc_id, span_start, span_end, n_windows)`
     * for batch `batch`'s docs, entirely from the stored index.
     *

@@ -712,7 +712,7 @@ object NorthStar {
     * same first-7-md5-hex-digit token hashes). Ends with
     * `win(doc_id, off, h)` — shared by d_substring_dedup and p_cut_spans.
     */
-  private val substringWinCte: String = {
+  private[graft] val substringWinCte: String = {
     val M = "2305843009213693951" // 2^61 - 1
     val B = "1000003"
     // first 7 hex digits of md5 as an integer, shared-SQL (SharedHash doctrine)

@@ -309,7 +309,38 @@ object StreamingQueries {
          |FROM code GROUP BY vec_id ORDER BY vec_id""".stripMargin
     })
 
+  /** Streaming substring-index ingest — the third persisted index gains
+    * the streamed path: documents stream in, the rolling-hash kernel runs
+    * per micro-batch, and (doc_id, off, h61, batch) triples append under
+    * real batch ids ([[graft.operators.SubstringIndex.ingestStream]] via
+    * the shared IndexStream discipline), so incremental EXACTSUBSTR
+    * probes work against a stream-fed index exactly as batch-fed. Oracle:
+    * the win CTE the substring oracles share, one row per (doc_id, off).
+    */
+  val st_substring_ingest: Query = Query(
+    "st_substring_ingest",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_subidx_")
+      val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      val docs = s.readStream
+        .schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val q = graft.operators.SubstringIndex.ingestStream(
+        docs, s"$base/idx", s"$base/cp", w = 20)
+      try q.processAllAvailable() finally q.stop()
+      // dropDuplicates: at-least-once replays repeat (doc_id, off, h) rows
+      s.read.parquet(s"$base/idx")
+        .select(col("doc_id"), col("off"), col("h"))
+        .dropDuplicates("doc_id", "off")
+        .orderBy("doc_id", "off")
+    },
+    Some(s"""${NorthStar.substringWinCte}
+            |SELECT doc_id, CAST(off AS INTEGER) AS off, h FROM win
+            |ORDER BY doc_id, off""".stripMargin))
+
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
     st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
-    st_pq_ingest)
+    st_pq_ingest, st_substring_ingest)
 }

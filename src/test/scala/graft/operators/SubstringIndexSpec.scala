@@ -62,6 +62,26 @@ class SubstringIndexSpec extends SparkSpec {
       probe2.orderBy("doc_id", "span_start").collect().toSeq)
   }
 
+  test("streamed ingest (st_substring_ingest path) interoperates with batch probe") {
+    val base = Files.createTempDirectory("graft_subidx_stream_").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    val batchOf = pmod(col("doc_id"), lit(3)).cast("int")
+    SubstringIndex.build(docs.filter(batchOf === 0), s"$base/idx", W)
+
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(pmod(col("doc_id"), lit(3)).cast("int") === 1)
+    val q = SubstringIndex.ingestStream(streamed, s"$base/idx", s"$base/cp", W)
+    try q.processAllAvailable() finally q.stop()
+
+    // the streamed delta landed as batch 1 (base continued from the stored
+    // batch 0), and probe answers the incremental question from the
+    // mixed-provenance index exactly as from an all-batch-API one
+    assert(SubstringIndex.probe(spark, s"$base/idx", batch = 1, W)
+        .orderBy("doc_id", "span_start").collect().toSeq ==
+      bruteSpans(docs, batchOf, 1).orderBy("doc_id", "span_start").collect().toSeq)
+  }
+
   test("probe plan is kernel-free: no rolling hash, no text column read") {
     val path = Files.createTempDirectory("graft_subidx_plan_").toString
     val docs = Tables.load(spark, sfDir, "documents")
