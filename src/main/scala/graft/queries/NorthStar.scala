@@ -2819,7 +2819,12 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
         .select("embedding").collect().head.getSeq[Float](0)
       val path = ivfpqIndexCache.computeIfAbsent(s"$dir#trained", _ => {
         val p = java.nio.file.Files.createTempDirectory("graft_ivfpqidx_tr_").toString
-        IvfPqIndex.buildResidual(emb, cents, cb, p)
+        // grown, not monolithic: half built, half ingested against the
+        // frozen quantizers — so the oracled row checks the residual
+        // index's APPEND lifecycle too (spec pins byte-equality, this
+        // pins the end-to-end answer)
+        IvfPqIndex.buildResidual(emb.filter(col("vec_id") % 2 === 1), cents, cb, p)
+        IvfPqIndex.ingestResidual(emb.filter(col("vec_id") % 2 === 0), cents, cb, p)
         p
       })
       IvfPqIndex.queryResidual(s, path, probe, cents, cb, topN = 5)
