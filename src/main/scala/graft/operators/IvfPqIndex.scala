@@ -168,6 +168,31 @@ object IvfPqIndex {
     residualCodeTable(emb, cents, cb)
       .write.partitionBy("list").mode("append").parquet(path)
 
+  /** Streamed ingest of an embeddings stream into the residual code table —
+    * the last cell of the streamed-ingest matrix (signature, substring, PQ,
+    * IVF-PQ): each micro-batch is coarse-assigned and residual-encoded
+    * against the FROZEN quantizers and appended into the partitioned list
+    * directories, so the production vector index keeps up with a
+    * continuously embedded corpus without re-encoding history and without
+    * losing partition pruning (appended files land inside their `list=`
+    * directory). foreachBatch + the plain batch writer for the same reason
+    * as [[SignatureIndex.ingestStream]]: the streaming file sink's
+    * `_spark_metadata` manifest would hide batch-API appends from every
+    * later read of the shared artifact. At-least-once replay can duplicate
+    * rows; codes are DETERMINISTIC (frozen centroids + codebook, 9-dp
+    * lattice), so duplicates are byte-identical and [[PqIndex.readCodes]]
+    * (the query path) restores set semantics before ranking.
+    */
+  def ingestStreamResidual(emb: DataFrame, cents: Array[(Long, Seq[Float])],
+                           cb: Array[Seq[Float]], path: String,
+                           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    residualCodeTable(emb, cents, cb).writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.partitionBy("list").mode("append").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Residual-ADC top-N from the stored table: score(v) decomposes as
     * <p, centroid(list)> + <p, residual-code> (the FAISS inner-product
     * residual identity applied to quantized residuals), so the query adds

@@ -1333,7 +1333,7 @@ object NorthStar {
     * tie-breaking — the identical algebra [[trainedAssign]] runs in Spark.
     * Consumed by s_ann_ivf_trained and d_semdedup.
     */
-  private val trainedAssignCte: String = {
+  private[queries] val trainedAssignCte: String = {
     val centRows = TrainedIvfCodebook.centroids.zipWithIndex.map { case (v, i) =>
       s"  (${i + 1}, [${v.map(_.toDouble.toString).mkString(", ")}])"
     }.mkString(",\n")

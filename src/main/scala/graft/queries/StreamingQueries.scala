@@ -340,7 +340,73 @@ object StreamingQueries {
             |SELECT doc_id, CAST(off AS INTEGER) AS off, h FROM win
             |ORDER BY doc_id, off""".stripMargin))
 
+  /** Streaming residual-IVF-PQ ingest — the LAST cell of the streamed-
+    * ingest matrix (signature, substring, PQ, IVF-PQ all grow from both
+    * the batch and the streamed path): embeddings stream in, each
+    * micro-batch is coarse-assigned against the TRAINED k-means centroids
+    * and residual-encoded against the frozen residual sub-codebook
+    * ([[graft.operators.IvfPqIndex.ingestStreamResidual]]), and the codes
+    * land inside their `list=` partition directories — so the streamed
+    * index keeps the partition pruning s_ann_ivfpq_trained queries
+    * through. Both quantizers are bounded batch-side collects taken before
+    * the stream starts (the frozen-quantizer contract). Oracle: the
+    * trained-assignment CTE + the residual code lattice, one row per
+    * vec_id with its coarse list and M codes.
+    */
+  val st_ivfpq_ingest: Query = Query(
+    "st_ivfpq_ingest",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_ivfpqidx_")
+      val cents: Array[(Long, Seq[Float])] = TrainedIvfCodebook.centroids
+        .zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }.toArray
+      val cb = graft.operators.IvfPqIndex.residualCodebookOf(
+        graft.tables.Tables.load(s, dir, "embeddings"), cents)
+      val embSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      val emb = s.readStream
+        .schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+      val q = graft.operators.IvfPqIndex.ingestStreamResidual(
+        emb, cents, cb, s"$base/idx", s"$base/cp")
+      try q.processAllAvailable() finally q.stop()
+      // dropDuplicates: at-least-once replays append byte-identical rows
+      // (frozen quantizers); set semantics restored as in readCodes
+      s.read.parquet(s"$base/idx")
+        .dropDuplicates("vec_id")
+        .select(col("vec_id") +: col("list").cast("int").as("list") +:
+          (0 until graft.operators.PqIndex.M).map(m => col(s"code$m")): _*)
+        .orderBy("vec_id")
+    },
+    Some {
+      val M = graft.operators.PqIndex.M
+      val SubDim = graft.operators.PqIndex.SubDim
+      val KC = graft.operators.PqIndex.KC
+      val codeCols = (0 until M).map(m =>
+        s"CAST(MAX(CASE WHEN c.m = $m THEN c.ccid END) AS INTEGER) AS code$m").mkString(",\n|       ")
+      s"""WITH ${NorthStar.trainedAssignCte},
+         |ru AS (
+         |  SELECT u.vec_id, u.i, CAST(CAST(u.v - cu.v AS FLOAT) AS DOUBLE) AS rv
+         |  FROM u JOIN assign a ON u.vec_id = a.vec_id
+         |         JOIN cu ON cu.cid = a.cid AND cu.i = u.i),
+         |rcb AS (SELECT vec_id AS ccid, i, rv FROM ru WHERE vec_id BETWEEN 1 AND $KC),
+         |dist AS (
+         |  SELECT r.vec_id, c.ccid, (r.i - 1) // $SubDim AS m,
+         |         ROUND(SUM((r.rv - c.rv) * (r.rv - c.rv)), 9) AS d
+         |  FROM ru r JOIN rcb c ON r.i = c.i
+         |  GROUP BY r.vec_id, c.ccid, (r.i - 1) // $SubDim),
+         |code AS (
+         |  SELECT vec_id, m, ccid FROM (
+         |    SELECT vec_id, m, ccid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, ccid) AS rn
+         |    FROM dist) x WHERE rn = 1)
+         |SELECT c.vec_id, CAST(a.cid AS INTEGER) AS list,
+         |       $codeCols
+         |FROM code c JOIN assign a ON a.vec_id = c.vec_id
+         |GROUP BY c.vec_id, a.cid ORDER BY c.vec_id""".stripMargin
+    })
+
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
     st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
-    st_pq_ingest, st_substring_ingest)
+    st_pq_ingest, st_substring_ingest, st_ivfpq_ingest)
 }

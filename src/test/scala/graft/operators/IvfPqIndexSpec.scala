@@ -103,6 +103,37 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(mR < mF, s"residual codes should reduce ADC error: residual $mR vs raw $mF")
   }
 
+  test("streamed residual ingest composes with a batch build: byte-identical, pruning kept") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val trained = graft.queries.TrainedIvfCodebook.centroids.zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toArray
+    val cbR = IvfPqIndex.residualCodebookOf(emb, trained)
+    val base = Files.createTempDirectory("graft_ivfpq_st_spec_").toString
+    // the production lifecycle: batch-build the existing corpus, then the
+    // continuously embedded delta arrives as a STREAM (several micro-batches
+    // via maxFilesPerTrigger=1) into the same stored table
+    IvfPqIndex.buildResidual(emb.filter(col("vec_id") % 2 === 1), trained, cbR, s"$base/idx")
+    emb.filter(col("vec_id") % 2 === 0).repartition(3).write.parquet(s"$base/delta")
+    val st = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/delta")
+    val q = IvfPqIndex.ingestStreamResidual(st, trained, cbR, s"$base/idx", s"$base/cp")
+    try q.processAllAvailable() finally q.stop()
+    val scratch = Files.createTempDirectory("graft_ivfpq_st_scratch_").toString
+    IvfPqIndex.buildResidual(emb, trained, cbR, scratch)
+    assert(spark.read.parquet(s"$base/idx").orderBy("vec_id").collect().toSeq ==
+      spark.read.parquet(scratch).orderBy("vec_id").collect().toSeq)
+    // the streamed table answers queries identically and still prunes
+    val probe = emb.filter(col("vec_id") === 1)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val df = IvfPqIndex.queryResidual(spark, s"$base/idx", probe, trained, cbR, topN = 5)
+    assert(df.collect().toSeq ==
+      IvfPqIndex.queryResidual(spark, scratch, probe, trained, cbR, topN = 5).collect().toSeq)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [list"), s"no partition pruning:\n$planStr")
+  }
+
   test("nProbe restriction is partition pruning: <= NProbe directories scanned") {
     val path = Files.createTempDirectory("graft_ivfpq_spec_").toString
     val emb = Tables.load(spark, sfDir, "embeddings")
