@@ -200,7 +200,10 @@ object ConnectedComponents {
       rounds += 2
       // first check at round 4: one-batch convergence is the already-a-
       // forest case the pre-loop check catches, so a round-2 stats job is
-      // almost always wasted. An unchecked batch stays LAZY (its
+      // almost always wasted. (Measured on the sf0.1 simhash graph, r9:
+      // 9,150 edges include a 2,251-node giant component; after one batch
+      // the relation still has 562 forest violations — a round-2 check
+      // would pay its stats job on every call and pass ~never.) An unchecked batch stays LAZY (its
       // checkpoints replace the plan immediately but materialize inside
       // the next stats job), so skipping the check removes a whole job
       // barrier and an aggregate, not just the aggregate.
