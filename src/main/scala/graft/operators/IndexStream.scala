@@ -24,26 +24,33 @@ import org.apache.spark.sql.DataFrame
   */
 private[operators] object IndexStream {
 
-  /** Start a stream appending `rows` (plus a `batch` id column) to `path`.
-    * `nextBatch` is evaluated lazily — only when no marker exists yet.
+  /** Resolve the base batch id for a checkpoint: the marker beside the
+    * offsets log if one exists (a restarted query MUST reuse its original
+    * base), else `nextBatch` — written to the marker so every restart of
+    * this checkpoint sees the same value. `nextBatch` is evaluated lazily,
+    * only when no marker exists yet.
     */
+  def pinnedBase(rows: DataFrame, nextBatch: => Int, checkpoint: String): Int = {
+    val markerPath = new org.apache.hadoop.fs.Path(checkpoint, "graft_base_batch")
+    val fs = markerPath.getFileSystem(rows.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(markerPath)) {
+      val in = fs.open(markerPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    } else {
+      val b = nextBatch
+      val out = fs.create(markerPath, false)
+      try out.write(b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      b
+    }
+  }
+
+  /** Start a stream appending `rows` (plus a `batch` id column) to `path`. */
   def appendWithBatchIds(rows: DataFrame, nextBatch: => Int, path: String,
                          checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.lit
-    val markerPath = new org.apache.hadoop.fs.Path(checkpoint, "graft_base_batch")
-    val fs = markerPath.getFileSystem(rows.sparkSession.sessionState.newHadoopConf())
-    val base =
-      if (fs.exists(markerPath)) {
-        val in = fs.open(markerPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
-      } else {
-        val b = nextBatch
-        val out = fs.create(markerPath, false)
-        try out.write(b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        b
-      }
+    val base = pinnedBase(rows, nextBatch, checkpoint)
     rows.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         df.withColumn("batch", lit(base + batchId.toInt))

@@ -96,6 +96,38 @@ object SignatureIndex {
     IndexStream.appendWithBatchIds(signatures(docs),
       nextBatch(docs.sparkSession, path), path, checkpoint)
 
+  /** Streamed ingest AND probe — the in-flight crawl-dedup shape. Each
+    * micro-batch's signatures land in the index under a real batch id
+    * (the [[IndexStream]] checkpoint-pinned-base discipline), and the SAME
+    * foreachBatch then answers the batch's novelty from the stored table:
+    * `(doc_id, dup_of, batch)` rows append to `outPath`, `dup_of` the
+    * minimum doc_id among earlier-batch matches and lower-id same-batch
+    * peers, NULL for a novel doc. The crawl's dedup verdicts are available
+    * the moment the increment commits — no second pass over the index.
+    *
+    * At-least-once replay is safe end to end: a replayed micro-batch
+    * re-appends signature rows ([[probe]] is duplicate-insensitive) and
+    * re-appends witness rows with IDENTICAL values — `probe(b)` filters
+    * `batch <= b`, so batches ingested after the original attempt cannot
+    * change a replayed verdict, and the min witness ignores row
+    * multiplicity. Consumers restore set semantics with a
+    * `dropDuplicates("doc_id")`, exactly the ingest queries' contract.
+    */
+  def probeStream(docs: DataFrame, path: String, outPath: String,
+                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val base = IndexStream.pinnedBase(docs, nextBatch(spark, path), checkpoint)
+    signatures(docs).writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val b = base + batchId.toInt
+        df.withColumn("batch", lit(b)).write.mode("append").parquet(path)
+        probe(spark, path, b).withColumn("batch", lit(b))
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   // unrolled, not transform(sequence(...)): higher-order functions don't
   // codegen and would drag the banding Project out of WholeStageCodegen
   private val bandArray: Column = expr(

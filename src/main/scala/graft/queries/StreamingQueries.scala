@@ -406,7 +406,87 @@ object StreamingQueries {
          |GROUP BY c.vec_id, a.cid ORDER BY c.vec_id""".stripMargin
     })
 
+  /** Write `df` as ONE plain parquet file at `dest` with a chosen mtime —
+    * the file-stream source picks new files up in mtime order, which (with
+    * a `processAllAvailable` drain between drops) pins each file to its own
+    * micro-batch deterministically.
+    */
+  private def oneFile(df: org.apache.spark.sql.DataFrame, dest: String,
+                      mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_onefile_").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
+    require(new java.io.File(dest).setLastModified(mtime), s"mtime set failed: $dest")
+  }
+
+  /** Streamed ingest AND probe — the CONSUMER side of the streamed-index
+    * matrix, and the production crawl shape: three deterministic crawl
+    * increments (md5 slices of the corpus) arrive as separate micro-batches,
+    * each is appended to the persisted signature index under its real batch
+    * id and immediately probed against everything ingested before it
+    * ([[graft.operators.SignatureIndex.probeStream]]) — so every document's
+    * dedup verdict (min earlier witness, or NULL = novel) is landed the
+    * moment its increment commits, with zero re-kerneling of history.
+    * Output: one row per corpus doc across all increments. The oracle is
+    * the 3-slice generalization of d_dedup_incremental's witness relation:
+    * a match counts if it sits in an earlier slice (any id) or the same
+    * slice with a lower id. Replay tolerance: verdicts are deterministic
+    * (probe filters batch <= b and min-witness ignores row multiplicity),
+    * so at-least-once re-appends are value-identical rows removed by the
+    * contract dropDuplicates.
+    */
+  val st_sig_probe: Query = Query(
+    "st_sig_probe",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_sigprobe_")
+      val docs = graft.tables.Tables.load(s, dir, "documents").select("doc_id", "text")
+      val sliceCol = {
+        val h = substring(md5(concat(col("doc_id").cast("string"), lit(":crawl"))), 1, 1)
+        when(h <= "4", 0).when(h <= "9", 1).otherwise(2)
+      }
+      val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      // the source dir must exist before the stream starts — the first
+      // increment is dropped only after probeStream is live
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+      val streamed = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.SignatureIndex.probeStream(
+        streamed, s"$base/idx", s"$base/out", s"$base/cp")
+      try {
+        for (sl <- 0 to 2) {
+          oneFile(docs.filter(sliceCol === sl), s"$base/src/s$sl.parquet",
+            1000000000000L + sl * 60000L)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("dup_of"))
+        .dropDuplicates("doc_id")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${NorthStar.simhashShCte},
+            |m AS (
+            |  SELECT doc_id, simhash,
+            |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':crawl'), 1, 1) <= '4' THEN 0
+            |              WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':crawl'), 1, 1) <= '9' THEN 1
+            |              ELSE 2 END AS sl
+            |  FROM sh),
+            |mm AS (
+            |  SELECT a.doc_id, MIN(b.doc_id) AS dup_of
+            |  FROM m a JOIN m b
+            |    ON a.doc_id != b.doc_id
+            |   AND (b.sl < a.sl OR (b.sl = a.sl AND b.doc_id < a.doc_id))
+            |   AND bit_count(xor(a.simhash, b.simhash)) <= 6
+            |  GROUP BY a.doc_id)
+            |SELECT m.doc_id, mm.dup_of
+            |FROM m LEFT JOIN mm ON m.doc_id = mm.doc_id
+            |ORDER BY m.doc_id""".stripMargin))
+
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
     st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
-    st_pq_ingest, st_substring_ingest, st_ivfpq_ingest)
+    st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe)
 }
