@@ -19,9 +19,12 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** events.parquet physical schema: ts is INT64 timestamp[ns], surfaced as
-    * LongType under spark.sql.legacy.parquet.nanosAsLong (see Sessions) and
-    * converted to a microsecond timestamp here.
+  /** events.parquet physical schema as a FALLBACK: ts as INT64
+    * timestamp[ns] surfaced under spark.sql.legacy.parquet.nanosAsLong (see
+    * Sessions). [[readStream]] prefers the schema a batch read reports for
+    * the actual file — the generator has shipped both timestamp[ns] and
+    * timestamp[us] — because a streaming source cannot infer it and a
+    * mis-declared LongType would reinterpret microseconds as nanoseconds.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -31,14 +34,19 @@ object EventsStreaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def readStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      // integer division (see Tables.normalizeEvents): `/` would go through
-      // Double and lose exactness above 2^53 nanos.
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def readStream(spark: SparkSession, sfDir: String): DataFrame = {
+    // declare the schema the file actually has (one bounded footer read),
+    // then share the batch path's ts normalization — ns-as-long and us-NTZ
+    // files both land on the session-zoned TIMESTAMP the watermarks need
+    val fileSchema =
+      try spark.read.parquet(s"$sfDir/events.parquet").schema
+      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
+    graft.tables.Tables.normalizeEvents(
+      spark.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+  }
 
   /** Tumbling 1-hour windows with a watermark — streaming twin of
     * q23_time_bucket.

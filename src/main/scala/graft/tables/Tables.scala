@@ -21,19 +21,27 @@ object Tables {
     if (name == "events") normalizeEvents(df) else df
   }
 
-  /** events.ts is parquet timestamp[ns]; Spark reads nanos as LongType only
-    * with spark.sql.legacy.parquet.nanosAsLong=true (set in Sessions). When it
-    * arrives as a long, convert to a microsecond timestamp. `div` (integer
-    * division) is essential: `/` on two longs is Double division in Spark, and
-    * epoch nanos (~1e18) exceed Double's 53-bit exact range, so a float
-    * round-trip can flip a microsecond and silently diverge from DuckDB's
-    * exact ns->us integer cast.
+  /** Normalize events.ts to a session-zoned TIMESTAMP whatever the parquet
+    * physical type the generator chose (it has shipped both):
+    *
+    *   - timestamp[ns] surfaces as LongType under
+    *     spark.sql.legacy.parquet.nanosAsLong=true (set in Sessions) —
+    *     convert with `div 1000` integer division: `/` on two longs is
+    *     Double division in Spark, and epoch nanos (~1e18) exceed Double's
+    *     53-bit exact range, so a float round-trip can flip a microsecond
+    *     and silently diverge from DuckDB's exact ns->us integer cast;
+    *   - timestamp[us] (isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ —
+    *     cast to TimestampType, value-preserving because the session zone
+    *     is pinned to UTC (Sessions) and downstream functions
+    *     (unix_micros, watermarks) require the zoned type.
     */
-  private def normalizeEvents(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+  def normalizeEvents(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(f) if f.dataType == TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
