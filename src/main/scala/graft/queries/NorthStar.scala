@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CharNgrams, MinHash, RollingHash, SharedHash, SimHash, VecMeanAgg, Vectors}
-import graft.operators.{BandedPairs, ConnectedComponents, IvfPqIndex, PqIndex, SignatureIndex, SubstringIndex}
+import graft.operators.{BandedPairs, ConnectedComponents, IndexMaintenance, IvfPqIndex, PqIndex, SignatureIndex, SubstringIndex}
 import graft.tables.Tables
 
 /** North-star extensions (SURVEY.md §2.3 Q21–Q24 + the large-scale
@@ -675,6 +675,45 @@ object NorthStar {
   val d_dedup_index: Query = q("d_dedup_index",
     Some(incrementalDedupOracleSql), headline = true) { (s, dir) =>
     SignatureIndex.probe(s, sigIndexPath(s, dir), batch = 1).orderBy("doc_id")
+  }
+
+  /** Index maintenance under the gate: a crawl-shaped index (base build +
+    * four ingested deltas, one file each — the shape a week of streamed
+    * micro-batches leaves behind, see [[graft.operators.IndexStream]]) is
+    * COMPACTED ([[graft.operators.IndexMaintenance.compact]]) and then
+    * probed. The green row proves the rewrite changed the file layout
+    * only: the post-compaction probe still answers the exact witness
+    * relation (batch ids survive, so earlier-batch vs same-batch-lower-id
+    * semantics are intact), and the in-query `require` proves compaction
+    * actually collapsed files rather than being a no-op. At 100 TB this is
+    * the step that keeps probe cost O(scan) instead of O(footers): a
+    * minute-level stream accretes ~10k files a week, each a planner split
+    * and a footer read, while the compacted index is
+    * ceil(bytes/target) right-sized splits.
+    */
+  val d_index_compact: Query = q("d_index_compact", Some(
+    s"""WITH $simhashShCte,
+       |m AS (SELECT doc_id, simhash, doc_id % 5 AS b FROM sh),
+       |mm AS (
+       |  SELECT a.doc_id, MIN(bb.doc_id) AS dup_of
+       |  FROM m a JOIN m bb
+       |    ON a.doc_id != bb.doc_id
+       |   AND (bb.b < 4 OR bb.doc_id < a.doc_id)
+       |   AND bit_count(xor(a.simhash, bb.simhash)) <= 6
+       |  WHERE a.b = 4
+       |  GROUP BY a.doc_id)
+       |SELECT m.doc_id, mm.dup_of
+       |FROM m LEFT JOIN mm ON m.doc_id = mm.doc_id
+       |WHERE m.b = 4 ORDER BY m.doc_id""".stripMargin)) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val p = java.nio.file.Files.createTempDirectory("graft_sigidx_cmp_").toString + "/idx"
+    val b = pmod(col("doc_id"), lit(5)).cast("int")
+    SignatureIndex.build(docs.filter(b === 0), p)
+    (1 to 4).foreach(i => SignatureIndex.ingest(docs.filter(b === i), p, batch = i))
+    val (nBefore, nAfter) = IndexMaintenance.compact(s, p)
+    require(nAfter < nBefore,
+      s"compaction must collapse the per-ingest files ($nBefore -> $nAfter)")
+    SignatureIndex.probe(s, p, batch = 4).orderBy("doc_id")
   }
 
   /** Substring-level exact dedup — cross-document repeated token spans, the
@@ -3069,7 +3108,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
     d_minhash_lsh, d_minhash_collapse, d_simhash, d_dedup_incremental,
-    d_dedup_index, d_substring_dedup, d_substring_index, p_cut_spans,
+    d_dedup_index, d_index_compact, d_substring_dedup, d_substring_index, p_cut_spans,
     d_simhash_weighted, d_dup_clusters, p_collapse_neardup, p_neardup_prune,
     p_dedup_weights, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** Compaction must change the FILE LAYOUT of a persisted index and nothing
+  * else: same rows (batch ids, replayed duplicates included), same probe
+  * answers, same nextBatch, and — for the partitioned IVF-PQ layout — the
+  * same partition directories and pruning.
+  */
+class IndexMaintenanceSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("signature index: files collapse; rows, probe, and nextBatch invariant") {
+    val path = Files.createTempDirectory("graft_cmp_sig_").toString + "/idx"
+    val docs = Tables.load(spark, sfDir, "documents")
+    val b = pmod(col("doc_id"), lit(5)).cast("int")
+    SignatureIndex.build(docs.filter(b === 0), path)
+    (1 to 4).foreach(i => SignatureIndex.ingest(docs.filter(b === i), path, batch = i))
+    // a deliberate duplicate append — the at-least-once shape compaction
+    // must NOT collapse away (set semantics belong to the probe, not the
+    // storage): rows survive with their multiplicity
+    SignatureIndex.ingest(docs.filter(b === 4), path, batch = 4)
+
+    val rowsBefore = spark.read.parquet(path)
+      .orderBy("doc_id", "batch").collect().toSeq
+    val probeBefore = SignatureIndex.probe(spark, path, batch = 4)
+      .orderBy("doc_id").collect().toSeq
+
+    val (nBefore, nAfter) = IndexMaintenance.compact(spark, path)
+    assert(nBefore >= 6, s"expected one file per write before compaction, got $nBefore")
+    assert(nAfter < nBefore, s"compaction was a no-op: $nBefore -> $nAfter")
+    assert(nAfter == 1, s"tiny index must compact to one file, got $nAfter")
+
+    assert(spark.read.parquet(path).orderBy("doc_id", "batch").collect().toSeq
+      == rowsBefore, "compaction changed stored rows")
+    assert(SignatureIndex.probe(spark, path, batch = 4)
+      .orderBy("doc_id").collect().toSeq == probeBefore,
+      "compaction changed probe answers")
+    assert(SignatureIndex.nextBatch(spark, path) == 5,
+      "compaction must preserve the stored batch sequence")
+  }
+
+  test("partitioned IVF-PQ index: per-list layout and query results invariant") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = IvfPqIndex.centroidsOf(emb)
+    val cb = PqIndex.codebookOf(emb)
+    val path = Files.createTempDirectory("graft_cmp_ivfpq_").toString + "/idx"
+    IvfPqIndex.build(emb.filter(col("vec_id") % 3 === 0), cents, cb, path)
+    IvfPqIndex.ingest(emb.filter(col("vec_id") % 3 === 1), cents, cb, path)
+    IvfPqIndex.ingest(emb.filter(col("vec_id") % 3 === 2), cents, cb, path)
+
+    val probe = cents.find(_._1 == 1L).get._2
+    val before = IvfPqIndex.query(spark, path, probe, cents, cb, topN = 5)
+      .collect().toSeq
+    def listDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list=")).map(_.getName).toSet
+    val dirsBefore = listDirs
+
+    val (nBefore, nAfter) = IndexMaintenance.compact(
+      spark, path, partitionCols = Seq("list"))
+    assert(nAfter < nBefore, s"compaction was a no-op: $nBefore -> $nAfter")
+
+    assert(listDirs == dirsBefore,
+      "compaction must preserve the list= partition directories")
+    val after = IvfPqIndex.query(spark, path, probe, cents, cb, topN = 5)
+    assert(after.collect().toSeq == before, "compaction changed query results")
+    // nProbe restriction must still be literal partition pruning
+    val plan = after.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"pruning lost after compaction:\n$plan")
+  }
+}
