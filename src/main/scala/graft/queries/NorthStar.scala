@@ -2052,6 +2052,128 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     }
   }
 
+  /** The capstone composition WITH near-duplicate pruning — the whole
+    * crawl-to-training-set pipeline as ONE declarative plan: language +
+    * quality + length filter, exact keep-first dedup, banded simhash
+    * near-dup prune (cluster minimum survives), then shard + pack. This is
+    * [[p_pipeline_full]] upgraded with the stage every production recipe
+    * runs between dedup and packing, ordered by SCALE.md's measured
+    * lesson: the exact dedup runs FIRST, so the simhash kernel, the
+    * banding exchange, and the contraction loop only ever see distinct
+    * texts — on a crawl-shaped (majority-exact-dup) corpus the near-dup
+    * bill scales with unique content, not raw docs (the 10× run's 78×
+    * d_minhash_collapse win, SCALE.md). The filtered+deduped relation is
+    * checkpointed once and feeds both the pair graph and the final
+    * prune/pack, so scoring runs one pass. End-to-end exchanges: dedup
+    * window + banding self-join + edge-sized CC loop + one anti-join +
+    * shard window — every stage output- or edge-sized except the two
+    * corpus passes (scan, shard) any pipeline pays.
+    */
+  val p_pipeline_neardup: Query = {
+    import TextScoring._
+    val nShards = 8
+    val cap = 512
+    def hex4(h: String) =
+      s"((((${SharedHash.digitSql(h, "1")}) * 16 + ${SharedHash.digitSql(h, "2")}) * 16 + " +
+        s"${SharedHash.digitSql(h, "3")}) * 16 + ${SharedHash.digitSql(h, "4")})"
+    q("p_pipeline_neardup", Some(
+      s"""WITH RECURSIVE p0 AS (SELECT doc_id, text, CONCAT(' ', LOWER(text), ' ') AS p FROM documents),
+         |sc AS (SELECT doc_id, text, ${scoreSql("en")} AS s_en, ${scoreSql("de")} AS s_de,
+         |              ${scoreSql("es")} AS s_es, ${scoreSql("fr")} AS s_fr FROM p0),
+         |lj AS (SELECT doc_id, text, $caseSql AS pred_lang,
+         |              $qualitySql AS quality FROM sc),
+         |flt AS (SELECT * FROM lj
+         |        WHERE pred_lang = 'en' AND quality >= 0.5 AND length(text) >= 100),
+         |dd AS (SELECT doc_id, text, quality,
+         |              ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |       FROM flt),
+         |kept AS (SELECT doc_id, text, quality FROM dd WHERE rn = 1),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM kept),
+         |th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+         |tb AS (
+         |  SELECT doc_id, i.i AS i,
+         |         CASE WHEN ((${SharedHash.digitSql("h", "(i.i // 4) + 1")} >> (i.i % 4)) & 1) = 1
+         |              THEN 1 ELSE -1 END AS c
+         |  FROM th, (SELECT unnest(range(0, 63)) AS i) i),
+         |bs AS (SELECT doc_id, i, SUM(c) AS s FROM tb GROUP BY doc_id, i),
+         |sg AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bs GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+         |e AS (SELECT id_a AS s, id_b AS d FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+         |reach AS (SELECT s, d FROM e
+         |          UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+         |cl AS (SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster
+         |       FROM reach GROUP BY s),
+         |pruned AS (SELECT k.doc_id, k.text, k.quality FROM kept k
+         |           WHERE k.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id != cluster)),
+         |shd AS (SELECT doc_id, quality,
+         |               CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         |               md5(CAST(doc_id AS VARCHAR) || ':shard') AS hh
+         |        FROM pruned),
+         |sd AS (SELECT doc_id, quality, ntok, hh, ${hex4("hh")} % $nShards AS shard FROM shd),
+         |c AS (SELECT shard, doc_id, quality, ntok,
+         |        COALESCE(SUM(ntok) OVER (PARTITION BY shard ORDER BY hh, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |      FROM sd)
+         |SELECT shard, CAST(start_tok // $cap AS BIGINT) AS bin,
+         |       CAST(start_tok AS BIGINT) AS start_tok, doc_id, ntok,
+         |       ROUND(quality, 4) AS quality
+         |FROM c ORDER BY shard, start_tok, doc_id""".stripMargin)) { (s, dir) =>
+      val scored = Tables.load(s, dir, "documents")
+        .withColumn("p", concat(lit(" "), lower(col("text")), lit(" ")))
+        .withColumn("s_en", expr(scoreSql("en")))
+        .withColumn("s_de", expr(scoreSql("de")))
+        .withColumn("s_es", expr(scoreSql("es")))
+        .withColumn("s_fr", expr(scoreSql("fr")))
+        .withColumn("pred_lang", expr(caseSql))
+        .withColumn("quality", expr(qualitySql))
+        .filter(col("pred_lang") === "en" && col("quality") >= 0.5 &&
+          length(col("text")) >= 100)
+      val wd = Window.partitionBy("text").orderBy("doc_id")
+      // one corpus pass: scoring + exact dedup, checkpointed so the pair
+      // graph and the final prune/pack don't re-run the scan
+      val kept = scored
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("text"), col("quality"))
+        .localCheckpoint(eager = false)
+      // near-dup prune over the (already textually-distinct) survivors:
+      // same 7x9 pigeonhole banding + SHUFFLE_HASH self-join + CC as the
+      // dedup family; exact-first ordering means this never pays dup^2
+      val banded = kept
+        .select(col("doc_id"), simhashExpr.as("simhash"))
+        .select(col("doc_id"), col("simhash"),
+          posexplode(expr(bandArraySql)).as(Seq("band", "bucket")))
+      val a = banded.as("a"); val b = banded.hint("SHUFFLE_HASH").as("b")
+      val pairs = a.join(b,
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .filter(expr("bit_count(a.simhash ^ b.simhash) <= 6"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val (labels, _) = ConnectedComponents.label(pairs)
+      val drop = labels.filter(col("id") =!= col("lab")).select(col("id").as("doc_id"))
+      val pruned = kept.join(drop, Seq("doc_id"), "left_anti")
+      // shard + pack (p_pipeline_full's closed-form chunking)
+      val sharded = pruned
+        .select(col("doc_id"), col("quality"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          md5(concat(col("doc_id").cast("string"), lit(":shard"))).as("hh"))
+        .withColumn("shard", expr(s"${hex4("hh")} % $nShards"))
+      val wp = Window.partitionBy("shard").orderBy("hh", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sharded
+        .withColumn("start_tok", coalesce(sum(col("ntok")).over(wp), lit(0L)))
+        .select(col("shard"), expr(s"start_tok div $cap").as("bin"),
+          col("start_tok"), col("doc_id"), col("ntok"),
+          round(col("quality"), 4).as("quality"))
+        .orderBy("shard", "start_tok", "doc_id")
+    }
+  }
+
   /** EXACT next-fit sequence packing (docs never straddle bins): a doc
     * opens a new bin when it would overflow the 512-token cap. Unlike
     * [[p_pack]]'s closed-form chunking, the bin boundary depends on a
@@ -2314,6 +2436,63 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     hotSide.unionByName(tailSide)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("s")), 4).as("surprise"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram-LM surprisal — the context-aware upgrade of
+    * [[t_unigram_surprise]]'s CCNet-style quality score: a document full of
+    * individually common tokens in IMPROBABLE order (shuffled text, keyword
+    * stuffing, template glitches) scores low on unigram surprisal but high
+    * here. Per bigram (w1,w2) the conditional surprisal is the same
+    * integer-exact formulation, floor(log2(c(w1)/c(w1,w2)))+1 =
+    * `length(bin(c div c2))` — both counts integers, no float log in either
+    * engine — and the doc score is the average over its n-1 adjacent pairs
+    * (docs with <2 tokens have no bigrams and drop out, like an LM with
+    * nothing to condition on).
+    *
+    * Plan shape: bigrams are generated PER ROW (a slice/transform lambda
+    * over the split array — no per-doc window shuffle just to pair
+    * neighbors); the two frequency tables are map-side-combined groupBys;
+    * the VOCABULARY is scored first (distinct-bigram join to unigram
+    * counts — vocabulary-sized, not occurrence-sized), so occurrences take
+    * exactly one join keyed by (w1,w2), whose multiplicity is the hottest
+    * BIGRAM's count — inherently flatter than the unigram query's
+    * hottest-token key. The same top-1024 hot split still applies
+    * structurally: Zipf concentrates bigram mass too, so the hot slice
+    * broadcast-joins with no shuffle of its occurrences and the tail's
+    * per-key multiplicity is bounded by the 1024th count.
+    */
+  val t_bigram_surprise: Query = q("t_bigram_surprise", Some(
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |u AS (SELECT doc_id, unnest(a) AS tk, generate_subscripts(a, 1) AS i FROM tk),
+      |bg AS (
+      |  SELECT x.doc_id, x.tk AS w1, y.tk AS w2
+      |  FROM u x JOIN u y ON x.doc_id = y.doc_id AND y.i = x.i + 1),
+      |f1 AS (SELECT tk, COUNT(*) AS c FROM u GROUP BY tk),
+      |f2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      |s AS (
+      |  SELECT bg.doc_id, LENGTH(bin(f1.c // f2.c2)) AS s
+      |  FROM bg JOIN f1 ON bg.w1 = f1.tk
+      |          JOIN f2 ON bg.w1 = f2.w1 AND bg.w2 = f2.w2)
+      |SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(s), 4) AS surprise
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    val tk = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+    val bg = tk.select(col("doc_id"), explode(expr(
+        "transform(slice(a, 1, size(a)-1), (x, i) -> named_struct('w1', x, 'w2', a[i+1]))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = tk.select(explode(col("a")).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("c"))
+    val bi = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val sbg = bi.join(uni, col("w1") === col("tk"))
+      .select(col("w1"), col("w2"), col("c2"), expr("length(bin(c div c2))").as("s"))
+    val hot = broadcast(sbg.orderBy(col("c2").desc, col("w1"), col("w2")).limit(1024))
+    val hotSide = bg.join(hot, Seq("w1", "w2")).select(col("doc_id"), col("s"))
+    val tailSide = bg.join(hot, Seq("w1", "w2"), "left_anti")
+      .join(sbg, Seq("w1", "w2")).select(col("doc_id"), col("s"))
+    hotSide.unionByName(tailSide)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("s")), 4).as("surprise"))
       .orderBy("doc_id")
   }
 
@@ -3117,9 +3296,9 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     s_label_centroid, d_semdedup,
     s_knn_batch,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
-    t_repetition, t_entropy, t_unigram_surprise,
+    t_repetition, t_entropy, t_unigram_surprise, t_bigram_surprise,
     t_fingerprint, t_decontam, t_sample_split, t_stratified, t_pii, p_clean_corpus,
     p_domain_mix, p_shard, p_pack,
-    p_pack_exact, p_zorder, p_pipeline_full, p_token_budget,
+    p_pack_exact, p_zorder, p_pipeline_full, p_pipeline_neardup, p_token_budget,
     q23_time_bucket, e_anomaly, w_sliding_window, w_session_window, m_binary_meta)
 }

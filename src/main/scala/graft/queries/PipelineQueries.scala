@@ -131,6 +131,32 @@ object PipelineQueries {
            |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** XML source/sink roundtrip — the row-markup format Spark 4 ships
+    * natively (the spark-xml package merged into core). Unlike
+    * parquet/ORC there is no pushdown or pruning to claim — XML is a
+    * row-synchronous text format, every row parses whole — so the scale
+    * posture is the same as gzip CSV/JSONL: schema declared up front (no
+    * inference pass over 100 TB), one streamed task per file, and the
+    * conversion's job is to land the data in a columnar format once.
+    * Values must survive the markup roundtrip bit-exactly vs the
+    * parquet-scan oracle.
+    */
+  val r_xml_roundtrip: Query = Query(
+    "r_xml_roundtrip",
+    (s, dir) => {
+      val base = Files.createTempDirectory("graft_xml_").toString
+      val src = s.read.parquet(s"$dir/part.parquet")
+      src.write.mode("overwrite").option("rowTag", "part")
+        .option("compression", "gzip").xml(s"$base/xml")
+      s.read.schema(src.schema).option("rowTag", "part").xml(s"$base/xml")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_type"), col("p_size"), round(col("p_retailprice"), 2).as("price"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, p_name, p_brand, p_type, p_size,
+           |       ROUND(p_retailprice, 2) AS price
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
   /** ORC source/sink roundtrip — the second columnar format Spark ships
     * natively (zlib, column pruning + predicate pushdown like parquet).
     * The pushed range predicate on the read side is the part worth
@@ -197,6 +223,6 @@ object PipelineQueries {
     Some(Multimodal.audioChunksOracleSql))
 
   val all: Seq[Query] = Seq(r_unload_roundtrip, r_jdbc_roundtrip, r_jsonl_roundtrip,
-    r_orc_roundtrip, p_compact, m_image_features, m_resize, m_frame_sample,
-    m_audio_chunks)
+    r_orc_roundtrip, r_xml_roundtrip, p_compact, m_image_features, m_resize,
+    m_frame_sample, m_audio_chunks)
 }

@@ -55,4 +55,31 @@ class CollapseNeardupSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.01"
     assert(run("d_minhash_collapse", dir) == run("d_minhash_lsh", dir))
   }
+
+  test("capstone near-dup pipeline: survivor set equals the brute-force closure (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    // the cleaning pass (independently differentially gated) defines the
+    // kept set the capstone's near-dup stage starts from
+    val kept = SparkEntry.queries("p_clean_corpus")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // brute force: ALL-pairs hamming<=6 over kept docs' simhashes (no
+    // banding), transitive closure via union-find, non-minimum members drop
+    val sigs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id").isInCollection(kept))
+      .select(col("doc_id"), graft.functions.SimHash.simhash63Occ(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(sigs.map(s => s._1 -> s._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 6
+    } parent(find(sigs(i)._1)) = find(sigs(j)._1)
+    val byRoot = sigs.map(_._1).groupBy(find)
+    val drops = byRoot.values.filter(_.length > 1).flatMap(g => g.sorted.tail).toSet
+    assert(drops.nonEmpty,
+      "kept corpus produced no near-dup clusters; the prune path went untested")
+    val got = SparkEntry.queries("p_pipeline_neardup")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == kept -- drops)
+  }
 }
