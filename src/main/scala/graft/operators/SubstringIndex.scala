@@ -84,6 +84,33 @@ object SubstringIndex {
     IndexStream.appendWithBatchIds(windows(docs, w),
       nextBatch(docs.sparkSession, path), path, checkpoint)
 
+  /** Streamed ingest AND probe — the substring twin of
+    * [[SignatureIndex.probeStream]]: each micro-batch's window triples
+    * land under a real checkpoint-pinned batch id and the same
+    * foreachBatch immediately answers "which spans of THIS increment are
+    * duplicated against anything ingested so far" from the stored table,
+    * appending `(doc_id, span_start, span_end, n_windows, batch)` rows to
+    * `outPath` — in-flight boilerplate/contamination-span detection for a
+    * crawl. Replay-safe: [[probe]] is duplicate-insensitive (distinct'd
+    * marks, COUNT(DISTINCT) dup rule) and filters `batch <= b`, so a
+    * replayed micro-batch re-appends value-identical span rows; consumers
+    * restore set semantics with dropDuplicates.
+    */
+  def probeStream(docs: DataFrame, path: String, outPath: String,
+                  checkpoint: String, w: Int): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val base = IndexStream.pinnedBase(docs, nextBatch(spark, path), checkpoint)
+    windows(docs, w).writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val b = base + batchId.toInt
+        df.withColumn("batch", lit(b)).write.mode("append").parquet(path)
+        probe(spark, path, b, w).withColumn("batch", lit(b))
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Maximal duplicated spans `(doc_id, span_start, span_end, n_windows)`
     * for batch `batch`'s docs, entirely from the stored index.
     *

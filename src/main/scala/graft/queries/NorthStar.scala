@@ -744,7 +744,7 @@ object NorthStar {
     * corpus's median doc is 56 tokens, so 20 exercises the machinery at a
     * span length the fixture actually repeats).
     */
-  private val SubW = 20
+  private[graft] val SubW = 20
 
   /** DuckDB CTE prefix recomputing [[graft.functions.RollingHash]]'s
     * Mersenne-61 polynomial exactly (HUGEINT modular arithmetic over the

@@ -486,7 +486,71 @@ object StreamingQueries {
             |FROM m LEFT JOIN mm ON m.doc_id = mm.doc_id
             |ORDER BY m.doc_id""".stripMargin))
 
+  /** Streamed substring probe — [[st_sig_probe]]'s twin over the
+    * window-triple index: three md5-slice crawl increments arrive as
+    * micro-batches, each appends its rolling-hash triples under a real
+    * batch id and is immediately answered "which of YOUR spans are
+    * duplicated against anything ingested so far"
+    * ([[graft.operators.SubstringIndex.probeStream]]) — in-flight
+    * boilerplate/contamination-span detection. A span counts when its
+    * window hash is shared with ANOTHER doc in the same or an earlier
+    * slice (probe's COUNT(DISTINCT doc_id) > 1 over batch <= b), which is
+    * exactly the EXISTS the oracle writes. Output: maximal spans per doc,
+    * all increments.
+    */
+  val st_substring_probe: Query = Query(
+    "st_substring_probe",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_subprobe_")
+      val docs = graft.tables.Tables.load(s, dir, "documents").select("doc_id", "text")
+      val sliceCol = {
+        val h = substring(md5(concat(col("doc_id").cast("string"), lit(":crawl"))), 1, 1)
+        when(h <= "4", 0).when(h <= "9", 1).otherwise(2)
+      }
+      val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+      val streamed = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.SubstringIndex.probeStream(
+        streamed, s"$base/idx", s"$base/out", s"$base/cp", w = NorthStar.SubW)
+      try {
+        for (sl <- 0 to 2) {
+          oneFile(docs.filter(sliceCol === sl), s"$base/src/s$sl.parquet",
+            1000000000000L + sl * 60000L)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+        .dropDuplicates("doc_id", "span_start")
+        .orderBy("doc_id", "span_start")
+    },
+    Some(s"""${NorthStar.substringWinCte},
+            |m AS (
+            |  SELECT doc_id, off, h,
+            |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':crawl'), 1, 1) <= '4' THEN 0
+            |              WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':crawl'), 1, 1) <= '9' THEN 1
+            |              ELSE 2 END AS sl
+            |  FROM win),
+            |mk AS (
+            |  SELECT a.doc_id, a.off,
+            |         row_number() OVER (PARTITION BY a.doc_id ORDER BY a.off) AS rn
+            |  FROM m a
+            |  WHERE EXISTS (SELECT 1 FROM m b
+            |                WHERE b.h = a.h AND b.doc_id != a.doc_id AND b.sl <= a.sl)),
+            |sp AS (
+            |  SELECT doc_id, MIN(off) AS span_start,
+            |         MAX(off) + ${NorthStar.SubW - 1} AS span_end,
+            |         COUNT(*) AS n_windows
+            |  FROM mk GROUP BY doc_id, off - rn)
+            |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+            |       CAST(span_end AS BIGINT) AS span_end,
+            |       CAST(n_windows AS BIGINT) AS n_windows
+            |FROM sp ORDER BY doc_id, span_start""".stripMargin))
+
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
     st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
-    st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe)
+    st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe,
+    st_substring_probe)
 }

@@ -82,6 +82,40 @@ class SubstringIndexSpec extends SparkSpec {
       bruteSpans(docs, batchOf, 1).orderBy("doc_id", "span_start").collect().toSeq)
   }
 
+  test("streamed probe equals the batch ingest+probe sequence over the same slices") {
+    val base = Files.createTempDirectory("graft_subidx_probe_stream_").toString
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val batchOf = pmod(col("doc_id"), lit(3)).cast("int")
+
+    def oneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_onefile_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+      Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
+      Files.move(part.toPath, java.nio.file.Paths.get(dest))
+      assert(new java.io.File(dest).setLastModified(mtime))
+    }
+    oneFile(docs.filter(batchOf === 0), s"$base/src/d0.parquet", 1000000000000L)
+    oneFile(docs.filter(batchOf === 1), s"$base/src/d1.parquet", 1000000060000L)
+    oneFile(docs.filter(batchOf === 2), s"$base/src/d2.parquet", 1000000120000L)
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = SubstringIndex.probeStream(streamed, s"$base/idx", s"$base/out", s"$base/cp", W)
+    try q.processAllAvailable() finally q.stop()
+
+    val expected = (0 to 2).map(b =>
+        bruteSpans(docs, batchOf, b).withColumn("batch", lit(b)))
+      .reduce(_ unionAll _)
+    assert(spark.read.parquet(s"$base/out")
+        .select("doc_id", "span_start", "span_end", "n_windows", "batch")
+        .orderBy("doc_id", "span_start", "batch").collect().toSeq ==
+      expected.select("doc_id", "span_start", "span_end", "n_windows", "batch")
+        .orderBy("doc_id", "span_start", "batch").collect().toSeq)
+    assert(spark.read.parquet(s"$base/out").filter(col("batch") > 0).count() > 0,
+      "no spans detected past the first increment; slice differently")
+  }
+
   test("probe plan is kernel-free: no rolling hash, no text column read") {
     val path = Files.createTempDirectory("graft_subidx_plan_").toString
     val docs = Tables.load(spark, sfDir, "documents")
