@@ -44,9 +44,14 @@ object ScaleRun {
     })
 
     val byName = graft.SparkEntry.catalog.map(q => q.name -> q).toMap
-    for (name <- Seq("d_simhash", "d_simhash_weighted", "d_minhash_lsh", "d_dup_clusters",
+    val defaultSet = Seq("d_simhash", "d_simhash_weighted", "d_minhash_lsh", "d_dup_clusters",
       "d_minhash_collapse", "p_collapse_neardup", "d_substring_dedup",
-      "d_substring_index", "d_dedup_index", "p_cut_spans")) {
+      "d_substring_index", "d_dedup_index", "p_cut_spans", "p_pipeline_neardup")
+    // SPARK_GRAFT_SCALE_QUERIES: comma-separated subset for re-measuring
+    // one operator without paying the whole sweep
+    val names = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(',').toSeq).getOrElse(defaultSet)
+    for (name <- names) {
       stageTasks.clear()
       val t0 = System.nanoTime()
       val rows = byName(name).run(spark, dir).count()
