@@ -45,6 +45,12 @@ object IndexMaintenance {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // a leftover tmp means a prior compaction died mid-swap — if the live
+    // dir is gone the data now lives ONLY in tmp, and blindly overwriting
+    // it would destroy the index; surface that state instead of guessing
+    require(!fs.exists(new Path(path + ".compact_tmp")) || fs.exists(p),
+      s"crashed compaction detected: $path.compact_tmp exists and $path does " +
+        "not — recover by renaming the tmp dir back before compacting again")
 
     def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
       val it = fs.listFiles(dir, true)
