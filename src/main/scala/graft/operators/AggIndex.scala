@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted incremental-aggregate table — the [[SignatureIndex]]
+  * stored-artifact discipline applied to ANALYTICS: a continuously-appended
+  * event stream whose daily rollup must stay queryable without ever
+  * re-aggregating history.
+  *
+  * The naive shape re-runs `GROUP BY (event_type, day)` over the whole
+  * event log per refresh — at 100 TB that is a full-corpus scan and
+  * shuffle per dashboard tick. This operator stores MERGEABLE PARTIALS
+  * instead, one row per (key, batch):
+  *
+  *   - [[build]] aggregates the base log once and writes
+  *     `(event_type, day, cnt, sum_v, min_v, max_v, users_hll, batch=0)`;
+  *   - [[ingest]] aggregates ONLY the delta and appends its partials under
+  *     a monotone batch id — per-refresh cost is delta-sized;
+  *   - [[merged]] answers the rollup from the STORED table alone by
+  *     second-order aggregation: `sum(cnt)`, `sum(sum_v)`, `min(min_v)`,
+  *     `max(max_v)`, `hll_union_agg(users_hll)` — every combine function
+  *     is associative + commutative, so merge-on-read over any batch
+  *     partition of the log equals the one-shot aggregate;
+  *   - [[compact]] optionally collapses the per-batch rows back to one
+  *     row per key (same merge, materialized), bounding the stored table
+  *     at O(keys) however many deltas arrived.
+  *
+  * Exactness of the merge is by construction, not tolerance: counts and
+  * min/max are trivially mergeable, and the sum is carried as
+  * DECIMAL(18,6) partials (exact, order-independent addition — a DOUBLE
+  * partial sum would make `merged` depend on the batch split). The one
+  * approximate column is the distinct-user HLL sketch
+  * (`hll_sketch_agg`, Apache DataSketches): registers merge by max, so a
+  * union of per-batch sketches is a valid sketch of the union — the
+  * production answer to "distinct users per day over an append-only log"
+  * without storing user sets (the [[graft.queries.Relational]] q32
+  * sketch argument, persisted).
+  *
+  * The stored table is ~6 orders smaller than the log (keys x batches
+  * rows), so [[merged]] is interactive at any corpus size, and the log
+  * itself is scanned exactly once per increment.
+  *
+  * Reference analog: the incremental weekly-partition export
+  * (examples/weekly_partitions.py:77-129) converts only new partitions;
+  * the partial-agg table is the analogous persisted state for rollups.
+  */
+object AggIndex {
+
+  /** Partition keys of the rollup. */
+  val Keys = Seq("event_type", "day")
+
+  /** lgK for the HLL sketches — fixed across build/ingest because only
+    * same-lgK sketches union losslessly.
+    */
+  val HllLgK = 12
+
+  /** Mergeable partials for one batch of events: one row per
+    * (event_type, day). The ONLY place raw events are scanned in this
+    * lifecycle — a corpus-sized map + one map-side-combined shuffle of
+    * partial rows.
+    */
+  def partials(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("value"), col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(
+        count(lit(1)).as("cnt"),
+        // cast the SUM back to decimal(18,6) so every stored batch — and
+        // compact's rewritten rows — carry one parquet decimal schema
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)").as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        hll_sketch_agg(col("user_id"), lit(HllLgK)).as("users_hll"))
+
+  /** Aggregate the base log once; write the partial table as batch 0. */
+  def build(events: DataFrame, path: String): Unit =
+    partials(events).withColumn("batch", lit(0))
+      .write.mode("overwrite").parquet(path)
+
+  /** Aggregate ONLY the delta; append its partials as `batch`. */
+  def ingest(events: DataFrame, path: String, batch: Int): Unit =
+    partials(events).withColumn("batch", lit(batch))
+      .write.mode("append").parquet(path)
+
+  /** Next free batch id (max(batch) + 1; 0 for a fresh path) — delegates
+    * to the shared fail-loud implementation.
+    */
+  def nextBatch(spark: SparkSession, path: String): Int =
+    SignatureIndex.nextBatch(spark, path)
+
+  /** Streamed ingest of an events stream: each micro-batch is aggregated
+    * to partials and appended under a REAL monotone batch id (the
+    * [[IndexStream]] checkpoint-pinned-base discipline) — the rollup
+    * keeps up with the live stream at per-micro-batch cost. At-least-once
+    * replay appends a DUPLICATE partial row for the replayed batch;
+    * unlike the signature index's min-witness, `sum(cnt)` is NOT
+    * duplicate-insensitive, so [[merged]] restores exactly-once by
+    * dropDuplicates on (keys, batch) first — partials are deterministic
+    * per (micro-batch, key), hence replayed rows are byte-identical and
+    * the dedup is sound.
+    */
+  def ingestStream(events: DataFrame, path: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the aggregation runs INSIDE foreachBatch, on the micro-batch as a
+    // plain batch DataFrame — pre-aggregating the streaming frame would be
+    // a stateful streaming aggregation (watermark + state store) when the
+    // semantics wanted are per-batch partials, recombined at read by
+    // [[merged]]; the batch-id discipline is [[IndexStream]]'s
+    val base = IndexStream.pinnedBase(events,
+      nextBatch(events.sparkSession, path), checkpoint)
+    events.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        partials(df).withColumn("batch", lit(base + batchId.toInt))
+          .write.mode("append").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  private val mergeCols = Seq(
+    sum(col("cnt")).as("cnt"),
+    sum(col("sum_v")).cast("decimal(18,6)").as("sum_v"),
+    min(col("min_v")).as("min_v"),
+    max(col("max_v")).as("max_v"),
+    hll_union_agg(col("users_hll"), lit(false)).as("users_hll"))
+
+  /** The rollup, entirely from the stored partial table: second-order
+    * merge of the per-batch partials. `users` is the HLL estimate of
+    * distinct users. Scans O(keys x batches) rows; the raw log is never
+    * touched.
+    */
+  def merged(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      // replayed streamed micro-batches append byte-identical partial
+      // rows; (keys, batch) identifies a partial uniquely, so this
+      // restores exactly-once before the non-duplicate-insensitive sums
+      .dropDuplicates(Keys :+ "batch")
+      .groupBy(Keys.map(col): _*)
+      .agg(mergeCols.head, mergeCols.tail: _*)
+      .select(col("event_type"), col("day"), col("cnt"), col("sum_v"),
+        col("min_v"), col("max_v"),
+        hll_sketch_estimate(col("users_hll")).as("users"))
+
+  /** Collapse the per-batch partial rows to ONE row per key, preserving
+    * [[merged]]'s answers exactly: the same combine functions run once and
+    * the result is re-stored under batch = max(batch) (so [[nextBatch]]
+    * and later ingests continue the sequence). [[IndexMaintenance.compact]]
+    * bounds FILE count; this bounds ROW count — together they keep the
+    * stored table at O(keys) rows in right-sized files however long the
+    * stream runs. Same maintenance-window single-writer contract.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val maxBatch = nextBatch(spark, path) - 1
+    val collapsed = spark.read.parquet(path)
+      .dropDuplicates(Keys :+ "batch")
+      .groupBy(Keys.map(col): _*)
+      .agg(mergeCols.head, mergeCols.tail: _*)
+      .withColumn("batch", lit(math.max(maxBatch, 0)))
+      // one row per key: a single right-sized file unless keys are huge
+      .coalesce(1)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact_tmp")
+    require(!fs.exists(tmp) || fs.exists(p),
+      s"crashed compaction detected: $path.compact_tmp exists and $path does not")
+    collapsed.write.mode("overwrite").parquet(tmp.toString)
+    require(fs.delete(p, true), s"failed to remove pre-compaction table at $path")
+    require(fs.rename(tmp, p), s"failed to swap compacted table into $path")
+  }
+}

@@ -2385,6 +2385,59 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       .orderBy("doc_id")
   }
 
+  /** [[t_decontam]] with a BLOOM-FILTER pre-filter — the regime where the
+    * eval gram set is too big to broadcast as a hash relation but its
+    * BITS are not. A Bloom filter over the eval grams (Spark's
+    * spark-sketch implementation, ~10 bits per gram at 1% fpp — ~50x
+    * smaller than the gram strings it summarizes) is broadcast to every
+    * train-side task, and each train gram probes it BEFORE any join:
+    * ~99% of clean grams die in the scan stage, in place, so the join —
+    * and at production scale the shuffle feeding it — only ever carries
+    * grams that are (almost all) genuinely contaminated. Bloom filters
+    * have NO false negatives, and the exact gram equi-join still runs on
+    * the survivors, so false positives are dropped there and the result
+    * is BYTE-IDENTICAL to [[t_decontam]] (same oracle SQL) at any fpp —
+    * the filter is pure pruning, never semantics.
+    *
+    * The probe is a scala UDF rather than a codegen expression because
+    * Spark's own BloomFilterMightContain is internal to the runtime-filter
+    * rewrite (not a public function), and the probe side of this plan is
+    * gram-generation-bound, not probe-bound; the UDF's input is the
+    * already-computed gram string, two murmur hashes per call.
+    *
+    * Sizing: expectedNumItems is the eval side's exact distinct-gram
+    * count — one bounded aggregate action over the SMALL side (the
+    * operator's premise is a fixed benchmark suite), the same
+    * bounded-driver-work discipline as the ANN codebook collects.
+    */
+  val t_decontam_bloom: Query = q("t_decontam_bloom", Some(
+    """WITH ev AS (
+      |  SELECT DISTINCT substring(text, i, 20) AS g
+      |  FROM (SELECT text, UNNEST(generate_series(1, GREATEST(length(text)-19, 1))) AS i
+      |        FROM documents WHERE doc_id % 50 = 0) t),
+      |tr AS (
+      |  SELECT DISTINCT doc_id, substring(text, i, 20) AS g
+      |  FROM (SELECT doc_id, text, UNNEST(generate_series(1, GREATEST(length(text)-19, 1))) AS i
+      |        FROM documents WHERE doc_id % 50 <> 0) t)
+      |SELECT tr.doc_id, COUNT(*) AS n_hits
+      |FROM tr JOIN ev ON tr.g = ev.g
+      |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    import CharNgrams.charNgrams
+    val docs = Tables.load(s, dir, "documents")
+    val ev = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(charNgrams(col("text"), 20)).as("g")).distinct()
+    val nEval = math.max(ev.count(), 1L)
+    val bf = ev.stat.bloomFilter("g", nEval, 0.01)
+    val bc = s.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    val tr = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(charNgrams(col("text"), 20)).as("g"))
+      .filter(mightContain(col("g")))
+    tr.join(ev, "g")
+      .groupBy("doc_id").agg(countDistinct("g").as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram-surprisal quality score — the CCNet-style "how unlike the
     * corpus LM is this document" signal (Wenzek et al., CCNet: high
     * perplexity under a reference LM flags gibberish and boilerplate
@@ -3297,7 +3350,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     s_knn_batch,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
     t_repetition, t_entropy, t_unigram_surprise, t_bigram_surprise,
-    t_fingerprint, t_decontam, t_sample_split, t_stratified, t_pii, p_clean_corpus,
+    t_fingerprint, t_decontam, t_decontam_bloom, t_sample_split, t_stratified, t_pii, p_clean_corpus,
     p_domain_mix, p_shard, p_pack,
     p_pack_exact, p_zorder, p_pipeline_full, p_pipeline_neardup, p_token_budget,
     q23_time_bucket, e_anomaly, w_sliding_window, w_session_window, m_binary_meta)

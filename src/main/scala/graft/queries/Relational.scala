@@ -805,8 +805,62 @@ object Relational {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** Per-JVM memo of the bucketed-table database for an sf dir
+    * (single-snapshot-per-JVM contract, like NorthStar's index caches):
+    * customer and orders are rewritten ONCE per dir as 8-bucket,
+    * bucket-sorted parquet tables, hashed and sorted on the customer key.
+    */
+  private val bucketDbCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bucketDb(s: SparkSession, dir: String): String =
+    bucketDbCache.computeIfAbsent(dir, _ => {
+      val db = "graft_buckets_" + graft.functions.SharedHash.md5Hex(dir).take(8)
+      val loc = java.nio.file.Files.createTempDirectory("graft_bucketdb_").toString
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      Tables.load(s, dir, "customer")
+        .write.format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(s"$db.customer_b")
+      Tables.load(s, dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+        .write.format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable(s"$db.orders_b")
+      db
+    })
+
+  /** Bucketed co-located fact-fact join — the pre-shuffle answer to the
+    * one shuffle AQE cannot remove: both tables are STORED pre-hashed into
+    * the same 8 buckets on the join key (bucketBy + sortBy), so the
+    * customer x orders join needs NO exchange of either side — each task
+    * zips bucket i of both tables, already sorted, straight into the
+    * sort-merge join (the plan shows `Bucketed: true` scans and no
+    * hashpartitioning exchange on c_custkey; BucketJoinSpec pins it). The
+    * MERGE hint keeps the co-located plan stable against broadcast
+    * thresholds. At 100 TB this is THE technique for a join run many times
+    * on the same keys (every fact-fact star join in a reporting layer):
+    * the shuffle is paid once at write time, amortized over every
+    * subsequent query, and bucket counts chosen so a bucket fits an
+    * executor. The only exchange left is the output-sized rollup on
+    * c_mktsegment.
+    *
+    * Reference analog: the reference leans on Redshift's distkey for
+    * co-located joins (SURVEY §4) — bucketing is Spark's storage-level
+    * equivalent.
+    */
+  val q39_bucket_join: Query = q("q39_bucket_join",
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |       ROUND(SUM(o_totalprice), 2) AS rev
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val db = bucketDb(s, dir)
+    s.table(s"$db.customer_b").hint("MERGE")
+      .join(s.table(s"$db.orders_b").hint("MERGE"), Seq("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("rev"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Query] = Seq(
-    q37_dq_report, q38_scd2_merge,
+    q37_dq_report, q38_scd2_merge, q39_bucket_join,
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
     q6_partition_key, q7_join, q8_join3_agg, q8b_region_rev, q9_left_join, q9b_full_join,
     q10_semi_join, q11_anti_join, q12_count_distinct, q13_rollup, q13_cube, q13_gsets,

@@ -1,0 +1,135 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** The incremental-aggregate lifecycle: merge-on-read over any batch split
+  * of the log must equal the one-shot aggregate (exact columns), the HLL
+  * sketch must estimate within tolerance, compaction must preserve
+  * answers, and the streamed path must land real batch ids.
+  */
+class AggIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def events = Tables.load(spark, sfDir, "events")
+
+  /** Exact columns + estimate, collected in key order. */
+  private def rows(df: DataFrame): Seq[(String, String, Long, java.math.BigDecimal,
+      Double, Double, Long)] =
+    df.orderBy("event_type", "day").collect().toSeq.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDecimal(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+
+  private def oneShot: DataFrame = {
+    val p = Files.createTempDirectory("graft_aggidx_one_").toString
+    AggIndex.build(events, p)
+    AggIndex.merged(spark, p)
+  }
+
+  test("merge-on-read over a 3-way batch split equals the one-shot aggregate") {
+    val p = Files.createTempDirectory("graft_aggidx_").toString
+    AggIndex.build(events.filter(col("event_id") % 3 === 0), p)
+    AggIndex.ingest(events.filter(col("event_id") % 3 === 1), p, batch = 1)
+    AggIndex.ingest(events.filter(col("event_id") % 3 === 2), p, batch = 2)
+    assert(AggIndex.nextBatch(spark, p) == 3)
+    val inc = rows(AggIndex.merged(spark, p))
+    val one = rows(oneShot)
+    // exact columns are split-invariant BY CONSTRUCTION (associative
+    // combines, DECIMAL sums); the HLL estimate column is compared
+    // against exact distinct below, not across splits
+    assert(inc.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)) ==
+      one.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)))
+  }
+
+  test("HLL user estimates land within 5% of exact distinct per key") {
+    val p = Files.createTempDirectory("graft_aggidx_hll_").toString
+    AggIndex.build(events.filter(col("event_id") % 2 === 0), p)
+    AggIndex.ingest(events.filter(col("event_id") % 2 === 1), p, batch = 1)
+    val exact = events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct("user_id").as("exact_users"))
+    val joined = AggIndex.merged(spark, p)
+      .join(exact, Seq("event_type", "day")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val est = r.getAs[Long]("users").toDouble
+      val ex = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(est - ex) <= ex * 0.05,
+        s"${r.getString(0)}/${r.getString(1)}: estimate $est vs exact $ex")
+    }
+  }
+
+  test("compact collapses to one row per key and preserves every answer") {
+    val p = Files.createTempDirectory("graft_aggidx_cmp_").toString
+    AggIndex.build(events.filter(col("event_id") % 3 === 0), p)
+    AggIndex.ingest(events.filter(col("event_id") % 3 === 1), p, batch = 1)
+    AggIndex.ingest(events.filter(col("event_id") % 3 === 2), p, batch = 2)
+    val before = rows(AggIndex.merged(spark, p))
+    val estBefore = AggIndex.merged(spark, p)
+      .orderBy("event_type", "day").select("users").collect().toSeq
+    val keyCount = before.size
+    AggIndex.compact(spark, p)
+    val stored = spark.read.parquet(p)
+    assert(stored.count() == keyCount, "compact must leave one row per key")
+    // batch id sequence continues after compaction
+    assert(AggIndex.nextBatch(spark, p) == 3)
+    assert(rows(AggIndex.merged(spark, p)) == before)
+    assert(AggIndex.merged(spark, p)
+      .orderBy("event_type", "day").select("users").collect().toSeq == estBefore,
+      "HLL estimates must survive compaction")
+  }
+
+  test("replayed (duplicate) partial rows do not double-count") {
+    val p = Files.createTempDirectory("graft_aggidx_replay_").toString
+    AggIndex.build(events.filter(col("event_id") % 2 === 0), p)
+    AggIndex.ingest(events.filter(col("event_id") % 2 === 1), p, batch = 1)
+    val before = rows(AggIndex.merged(spark, p))
+    // an at-least-once appender replays batch 1 byte-identically
+    AggIndex.ingest(events.filter(col("event_id") % 2 === 1), p, batch = 1)
+    assert(rows(AggIndex.merged(spark, p)) == before,
+      "merged must dedup replayed partials on (keys, batch)")
+  }
+
+  test("streamed ingest lands real batch ids and matches the batch-API twin") {
+    val base = Files.createTempDirectory("graft_aggidx_stream_").toString
+    AggIndex.build(events.filter(col("event_id") % 3 === 0), s"$base/idx")
+
+    def oneFile(df: DataFrame, path: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_aggidx_src_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sessionState.newHadoopConf())
+      val src = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      val dst = new org.apache.hadoop.fs.Path(path)
+      fs.mkdirs(dst.getParent)
+      fs.rename(src, dst)
+      fs.setTimes(dst, mtime, -1)
+    }
+    oneFile(events.filter(col("event_id") % 3 === 1), s"$base/src/d1.parquet", 1000000000000L)
+    oneFile(events.filter(col("event_id") % 3 === 2), s"$base/src/d2.parquet", 1000000060000L)
+
+    val streamed = Tables.normalizeEvents(
+      spark.readStream.schema(spark.read.parquet(s"$base/src").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src"))
+    val q = AggIndex.ingestStream(streamed, s"$base/idx", s"$base/cp")
+    try q.processAllAvailable() finally q.stop()
+
+    val batches = spark.read.parquet(s"$base/idx")
+      .select("batch").distinct().orderBy("batch")
+      .collect().map(_.getInt(0)).toSeq
+    assert(batches == Seq(0, 1, 2), s"expected real monotone batch ids, got $batches")
+
+    val twin = Files.createTempDirectory("graft_aggidx_twin_").toString
+    AggIndex.build(events.filter(col("event_id") % 3 === 0), twin)
+    AggIndex.ingest(events.filter(col("event_id") % 3 === 1), twin, batch = 1)
+    AggIndex.ingest(events.filter(col("event_id") % 3 === 2), twin, batch = 2)
+    assert(rows(AggIndex.merged(spark, s"$base/idx")) == rows(AggIndex.merged(spark, twin)))
+  }
+}
