@@ -504,18 +504,25 @@ object Relational {
     * 100 TB cardinalities switch to approx_percentile (t-digest, mergeable,
     * bounded memory), evidence-tested in ScaleTechniquesSpec.
     */
+  // ROUND at 6, not 2: the interpolated value of 2-dp prices has at most
+  // 4 decimal digits (rank fraction p*(n-1) has <= 2), so a 2-dp round
+  // can land exactly on a .xx5 tie where the engines' rounding diverges
+  // (Spark rounds the shortest decimal repr, DuckDB the binary value —
+  // observed at sf0.001: 52724.245 -> .25 vs .24). Rounding BEYOND the
+  // value's possible digits makes the round a no-op on an identical
+  // double, deterministic at every sf.
   val q30_quantile: Query = q("q30_quantile",
     """SELECT l_returnflag,
-      |       ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-      |       ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-      |       ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75,
-      |       ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+      |       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+      |       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+      |       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     def pct(p: Double) = expr(s"percentile(l_extendedprice, CAST($p AS DOUBLE))")
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(round(pct(0.25), 2).as("p25"), round(pct(0.5), 2).as("p50"),
-        round(pct(0.75), 2).as("p75"), round(pct(0.95), 2).as("p95"))
+      .agg(round(pct(0.25), 6).as("p25"), round(pct(0.5), 6).as("p50"),
+        round(pct(0.75), 6).as("p75"), round(pct(0.95), 6).as("p95"))
       .orderBy("l_returnflag")
   }
 
@@ -583,14 +590,15 @@ object Relational {
     * materialization of the distribution.
     */
   val q33_approx_quantile: Query = q("q33_approx_quantile",
-    """SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+    """SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
       |       TRUE AS within_1pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, CAST(0.5 AS DOUBLE))").as("ep50"),
         expr("approx_percentile(l_extendedprice, CAST(0.5 AS DOUBLE), 10000)").as("ap50"))
-      .select(col("l_returnflag"), round(col("ep50"), 2).as("exact_p50"),
+      // round 6, not 2: the q30 tie-avoidance argument (see above)
+      .select(col("l_returnflag"), round(col("ep50"), 6).as("exact_p50"),
         (abs(col("ap50") - col("ep50")) <= col("ep50") * 0.01).as("within_1pct"))
       .orderBy("l_returnflag")
   }
