@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BandHash, MinHash}
+
+/** Persisted MinHash band index — the Jaccard-regime cell of the
+  * stored-index matrix ([[SignatureIndex]] simhash / [[SubstringIndex]]
+  * windows / [[PqIndex]]+[[IvfPqIndex]] vectors), for incremental near-dup
+  * detection of a continuously-crawled corpus at Jaccard >= 0.7.
+  *
+  * The in-query generator (`d_minhash_lsh`) runs the 192-perm fused kernel
+  * over the WHOLE corpus on every run. This operator kernels each doc
+  * exactly once in its lifetime instead:
+  *
+  *   - [[build]]/[[ingest]] run the kernel over base/delta only and store
+  *     `(doc_id, n, bands, batch)` — n the distinct 5-gram count (feeds
+  *     the integer-rational size prune), `bands` the 32 banded 6-row
+  *     signature hashes: 32 longs + 4 bytes a doc, ~3 orders smaller than
+  *     text, and sufficient for CANDIDATE generation forever after;
+  *   - [[candidates]] answers "which stored pairs involving batch N might
+  *     clear Jaccard 0.7" entirely from the stored table: explode the
+  *     band array, equi-join (band, bucket), size-ratio prune on the
+  *     stored n — no text, no kernel, cost O(index scan + bucket
+  *     collisions).
+  *
+  * Exact verification (the candidate pairs' text join) stays OUTSIDE the
+  * operator on purpose: candidates are output-shaped, so the verify stage
+  * reads text for candidate docs only — the caller owns that join (see
+  * NorthStar's `d_minhash_index`), keeping the stored artifact pure
+  * signature state. Same recall as the inline banding (identical band
+  * scheme over identical signatures); the duplicate-insensitive DISTINCT
+  * on pairs makes at-least-once appenders (streamed ingest replay, retried
+  * batch ingest) safe, the [[SignatureIndex.probe]] argument.
+  *
+  * Reference analog: the manifest-driven incremental convert
+  * (spectrify/convert.py:97-99) re-exports only new partitions; the band
+  * table is the analogous persisted state for Jaccard dedup.
+  */
+object MinHashIndex {
+  val Gram = 5
+  val Perms = 192
+  val Bands = 32
+  val RowsPerBand = 6
+
+  /** `(doc_id, n, bands)` from raw `(doc_id, text)` — the ONLY place the
+    * 192-perm kernel runs in this lifecycle.
+    */
+  def signatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), MinHash.ngramSig(col("text"), Gram, Perms).as("ns"))
+      .select(col("doc_id"), col("ns.n").as("n"),
+        BandHash.bandHashes(col("ns.sig"), Bands, RowsPerBand).as("bands"))
+
+  /** Kernel the base corpus once; write the index as batch 0. */
+  def build(docs: DataFrame, path: String): Unit =
+    signatures(docs).withColumn("batch", lit(0))
+      .write.mode("overwrite").parquet(path)
+
+  /** Kernel ONLY the delta; append its band rows as `batch`. */
+  def ingest(docs: DataFrame, path: String, batch: Int): Unit =
+    signatures(docs).withColumn("batch", lit(batch))
+      .write.mode("append").parquet(path)
+
+  /** Next free batch id — the shared fail-loud implementation. */
+  def nextBatch(spark: SparkSession, path: String): Int =
+    SignatureIndex.nextBatch(spark, path)
+
+  /** Streamed ingest: the kernel runs per micro-batch, appended under real
+    * monotone batch ids ([[IndexStream]]'s checkpoint-pinned base).
+    */
+  def ingestStream(docs: DataFrame, path: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    IndexStream.appendWithBatchIds(signatures(docs),
+      nextBatch(docs.sparkSession, path), path, checkpoint)
+
+  /** Candidate near-dup pairs for batch `batch`, entirely from the stored
+    * index: normalized `(id_a, id_b)` with id_a < id_b, where the pair
+    * involves a batch-`batch` doc matched against earlier batches or
+    * lower-id same-batch peers. The SHUFFLE_HASH hint makes the
+    * batch-sized delta the hash-build side (broadcasting the INDEX side
+    * would ship the corpus's bands to every task); AQE splits skewed
+    * buckets. DISTINCT folds multi-band collisions AND replayed index
+    * rows — the probe is duplicate-insensitive end to end.
+    */
+  def candidates(spark: SparkSession, path: String, batch: Int): DataFrame = {
+    // batch <= probe pre-filter: same argument as SignatureIndex.probe —
+    // the disjunctive condition below is not pushable, so later batches
+    // would otherwise band and shuffle only to be dropped in the join
+    val idx = spark.read.parquet(path).filter(col("batch") <= batch)
+      .select(col("doc_id"), col("n"), col("batch"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+    val a = idx.filter(col("batch") === batch).hint("SHUFFLE_HASH").as("a")
+    val b = idx.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (col("b.batch") < batch ||
+            (col("b.batch") === batch && col("b.doc_id") < col("a.doc_id"))) &&
+          // integer-rational size prune: jac >= 0.7 bounds |A|/|B| within
+          // [0.7, 1/0.7]; exact-safe, no floats
+          col("a.n") * 10 >= col("b.n") * 7 && col("b.n") * 10 >= col("a.n") * 7)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CharNgrams, MinHash, RollingHash, SharedHash, SimHash, VecMeanAgg, Vectors}
-import graft.operators.{BandedPairs, ConnectedComponents, IndexMaintenance, IvfPqIndex, PqIndex, SignatureIndex, SubstringIndex}
+import graft.operators.{BandedPairs, ConnectedComponents, IndexMaintenance, IvfPqIndex, MinHashIndex, PqIndex, SignatureIndex, SubstringIndex}
 import graft.tables.Tables
 
 /** North-star extensions (SURVEY.md §2.3 Q21–Q24 + the large-scale
@@ -331,6 +331,59 @@ object NorthStar {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         lit(1.0).as("jac"))
     cross.unionByName(within).orderBy("id_a", "id_b")
+  }
+
+  /** Per-JVM memo of the persisted MinHash band index for an sf dir —
+    * batch 0 the base (non-delta) docs, batch 1 the delta, the
+    * [[sigIndexCache]] single-snapshot-per-JVM contract.
+    */
+  private val minhashIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def minhashIndexPath(s: SparkSession, dir: String): String =
+    minhashIndexCache.computeIfAbsent(dir, _ => {
+      val docs = Tables.load(s, dir, "documents")
+      val p = java.nio.file.Files.createTempDirectory("graft_mhidx_").toString
+      MinHashIndex.build(docs.filter(!isDeltaCol), p)
+      MinHashIndex.ingest(docs.filter(isDeltaCol), p, batch = 1)
+      p
+    })
+
+  /** Incremental Jaccard near-dup against the PERSISTED MinHash band index
+    * ([[graft.operators.MinHashIndex]]) — d_dedup_index's discipline in
+    * the Jaccard regime, completing the stored-index matrix (simhash /
+    * substring / vector / MINHASH). Candidate pairs involving the delta
+    * come kernel-free from the stored `(doc_id, n, bands, batch)` table
+    * (band equi-join + stored-size prune — no text, no 192-perm kernel);
+    * only the surviving candidates' text is read, once, by the exact
+    * verifier. Per-crawl cost is O(index scan + bucket collisions +
+    * candidate verify) — at 100 TB the full-corpus kernel pass
+    * d_minhash_lsh pays per run is gone, and verification (the measured
+    * dominant cost of the family, SCALE.md) is already candidate-sized.
+    * Oracle: the exact full Jaccard >= 0.7 pair set restricted to pairs
+    * involving a delta doc — banding recall over stored signatures is
+    * IDENTICAL to the inline generator's (same scheme, same signatures),
+    * so the stored path must reproduce the exact relation d_minhash_lsh
+    * proves.
+    */
+  val d_minhash_index: Query = q("d_minhash_index", Some(
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([substring(text, i, 5)
+      |         FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS s
+      |  FROM documents),
+      |sz AS (SELECT doc_id, s, len(s) AS n,
+      |       substring(md5(CAST(doc_id AS VARCHAR) || ':delta'), 1, 1) <= '2' AS is_delta
+      |       FROM sh),
+      |pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         len(list_intersect(a.s, b.s)) AS ni, a.n AS na, b.n AS nb
+      |  FROM sz a JOIN sz b
+      |    ON a.doc_id < b.doc_id AND a.n * 10 >= b.n * 7 AND b.n * 10 >= a.n * 7
+      |   AND (a.is_delta OR b.is_delta))
+      |SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (na + nb - ni), 3) AS jac
+      |FROM pr WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin), headline = true) { (s, dir) =>
+    val cand = MinHashIndex.candidates(s, minhashIndexPath(s, dir), batch = 1)
+    verifyJaccard(cand, Tables.load(s, dir, "documents"), gram = 5, t = 0.7)
   }
 
   /** Exact-recall prefix-filtered similarity self-join (AllPairs, Bayardo
@@ -3339,7 +3392,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
 
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
-    d_minhash_lsh, d_minhash_collapse, d_simhash, d_dedup_incremental,
+    d_minhash_lsh, d_minhash_collapse, d_minhash_index, d_simhash, d_dedup_incremental,
     d_dedup_index, d_index_compact, d_substring_dedup, d_substring_index, p_cut_spans,
     d_simhash_weighted, d_dup_clusters, p_collapse_neardup, p_neardup_prune,
     p_dedup_weights, t_bm25,
