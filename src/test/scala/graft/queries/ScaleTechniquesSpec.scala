@@ -137,4 +137,45 @@ class ScaleTechniquesSpec extends SparkSpec {
       expr("percentile(l_extendedprice, 0.55)").as("hi")).collect()(0)
     assert(approx >= bounds.getDouble(0) && approx <= bounds.getDouble(1))
   }
+
+  test("z-ordered layout prunes 2-D box predicates; single-column sort does not") {
+    // the p_zorder claim, measured: a file sorted by the Morton interleave
+    // of (partkey, suppkey) clusters BOTH dimensions, so parquet row-group
+    // min/max stats let a 2-D box predicate skip most row groups; a file
+    // sorted on an unrelated single column leaves both dims uniform in
+    // every row group, so nothing skips. The SCAN node's numOutputRows
+    // counts rows materialized from SURVIVING row groups (pushed filters
+    // prune at group granularity; exact filtering happens above the scan),
+    // which makes it a direct gauge of skipping.
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val zval = expr((0 until 16).map(b =>
+      s"shiftleft(shiftright(l_partkey % 65536, $b) & 1, ${2 * b}) + " +
+        s"shiftleft(shiftright(l_suppkey % 65536, $b) & 1, ${2 * b + 1})")
+      .mkString(" + ")).cast("long")
+    val base = Files.createTempDirectory("graft_zorder_").toString
+    // small row groups so sf0.01 yields enough of them to make skipping
+    // observable (~60k rows -> dozens of groups)
+    li.withColumn("zv", zval).orderBy("zv").coalesce(1)
+      .write.option("parquet.block.size", 64 * 1024).parquet(s"$base/zordered")
+    li.orderBy("l_orderkey").coalesce(1)
+      .write.option("parquet.block.size", 64 * 1024).parquet(s"$base/bysingle")
+
+    def scannedRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("l_partkey").between(100, 120) && col("l_suppkey").between(10, 20))
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value }.sum
+    }
+    val nz = scannedRows(s"$base/zordered")
+    val ns = scannedRows(s"$base/bysingle")
+    val total = li.count()
+    info(s"box scan: z-ordered $nz rows vs single-sort $ns of $total total")
+    assert(ns > total / 2,
+      s"single-column sort should skip (almost) nothing: scanned $ns of $total")
+    assert(nz * 4 < ns,
+      s"z-order should scan <1/4 of the single-sort layout: $nz vs $ns")
+  }
 }
