@@ -483,6 +483,95 @@ object NorthStar {
       prefixJaccard(Tables.load(s, dir, "documents"))
     }
 
+  /** Exact containment verification of DIRECTED (src_id, dst_id)
+    * candidates — [[verifyJaccard]]'s skeleton with the asymmetric metric
+    * |src ∩ dst| / |src|. The threshold test is integer-exact
+    * (ni * tDen >= n_src * tNum), so no float boundary can disagree with
+    * the oracle's identical integer algebra.
+    */
+  private def verifyContainment(cand: DataFrame, corpus: DataFrame,
+                                gram: Int, tNum: Int, tDen: Int): DataFrame = {
+    val sides = cand
+      .select(struct(col("src_id"), col("dst_id")).as("pair"))
+      .select(col("pair"), explode(array(col("pair.src_id"), col("pair.dst_id"))).as("doc_id"))
+    val candShingles = corpus
+      .select(col("doc_id"), CharNgrams.charNgrams(col("text"), gram).as("shingles"))
+    val pairsSh = sides.join(candShingles, "doc_id")
+      .groupBy("pair")
+      .agg(
+        first(when(col("doc_id") === col("pair.src_id"), col("shingles")), ignoreNulls = true).as("ss"),
+        first(when(col("doc_id") === col("pair.dst_id"), col("shingles")), ignoreNulls = true).as("sd"))
+    val ni = size(array_intersect(col("ss"), col("sd")))
+    pairsSh
+      .filter(ni * tDen >= size(col("ss")) * tNum)
+      .select(col("pair.src_id").as("src_id"), col("pair.dst_id").as("dst_id"),
+        round(ni.cast("double") / size(col("ss")), 3).as("cont"))
+      .orderBy("src_id", "dst_id")
+  }
+
+  /** Containment similarity join (Broder's asymmetric twin of resemblance):
+    * directed pairs where |grams(src) ∩ grams(dst)| / |grams(src)| >= 0.8 —
+    * "src is mostly contained in dst". Jaccard misses exactly this shape
+    * (a paragraph quoted inside a book scores near-zero resemblance), and
+    * it is the shape eval-set contamination and boilerplate quoting
+    * actually take; t_decontam counts shared grams, this SCORES the
+    * directed overlap fraction per pair.
+    *
+    * Candidate generation is the AllPairs/SSJoin prefix filter adapted to
+    * the asymmetric bound: containment >= t needs overlap >= ceil(t*n_src),
+    * so only src's first n - ceil(t*n) + 1 grams in the global rare-first
+    * (df ASC, gram ASC) order need indexing — the probe side shrinks to
+    * the prefix — while the dst side indexes ALL its grams (no symmetric
+    * prefix exists: any dst gram can match). The only size constraint is
+    * one-directional (n_dst >= t*n_src, integer form): a tweet can be
+    * contained in a book, so there is NO upper ratio prune — this is
+    * what structurally separates the operator from [[prefixJaccard]].
+    * Exactness: every common gram of a qualifying pair sits at src
+    * positions <= n - ceil(t*n) + 1 for at least its smallest member, so
+    * recall is lossless; exact verification then computes the true
+    * fraction over the candidates only. All threshold algebra integer
+    * (ni*5 >= n*4), matching the oracle bit for bit.
+    *
+    * 100 TB shape: one gram-frequency groupBy, one prefix-to-index
+    * equi-join (cost = sum over grams of prefix_df * df, concentrated on
+    * RARE grams by the ordering), candidates-only text verification.
+    */
+  val d_containment: Query = q("d_containment", Some(
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([substring(text, i, 5)
+      |         FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS s
+      |  FROM documents),
+      |sz AS (SELECT doc_id, s, len(s) AS n FROM sh),
+      |pr AS (
+      |  SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+      |         len(list_intersect(a.s, b.s)) AS ni, a.n AS na
+      |  FROM sz a JOIN sz b
+      |    ON a.doc_id != b.doc_id AND b.n * 5 >= a.n * 4)
+      |SELECT src_id, dst_id, ROUND(CAST(ni AS DOUBLE) / na, 3) AS cont
+      |FROM pr WHERE ni * 5 >= na * 4
+      |ORDER BY src_id, dst_id""".stripMargin)) { (s, dir) =>
+    val (tNum, tDen) = (4, 5)
+    val docs = Tables.load(s, dir, "documents")
+    val withNg = docs.select(col("doc_id"), CharNgrams.charNgrams(col("text"), 5).as("ng"))
+    val sh = withNg.select(col("doc_id"), size(col("ng")).as("n"), explode(col("ng")).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+    // src probes only its prefix (n - ceil(t*n) + 1 rarest grams)
+    val prefix = ranked
+      .filter(col("r") <= col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col("doc_id"), col("n"), col("sh"))
+    val idx = sh.as("b")
+    val cand = prefix.as("a").join(idx,
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
+          // one-directional size bound: |dst| >= ceil(t*|src|)
+          col("b.n") * tDen >= col("a.n") * tNum)
+      .select(col("a.doc_id").as("src_id"), col("b.doc_id").as("dst_id"))
+      .distinct()
+    verifyContainment(cand, docs, gram = 5, tNum = tNum, tDen = tDen)
+  }
+
   /** Shared 63-bit SimHash: bit i = sign of the token-vote where token tk
     * votes +1/-1 by bit i of md5(tk) (bit (i%4) of hex digit (i div 4)).
     * md5-derived so the DuckDB oracle recomputes identical values. Computed
@@ -3392,6 +3481,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
 
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
+    d_containment,
     d_minhash_lsh, d_minhash_collapse, d_minhash_index, d_simhash, d_dedup_incremental,
     d_dedup_index, d_index_compact, d_substring_dedup, d_substring_index, p_cut_spans,
     d_simhash_weighted, d_dup_clusters, p_collapse_neardup, p_neardup_prune,
