@@ -2005,6 +2005,39 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     * could flip a 6-dp ROUND boundary between engines; the 6-dp round
     * follows the float-aggregate discipline.
     */
+  /** Dataset card — the per-(source, lang) release summary every corpus
+    * ships: doc/token/char totals, exact-duplicate count (docs minus
+    * distinct text fingerprints), median length, mean tokens. One
+    * map-side-combined groupBy over the corpus; the two non-trivially
+    * mergeable columns are the duplicate count (two-level aggregate: the
+    * md5 distinct shuffles 16-byte fingerprints, never text) and the
+    * exact median (per-group materialization — at 100 TB swap in
+    * approx_percentile under the q33 tolerance gate; medians of integer
+    * lengths are x or x.5, both exactly representable, so the exact
+    * column is engine-deterministic here). mean_tokens divides two exact
+    * BIGINTs.
+    */
+  val p_dataset_card: Query = q("p_dataset_card", Some(
+    """SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+      |       quantile_cont(length(text), 0.5) AS p50_chars,
+      |       ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 4) AS mean_tokens
+      |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin)) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"),
+        expr("percentile(length(text), CAST(0.5 AS DOUBLE))").as("p50_chars"),
+        round(sum(size(split(col("text"), " ")).cast("long")).cast("double") /
+          count(lit(1)), 4).as("mean_tokens"))
+      .orderBy("source", "lang")
+  }
+
   val p_domain_mix: Query = q("p_domain_mix", Some(
     """WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
       |t AS (SELECT SUM(SQRT(n)) AS sp, CAST(SUM(n) AS BIGINT) AS nn FROM s)
@@ -3494,7 +3527,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
     t_repetition, t_entropy, t_unigram_surprise, t_bigram_surprise,
     t_fingerprint, t_decontam, t_decontam_bloom, t_sample_split, t_stratified, t_pii, p_clean_corpus,
-    p_domain_mix, p_shard, p_pack,
+    p_domain_mix, p_dataset_card, p_shard, p_pack,
     p_pack_exact, p_zorder, p_pipeline_full, p_pipeline_neardup, p_token_budget,
     q23_time_bucket, e_anomaly, w_sliding_window, w_session_window, m_binary_meta)
 }
