@@ -2038,6 +2038,53 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       .orderBy("source", "lang")
   }
 
+  /** Mixture sampling — [[p_domain_mix]]'s target weights APPLIED: draw a
+    * 200-doc corpus whose per-source composition matches the
+    * temperature-smoothed (T=0.5, sqrt) shares, with EXACT integer quotas
+    * (floor(share * budget)) and a deterministic md5 draw order inside
+    * each source. This is the step that actually builds the training
+    * mixture after the weights are chosen.
+    *
+    * Determinism across engines: the share is 6-dp-rounded BEFORE the
+    * quota floor (share itself ends in a float sum of sqrts whose
+    * last-ulp depends on aggregation order; flooring the rounded value
+    * multiplies two identical doubles on both engines), and the draw
+    * order (md5(doc_id || ':mix'), doc_id) is total.
+    *
+    * Scale shape: a tiny per-source count aggregate broadcast back as
+    * quotas, then ONE window ranked inside each source. Exact quotas cost
+    * a per-source sort at 100 TB; a rate-based draw (keep if
+    * hash <= rate * 2^128) avoids the sort at the price of binomial
+    * quota jitter — the scaladoc'd swap when exactness stops mattering.
+    */
+  val p_mixture_sample: Query = q("p_mixture_sample", Some(
+    """WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |t AS (SELECT SUM(SQRT(n)) AS sp FROM s),
+      |q AS (SELECT source,
+      |             CAST(FLOOR(ROUND(SQRT(n) / t.sp, 6) * 200) AS BIGINT) AS quota
+      |      FROM s CROSS JOIN t),
+      |r AS (SELECT doc_id, source,
+      |             ROW_NUMBER() OVER (PARTITION BY source
+      |               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id) AS rn
+      |      FROM documents)
+      |SELECT r.source AS source, r.doc_id AS doc_id
+      |FROM r JOIN q ON r.source = q.source
+      |WHERE r.rn <= q.quota ORDER BY r.source, r.doc_id""".stripMargin)) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val bySrc = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val norm = bySrc.agg(sum(sqrt(col("n").cast("double"))).as("sp"))
+    val quotas = bySrc.crossJoin(broadcast(norm))
+      .select(col("source"),
+        floor(round(sqrt(col("n").cast("double")) / col("sp"), 6) * 200).as("quota"))
+    val ranked = docs.select(col("doc_id"), col("source"),
+      row_number().over(Window.partitionBy("source")
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":mix"))), col("doc_id"))).as("rn"))
+    ranked.join(broadcast(quotas), "source")
+      .filter(col("rn") <= col("quota"))
+      .select(col("source"), col("doc_id"))
+      .orderBy("source", "doc_id")
+  }
+
   val p_domain_mix: Query = q("p_domain_mix", Some(
     """WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
       |t AS (SELECT SUM(SQRT(n)) AS sp, CAST(SUM(n) AS BIGINT) AS nn FROM s)
@@ -3527,7 +3574,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
     t_repetition, t_entropy, t_unigram_surprise, t_bigram_surprise,
     t_fingerprint, t_decontam, t_decontam_bloom, t_sample_split, t_stratified, t_pii, p_clean_corpus,
-    p_domain_mix, p_dataset_card, p_shard, p_pack,
+    p_domain_mix, p_mixture_sample, p_dataset_card, p_shard, p_pack,
     p_pack_exact, p_zorder, p_pipeline_full, p_pipeline_neardup, p_token_budget,
     q23_time_bucket, e_anomaly, w_sliding_window, w_session_window, m_binary_meta)
 }
