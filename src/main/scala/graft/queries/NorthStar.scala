@@ -535,6 +535,12 @@ object NorthStar {
     * 100 TB shape: one gram-frequency groupBy, one prefix-to-index
     * equi-join (cost = sum over grams of prefix_df * df, concentrated on
     * RARE grams by the ordering), candidates-only text verification.
+    * Regime note: the all-pairs SELF-join here is the stress shape
+    * (345 s at sf0.1 — SCALE.md); production containment probes a SMALL
+    * src side (an eval suite, a quote list) whose prefixes shrink the
+    * probe relation to decontam size, and a duplication-heavy corpus
+    * must collapse first ([[d_containment_collapse]] — the direct join
+    * OOMs at 10x duplication).
     */
   val d_containment: Query = q("d_containment", Some(
     """WITH sh AS (
@@ -570,6 +576,77 @@ object NorthStar {
       .select(col("a.doc_id").as("src_id"), col("b.doc_id").as("dst_id"))
       .distinct()
     verifyContainment(cand, docs, gram = 5, tNum = tNum, tDen = tDen)
+  }
+
+  /** Collapse-first containment — [[d_containment]] with the
+    * exact-duplicate collapse run FIRST (the [[d_minhash_collapse]]
+    * pattern on the asymmetric metric). On a crawl-shaped corpus the
+    * direct containment join pays duplication² TWICE over: every "rare"
+    * gram's document frequency is multiplied by the duplication factor
+    * (prefix candidate enumeration grows quadratically) AND every
+    * qualifying pair appears once per copy-pair (directed, so 2x the
+    * undirected blow-up) — at 10x duplication the direct query's exact
+    * verification runs out of memory outright (SCALE.md). Here the
+    * fingerprint groupBy collapses copies to representatives before any
+    * gram leaves a doc: prefix machinery and verification see DISTINCT
+    * texts only, then the rep-level relation fans back out through the
+    * groups — identical texts have identical gram sets, so member pairs
+    * inherit their reps' containment verbatim, and within-group ordered
+    * pairs are containment 1.0 by definition. Oracle: [[d_containment]]'s
+    * SQL unchanged — the output relation must be identical.
+    */
+  val d_containment_collapse: Query = q("d_containment_collapse", Some(
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([substring(text, i, 5)
+      |         FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS s
+      |  FROM documents),
+      |sz AS (SELECT doc_id, s, len(s) AS n FROM sh),
+      |pr AS (
+      |  SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+      |         len(list_intersect(a.s, b.s)) AS ni, a.n AS na
+      |  FROM sz a JOIN sz b
+      |    ON a.doc_id != b.doc_id AND b.n * 5 >= a.n * 4)
+      |SELECT src_id, dst_id, ROUND(CAST(ni AS DOUBLE) / na, 3) AS cont
+      |FROM pr WHERE ni * 5 >= na * 4
+      |ORDER BY src_id, dst_id""".stripMargin)) { (s, dir) =>
+    val (tNum, tDen) = (4, 5)
+    val raw = Tables.load(s, dir, "documents")
+    val fp = raw.select(textFingerprint :+ col("doc_id"): _*)
+      .localCheckpoint(eager = false)
+    val groups = fp.groupBy("h1", "h2")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("gsz"))
+    val members = fp.join(groups.select("h1", "h2", "rep"), Seq("h1", "h2"))
+      .select("doc_id", "rep")
+    val repDocs = raw.join(groups.select(col("rep").as("doc_id")), "doc_id")
+      .select("doc_id", "text")
+    // the d_containment pipeline over REPRESENTATIVES only
+    val withNg = repDocs.select(col("doc_id"), CharNgrams.charNgrams(col("text"), 5).as("ng"))
+    val sh = withNg.select(col("doc_id"), size(col("ng")).as("n"), explode(col("ng")).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+    val prefix = ranked
+      .filter(col("r") <= col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col("doc_id"), col("n"), col("sh"))
+    val cand = prefix.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") * tDen >= col("a.n") * tNum)
+      .select(col("a.doc_id").as("src_id"), col("b.doc_id").as("dst_id"))
+      .distinct()
+    val repPairs = verifyContainment(cand, repDocs, gram = 5, tNum = tNum, tDen = tDen)
+    // fan out: member pairs inherit their reps' relation (identical text
+    // means identical gram set); rep identity maps to within-group 1.0
+    val cross = repPairs
+      .join(members.as("ms"), col("ms.rep") === col("src_id"))
+      .join(members.as("md"), col("md.rep") === col("dst_id"))
+      .select(col("ms.doc_id").as("src_id"), col("md.doc_id").as("dst_id"), col("cont"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("src_id"), col("y.doc_id").as("dst_id"),
+        lit(1.0).as("cont"))
+    cross.unionByName(within).orderBy("src_id", "dst_id")
   }
 
   /** Shared 63-bit SimHash: bit i = sign of the token-vote where token tk
@@ -3561,7 +3638,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
 
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
-    d_containment,
+    d_containment, d_containment_collapse,
     d_minhash_lsh, d_minhash_collapse, d_minhash_index, d_simhash, d_dedup_incremental,
     d_dedup_index, d_index_compact, d_substring_dedup, d_substring_index, p_cut_spans,
     d_simhash_weighted, d_dup_clusters, p_collapse_neardup, p_neardup_prune,

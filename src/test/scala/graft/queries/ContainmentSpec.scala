@@ -32,6 +32,14 @@ class ContainmentSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("collapse-first containment equals the direct join") {
+    val direct = graft.SparkEntry.queries("d_containment")(spark, sfDir)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val collapsed = graft.SparkEntry.queries("d_containment_collapse")(spark, sfDir)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(collapsed == direct)
+  }
+
   test("containment catches asymmetric overlap that Jaccard misses") {
     import spark.implicits._
     // a short doc fully quoted inside a much longer one: containment 1.0,
