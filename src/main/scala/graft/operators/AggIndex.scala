@@ -144,28 +144,49 @@ object AggIndex {
         col("min_v"), col("max_v"),
         hll_sketch_estimate(col("users_hll")).as("users"))
 
-  /** Collapse the per-batch partial rows to ONE row per key, preserving
-    * [[merged]]'s answers exactly: the same combine functions run once and
-    * the result is re-stored under batch = max(batch) (so [[nextBatch]]
-    * and later ingests continue the sequence). [[IndexMaintenance.compact]]
-    * bounds FILE count; this bounds ROW count — together they keep the
-    * stored table at O(keys) rows in right-sized files however long the
-    * stream runs. Same maintenance-window single-writer contract.
+  /** Collapse COMMITTED history to one consolidated row per key while
+    * keeping the LATEST batch's rows byte-identical, preserving
+    * [[merged]]'s answers exactly AND the replay contract:
+    *
+    *   - batches < max(batch) are merged into one row per key stored
+    *     under batch = max(batch) - 1. Safe because appenders are
+    *     sequential single-writers — at most ONE batch (the latest) can
+    *     be in-flight/uncommitted at a crash; every earlier batch's
+    *     offsets were committed before the next began, so no replay can
+    *     ever land under a collapsed id;
+    *   - the max batch's rows are rewritten UNCHANGED: a restarted stream
+    *     replaying its uncommitted micro-batch (IndexStream pins the
+    *     original id) appends rows byte-identical to the retained ones,
+    *     and [[merged]]'s (keys, batch) dedup folds them — the same
+    *     argument as before compaction. (An earlier design re-homed ALL
+    *     history under max(batch); a post-compaction replay of that id
+    *     then collided with the consolidated row at different bytes,
+    *     silently double-counting or dropping history.)
+    *
+    * Bounds the table at <= 2 rows per key ([[IndexMaintenance.compact]]
+    * bounds FILE count); max(batch) survives so [[nextBatch]] and later
+    * ingests continue the sequence. Maintenance-window single-writer
+    * contract otherwise as documented there.
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    val maxBatch = nextBatch(spark, path) - 1
-    val collapsed = spark.read.parquet(path)
-      .dropDuplicates(Keys :+ "batch")
-      .groupBy(Keys.map(col): _*)
-      .agg(mergeCols.head, mergeCols.tail: _*)
-      .withColumn("batch", lit(math.max(maxBatch, 0)))
-      // one row per key: a single right-sized file unless keys are huge
-      .coalesce(1)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact_tmp")
+    // guard FIRST — before nextBatch or any read can turn the
+    // crashed-swap state (data only in tmp) into a generic
+    // path-not-found or, worse, a silent fresh-index rebuild
     require(!fs.exists(tmp) || fs.exists(p),
-      s"crashed compaction detected: $path.compact_tmp exists and $path does not")
+      s"crashed compaction detected: $path.compact_tmp exists and $path does " +
+        "not — recover by renaming the tmp dir back before compacting again")
+    val maxBatch = nextBatch(spark, path) - 1
+    val all = spark.read.parquet(path).dropDuplicates(Keys :+ "batch")
+    val last = all.filter(col("batch") === maxBatch)
+    val history = all.filter(col("batch") < maxBatch)
+      .groupBy(Keys.map(col): _*)
+      .agg(mergeCols.head, mergeCols.tail: _*)
+      .withColumn("batch", lit(math.max(maxBatch - 1, 0)))
+    // <= 2 rows per key: a single right-sized file unless keys are huge
+    val collapsed = last.unionByName(history).coalesce(1)
     collapsed.write.mode("overwrite").parquet(tmp.toString)
     require(fs.delete(p, true), s"failed to remove pre-compaction table at $path")
     require(fs.rename(tmp, p), s"failed to swap compacted table into $path")

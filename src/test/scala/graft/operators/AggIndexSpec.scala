@@ -66,7 +66,7 @@ class AggIndexSpec extends SparkSpec {
     }
   }
 
-  test("compact collapses to one row per key and preserves every answer") {
+  test("compact bounds rows per key and preserves every answer") {
     val p = Files.createTempDirectory("graft_aggidx_cmp_").toString
     AggIndex.build(events.filter(col("event_id") % 3 === 0), p)
     AggIndex.ingest(events.filter(col("event_id") % 3 === 1), p, batch = 1)
@@ -75,15 +75,36 @@ class AggIndexSpec extends SparkSpec {
     val estBefore = AggIndex.merged(spark, p)
       .orderBy("event_type", "day").select("users").collect().toSeq
     val keyCount = before.size
+    val rowsBefore = spark.read.parquet(p).count()
     AggIndex.compact(spark, p)
     val stored = spark.read.parquet(p)
-    assert(stored.count() == keyCount, "compact must leave one row per key")
+    assert(stored.count() <= 2L * keyCount && stored.count() < rowsBefore,
+      "compact must bound the table at <= 2 rows per key")
+    // the latest batch survives byte-identical; history is consolidated
+    val batches = stored.select("batch").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(batches == Set(1, 2), s"expected {history=1, last=2}, got $batches")
     // batch id sequence continues after compaction
     assert(AggIndex.nextBatch(spark, p) == 3)
     assert(rows(AggIndex.merged(spark, p)) == before)
     assert(AggIndex.merged(spark, p)
       .orderBy("event_type", "day").select("users").collect().toSeq == estBefore,
       "HLL estimates must survive compaction")
+  }
+
+  test("a replayed LAST batch after compaction still folds away") {
+    // the crash window replay-safety argument: only the latest batch can
+    // be uncommitted at a crash, and compact keeps its rows byte-identical
+    // — so the restarted appender's replay dedups exactly as before
+    val p = Files.createTempDirectory("graft_aggidx_cmpr_").toString
+    AggIndex.build(events.filter(col("event_id") % 3 === 0), p)
+    AggIndex.ingest(events.filter(col("event_id") % 3 === 1), p, batch = 1)
+    AggIndex.ingest(events.filter(col("event_id") % 3 === 2), p, batch = 2)
+    val before = rows(AggIndex.merged(spark, p))
+    AggIndex.compact(spark, p)
+    AggIndex.ingest(events.filter(col("event_id") % 3 === 2), p, batch = 2)
+    assert(rows(AggIndex.merged(spark, p)) == before,
+      "replay of the retained last batch must not change merged answers")
   }
 
   test("replayed (duplicate) partial rows do not double-count") {
