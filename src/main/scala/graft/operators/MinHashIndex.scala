@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BandHash, MinHash}
+import graft.functions.{BandHash, CharNgrams, MinHash}
 
 /** Persisted MinHash band index — the Jaccard-regime cell of the
   * stored-index matrix ([[SignatureIndex]] simhash / [[SubstringIndex]]
@@ -74,6 +74,70 @@ object MinHashIndex {
                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     IndexStream.appendWithBatchIds(signatures(docs),
       nextBatch(docs.sparkSession, path), path, checkpoint)
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs with ONE
+    * shingle-array scan — THE single copy of the verifier (the query-side
+    * generators in [[graft.queries.NorthStar]] delegate here): melt pairs
+    * to (pair, doc_id) rows, join the corpus once (AQE broadcasts the
+    * small candidate side so the corpus streams join-side-free), fold the
+    * two matched arrays back per pair, keep exact Jaccard >= t.
+    */
+  def verifyJaccard(cand: DataFrame, corpus: DataFrame,
+                    gram: Int, t: Double): DataFrame = {
+    val sides = cand
+      .select(struct(col("id_a"), col("id_b")).as("pair"))
+      .select(col("pair"), explode(array(col("pair.id_a"), col("pair.id_b"))).as("doc_id"))
+    val candShingles = corpus
+      .select(col("doc_id"), CharNgrams.charNgrams(col("text"), gram).as("shingles"))
+    val pairsSh = sides.join(candShingles, "doc_id")
+      .groupBy("pair")
+      .agg(
+        first(when(col("doc_id") === col("pair.id_a"), col("shingles")), ignoreNulls = true).as("sha"),
+        first(when(col("doc_id") === col("pair.id_b"), col("shingles")), ignoreNulls = true).as("shb"))
+    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
+      size(array_union(col("sha"), col("shb")))
+    pairsSh
+      .filter(jac >= t)
+      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"),
+        round(jac, 3).as("jac"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Streamed ingest AND probe — the in-flight crawl Jaccard-dedup shape
+    * ([[SignatureIndex.probeStream]]'s discipline in the Jaccard regime).
+    * Each micro-batch: raw docs append to the DOC STORE (the crawl's
+    * persisted raw corpus — exact verification must read candidate text,
+    * which band signatures deliberately do not carry), signatures append
+    * to the index under a real pinned batch id, then the batch's verified
+    * pairs — candidates from the stored bands, exact Jaccard over the doc
+    * store — land in `outPath` the moment the increment commits.
+    *
+    * At-least-once replay is safe end to end: replayed doc-store rows
+    * dedup on doc_id at read, replayed signature rows are
+    * candidate-insensitive ([[candidates]]' DISTINCT), and replayed
+    * verified pairs are byte-identical (deterministic shingle Jaccard) —
+    * consumers restore set semantics with dropDuplicates, the ingest
+    * queries' contract.
+    */
+  def probeStream(docs: DataFrame, path: String, docStorePath: String,
+                  outPath: String, checkpoint: String,
+                  t: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val base = IndexStream.pinnedBase(docs, nextBatch(spark, path), checkpoint)
+    docs.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val b = base + batchId.toInt
+        df.select("doc_id", "text").write.mode("append").parquet(docStorePath)
+        signatures(df).withColumn("batch", lit(b))
+          .write.mode("append").parquet(path)
+        val corpus = spark.read.parquet(docStorePath).dropDuplicates("doc_id")
+        verifyJaccard(candidates(spark, path, b), corpus, Gram, t)
+          .withColumn("batch", lit(b))
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
 
   /** Candidate near-dup pairs for batch `batch`, entirely from the stored
     * index: normalized `(id_a, id_b)` with id_a < id_b, where the pair

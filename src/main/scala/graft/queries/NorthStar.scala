@@ -184,7 +184,7 @@ object NorthStar {
     * d_ngram_jaccard_prefix (prefix filtering, provably lossless) — so the
     * two scale paths are checked against one another through the oracle.
     */
-  private val exactJaccard07Sql: String =
+  private[queries] val exactJaccard07Sql: String =
     """WITH sh AS (
       |  SELECT doc_id, list_distinct([substring(text, i, 5)
       |         FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS s
@@ -210,25 +210,8 @@ object NorthStar {
     * d_ngram_jaccard_prefix: the generators differ, the verifier doesn't.
     */
   private def verifyJaccard(cand: DataFrame, corpus: DataFrame,
-                            gram: Int, t: Double): DataFrame = {
-    val sides = cand
-      .select(struct(col("id_a"), col("id_b")).as("pair"))
-      .select(col("pair"), explode(array(col("pair.id_a"), col("pair.id_b"))).as("doc_id"))
-    val candShingles = corpus
-      .select(col("doc_id"), CharNgrams.charNgrams(col("text"), gram).as("shingles"))
-    val pairsSh = sides.join(candShingles, "doc_id")
-      .groupBy("pair")
-      .agg(
-        first(when(col("doc_id") === col("pair.id_a"), col("shingles")), ignoreNulls = true).as("sha"),
-        first(when(col("doc_id") === col("pair.id_b"), col("shingles")), ignoreNulls = true).as("shb"))
-    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
-      size(array_union(col("sha"), col("shb")))
-    pairsSh
-      .filter(jac >= t)
-      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"),
-        round(jac, 3).as("jac"))
-      .orderBy("id_a", "id_b")
-  }
+                            gram: Int, t: Double): DataFrame =
+    MinHashIndex.verifyJaccard(cand, corpus, gram, t)
 
   /** MinHash (192 permutations via the codegen double-hashing kernel) + LSH
     * banding (32 bands x 6 rows) -> candidate pairs -> size-ratio prefilter

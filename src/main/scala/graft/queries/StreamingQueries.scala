@@ -549,8 +549,50 @@ object StreamingQueries {
             |       CAST(n_windows AS BIGINT) AS n_windows
             |FROM sp ORDER BY doc_id, span_start""".stripMargin))
 
+  /** Streamed MinHash probe — [[st_sig_probe]]'s twin in the Jaccard
+    * regime ([[graft.operators.MinHashIndex.probeStream]]): three
+    * md5-slice crawl increments arrive as micro-batches; each appends its
+    * raw docs to the doc store and its band signatures to the index under
+    * a real batch id, then its VERIFIED near-dup pairs (candidates from
+    * the stored bands, exact 5-gram Jaccard >= 0.7 over the doc store)
+    * land the moment the increment commits. A qualifying pair is reported
+    * exactly once — when its LATER member's slice arrives and probes
+    * earlier-or-same-batch-lower-id signatures — so the union over
+    * batches is the full exact pair set, which is precisely the oracle
+    * d_minhash_lsh proves.
+    */
+  val st_minhash_probe: Query = Query(
+    "st_minhash_probe",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_mhprobe_")
+      val docs = graft.tables.Tables.load(s, dir, "documents").select("doc_id", "text")
+      val sliceCol = {
+        val h = substring(md5(concat(col("doc_id").cast("string"), lit(":crawl"))), 1, 1)
+        when(h <= "4", 0).when(h <= "9", 1).otherwise(2)
+      }
+      val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+      val streamed = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.MinHashIndex.probeStream(
+        streamed, s"$base/idx", s"$base/docs", s"$base/out", s"$base/cp")
+      try {
+        for (sl <- 0 to 2) {
+          oneFile(docs.filter(sliceCol === sl), s"$base/src/s$sl.parquet",
+            1000000000000L + sl * 60000L)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select(col("id_a"), col("id_b"), col("jac"))
+        .dropDuplicates("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    },
+    Some(NorthStar.exactJaccard07Sql))
+
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
     st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
     st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe,
-    st_substring_probe)
+    st_substring_probe, st_minhash_probe)
 }

@@ -78,6 +78,44 @@ class MinHashIndexSpec extends SparkSpec {
           .collect().toSeq)
   }
 
+  test("streamed probe equals the batch ingest+verify sequence over the same slices") {
+    val base = Files.createTempDirectory("graft_mhidx_probe_").toString
+    val half0 = docs.filter(col("doc_id") % 2 === 0)
+    val half1 = docs.filter(col("doc_id") % 2 === 1)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = MinHashIndex.probeStream(streamed, s"$base/idx", s"$base/docs",
+      s"$base/out", s"$base/cp")
+    def oneFile(df: org.apache.spark.sql.DataFrame, path: String, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_mhidx_pf_").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
+      val src = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+      val dst = new org.apache.hadoop.fs.Path(path)
+      fs.mkdirs(dst.getParent); fs.rename(src, dst); fs.setTimes(dst, mtime, -1)
+    }
+    try {
+      oneFile(half0.select("doc_id", "text"), s"$base/src/s0.parquet", 1000000000000L)
+      q.processAllAvailable()
+      oneFile(half1.select("doc_id", "text"), s"$base/src/s1.parquet", 1000000060000L)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch twin: same slices through the batch API, probed per batch
+    val twin = Files.createTempDirectory("graft_mhidx_probetwin_").toString
+    MinHashIndex.build(half0, twin)
+    MinHashIndex.ingest(half1, twin, batch = 1)
+    val want = (MinHashIndex.verifyJaccard(
+        MinHashIndex.candidates(spark, twin, 0), docs, MinHashIndex.Gram, 0.7)
+      .unionByName(MinHashIndex.verifyJaccard(
+        MinHashIndex.candidates(spark, twin, 1), docs, MinHashIndex.Gram, 0.7)))
+      .orderBy("id_a", "id_b").collect().toSeq
+    val got = spark.read.parquet(s"$base/out")
+      .select("id_a", "id_b", "jac").dropDuplicates("id_a", "id_b")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(got == want)
+  }
+
   test("replayed index rows do not change candidates (duplicate-insensitive)") {
     val base = Files.createTempDirectory("graft_mhidx_replay_").toString
     MinHashIndex.build(docs.filter(col("doc_id") % 2 === 0), base)
