@@ -45,3 +45,47 @@ object VecMeanAgg extends Aggregator[Seq[Float], VecMeanBuf, Seq[Double]] {
   override def bufferEncoder: Encoder[VecMeanBuf] = Encoders.product[VecMeanBuf]
   override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
 }
+
+/** Fixed-point element-wise vector SUM on the 2^20 lattice — the
+  * DETERMINISTIC twin of [[VecMeanAgg]]: each component is quantized to
+  * floor(v * 2^20 + 0.5) (exact in doubles for any float32 input — the
+  * scale is a power of two, so v*2^20 and the +0.5 are exact, and both
+  * engines' FLOOR agree bit for bit), then summed as LONGs — associative,
+  * commutative, overflow-free up to ~2^43 rows — so the aggregate is
+  * independent of partitioning and reduce order, which a double sum is
+  * not (an order-flipped last ulp under ROUND is exactly how
+  * s_label_centroid's sf0.1 hash diverged). Same mergeable partial-agg
+  * shape as VecMeanAgg: the shuffle carries K x dim longs per task.
+  */
+final case class VecFixedBuf(var sum: Array[Long])
+
+object VecFixedSumAgg extends Aggregator[Seq[Float], VecFixedBuf, Seq[Long]] {
+  val Scale: Long = 1L << 20
+
+  override def zero: VecFixedBuf = VecFixedBuf(Array.emptyLongArray)
+
+  override def reduce(b: VecFixedBuf, a: Seq[Float]): VecFixedBuf = {
+    if (b.sum.length == 0) b.sum = new Array[Long](a.length)
+    var i = 0
+    while (i < b.sum.length && i < a.length) {
+      b.sum(i) += math.floor(a(i).toDouble * Scale.toDouble + 0.5).toLong
+      i += 1
+    }
+    b
+  }
+
+  override def merge(x: VecFixedBuf, y: VecFixedBuf): VecFixedBuf = {
+    if (x.sum.length == 0) y
+    else if (y.sum.length == 0) x
+    else {
+      var i = 0
+      while (i < x.sum.length && i < y.sum.length) { x.sum(i) += y.sum(i); i += 1 }
+      x
+    }
+  }
+
+  override def finish(b: VecFixedBuf): Seq[Long] = b.sum.toSeq
+
+  override def bufferEncoder: Encoder[VecFixedBuf] = Encoders.product[VecFixedBuf]
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CharNgrams, MinHash, RollingHash, SharedHash, SimHash, VecMeanAgg, Vectors}
+import graft.functions.{CharNgrams, MinHash, RollingHash, SharedHash, SimHash, VecFixedSumAgg, VecMeanAgg, Vectors}
 import graft.operators.{BandedPairs, ConnectedComponents, IndexMaintenance, IvfPqIndex, MinHashIndex, PqIndex, SignatureIndex, SubstringIndex}
 import graft.tables.Tables
 
@@ -1750,26 +1750,43 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       .orderBy("vec_id")
   }
 
-  /** Per-label embedding centroids via the typed Aggregator UDAF
-    * ([[graft.functions.VecMeanAgg]]) — the embedding-pool/k-means-M-step
-    * reduction. Mergeable partial sums: the shuffle carries one
-    * (sum vector, count) per label per task, never rows. Output in long
-    * (label, dim, mean) form so the oracle is a plain grouped AVG.
+  /** Per-label embedding centroids via the typed Aggregator UDAFs
+    * ([[graft.functions.VecMeanAgg]] + [[graft.functions.VecFixedSumAgg]])
+    * — the embedding-pool/k-means-M-step reduction. Mergeable partial
+    * sums: the shuffle carries one (sum vector, count) per label per
+    * task, never rows.
+    *
+    * Contract discipline: the HASH-CHECKED columns are the fixed-point
+    * component sums (floor(v*2^20 + 0.5) summed as LONGs — associative,
+    * commutative, identical in both engines) plus the count; the double
+    * MEAN rides under a q32-style tolerance gate. A ROUND(AVG(double), 4)
+    * contract was hash-checked through round 8 but is order-DEPENDENT in
+    * its last ulp — at sf0.1 one of the 640 (label, dim) means landed on
+    * a 4-dp rounding boundary and the engines split. Quantization error
+    * of the gate's reference is <= 2^-21 per value, so 1e-5 is a safe
+    * tolerance at any corpus size.
     */
   val s_label_centroid: Query = q("s_label_centroid", Some(
     """WITH u AS (
       |  SELECT label, CAST(UNNEST(embedding) AS DOUBLE) AS v,
       |         generate_subscripts(embedding, 1) AS i
       |  FROM embeddings)
-      |SELECT label, CAST(i AS BIGINT) AS i, ROUND(AVG(v), 4) AS m
+      |SELECT label, CAST(i AS BIGINT) AS i, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(FLOOR(v * 1048576 + 0.5) AS BIGINT)) AS BIGINT) AS fsum,
+      |       TRUE AS m_ok
       |FROM u GROUP BY label, i ORDER BY label, i""".stripMargin)) { (s, dir) =>
     val vm = udaf(VecMeanAgg)
+    val vf = udaf(VecFixedSumAgg)
     Tables.load(s, dir, "embeddings")
       .groupBy("label")
-      .agg(vm(col("embedding")).as("mv"))
-      .select(col("label"), posexplode(col("mv")).as(Seq("i", "m")))
-      .select(col("label"), (col("i") + 1).cast("long").as("i"),
-        round(col("m"), 4).as("m"))
+      .agg(vm(col("embedding")).as("mv"), vf(col("embedding")).as("fv"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("n"),
+        posexplode(arrays_zip(col("mv"), col("fv"))).as(Seq("i", "z")))
+      .select(col("label"), (col("i") + 1).cast("long").as("i"), col("n"),
+        col("z.fv").as("fsum"),
+        (abs(col("z.mv") - col("z.fv").cast("double") /
+          (col("n").cast("double") * VecFixedSumAgg.Scale)) <= 1e-5).as("m_ok"))
       .orderBy("label", "i")
   }
 
