@@ -23,10 +23,11 @@ class PlanAuditSpec extends SparkSpec {
   // t_heavy_hitters crosses the exact top-5 with a ONE-row sketch aggregate
   // s_knn_batch broadcasts a 20-row bounded-by-construction probe batch;
   // t_unigram_surprise crosses a ONE-row corpus-total aggregate (like t_bm25)
-  // p_domain_mix crosses a ONE-row normalizer aggregate (like t_bm25)
+  // p_domain_mix / p_mixture_sample cross a ONE-row normalizer aggregate
+  // (like t_bm25)
   private val exempt = Set("q24_cosine_topk", "s_ann_lsh", "s_ann_ivf",
     "s_ann_ivf_trained", "t_bm25", "s_knn_batch", "t_unigram_surprise",
-    "t_heavy_hitters", "p_domain_mix",
+    "t_heavy_hitters", "p_domain_mix", "p_mixture_sample",
     "e_gapfill", "st_tumbling", "st_session", "st_user_totals",
     "r_unload_roundtrip", "r_jdbc_roundtrip")
   private val audited =
