@@ -3198,6 +3198,75 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       PqIndex.query(s, path, PqIndex.adcLut(probe, cb), topN = 5)
     }
 
+  /** Two-stage retrieval: PQ shortlist -> EXACT rerank (the FAISS
+    * refine / IndexRefineFlat pattern, and how every production vector
+    * search actually answers queries). Stage 1 ADC-ranks the STORED code
+    * table (M bytes a vector, no embedding column) down to a 32-id
+    * shortlist; stage 2 reads the float embeddings of ONLY those 32 ids
+    * (broadcast semi-join on vec_id — at 100 TB this is 32 point reads
+    * against a vec_id-sorted table, not a scan) and reranks by exact
+    * cosine on q24's lattice. Exact-search answer quality at
+    * compressed-scan cost: the full-precision vectors are touched
+    * shortlist-many times per query, never corpus-many. Recall vs the
+    * exact top-5 is pinned in PqRecallSpec.
+    */
+  val s_ann_pq_rerank: Query = q("s_ann_pq_rerank", Some {
+    val M = PqIndex.M; val SubDim = PqIndex.SubDim; val KC = PqIndex.KC
+    s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+       |            WHERE vec_id BETWEEN 1 AND $KC),
+       |u AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+       |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |cu AS (SELECT cid, CAST(UNNEST(embedding) AS DOUBLE) AS cv,
+       |              generate_subscripts(embedding, 1) AS i FROM cb),
+       |dist AS (
+       |  SELECT u.vec_id, cu.cid, (cu.i - 1) // $SubDim AS m,
+       |         ROUND(SUM((u.v - cu.cv) * (u.v - cu.cv)), 9) AS d
+       |  FROM u JOIN cu ON u.i = cu.i
+       |  GROUP BY u.vec_id, cu.cid, (cu.i - 1) // $SubDim),
+       |code AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+       |    FROM dist) r WHERE rn = 1),
+       |p AS (SELECT CAST(UNNEST(embedding) AS DOUBLE) AS pv,
+       |             generate_subscripts(embedding, 1) AS i
+       |      FROM embeddings WHERE vec_id = 1),
+       |lut AS (
+       |  SELECT cu.cid, (cu.i - 1) // $SubDim AS m, ROUND(SUM(cu.cv * p.pv), 9) AS pd
+       |  FROM cu JOIN p ON cu.i = p.i GROUP BY cu.cid, (cu.i - 1) // $SubDim),
+       |asim AS (
+       |  SELECT c.vec_id, ROUND(SUM(l.pd), 9) AS a9
+       |  FROM code c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+       |  GROUP BY c.vec_id),
+       |sl AS (SELECT vec_id FROM asim ORDER BY a9 DESC, vec_id LIMIT 32),
+       |ex AS (
+       |  SELECT u.vec_id,
+       |         SUM(u.v * p.pv) AS dot, SUM(u.v * u.v) AS nc, SUM(p.pv * p.pv) AS np
+       |  FROM u JOIN p ON u.i = p.i
+       |  WHERE u.vec_id IN (SELECT vec_id FROM sl)
+       |  GROUP BY u.vec_id)
+       |SELECT vec_id, ROUND(dot / (SQRT(nc) * SQRT(np)), 3) AS sim
+       |FROM ex ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+  }) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val cb = PqIndex.codebookOf(emb)
+    val probeRow = emb.filter(col("vec_id") === 1).select(col("embedding").as("pe"))
+    val probe: Seq[Float] = probeRow.collect().head.getSeq[Float](0)
+    val path = pqIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_pqidx_").toString
+      PqIndex.build(emb, cb, p)
+      p
+    })
+    val shortlist = PqIndex.query(s, path, PqIndex.adcLut(probe, cb), topN = 32)
+      .select("vec_id")
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(probeRow))
+      .select(col("vec_id"),
+        round(Vectors.cosineSim(col("embedding"), col("pe")), 3).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** Composed IVF-PQ — the production vector-index architecture (FAISS
     * IVFPQ): the coarse quantizer restricts the search to nProbe=2 of 16
     * inverted lists (s_ann_ivf's mechanism), then candidates are scored by
@@ -3653,7 +3722,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     d_simhash_weighted, d_dup_clusters, p_collapse_neardup, p_neardup_prune,
     p_dedup_weights, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
-    s_ann_ivf_trained, s_ann_pq, s_ann_pq_index, s_ann_pq_ingest,
+    s_ann_ivf_trained, s_ann_pq, s_ann_pq_index, s_ann_pq_ingest, s_ann_pq_rerank,
     s_ann_ivfpq, s_ann_ivfpq_index, s_ann_ivfpq_ingest, s_ann_ivfpq_trained,
     s_label_centroid, d_semdedup,
     s_knn_batch,

@@ -28,6 +28,7 @@ class PlanAuditSpec extends SparkSpec {
   private val exempt = Set("q24_cosine_topk", "s_ann_lsh", "s_ann_ivf",
     "s_ann_ivf_trained", "t_bm25", "s_knn_batch", "t_unigram_surprise",
     "t_heavy_hitters", "p_domain_mix", "p_mixture_sample",
+    "s_ann_pq_rerank",
     "e_gapfill", "st_tumbling", "st_session", "st_user_totals",
     "r_unload_roundtrip", "r_jdbc_roundtrip")
   private val audited =
