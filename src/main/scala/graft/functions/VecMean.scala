@@ -22,8 +22,13 @@ object VecMeanAgg extends Aggregator[Seq[Float], VecMeanBuf, Seq[Double]] {
 
   override def reduce(b: VecMeanBuf, a: Seq[Float]): VecMeanBuf = {
     if (b.sum.length == 0) b.sum = new Array[Double](a.length)
+    // fail loudly on ragged input: silently truncating to the first-seen
+    // length would make output depend on partition/reduce order — the
+    // non-determinism this aggregate family must never have
+    require(a.length == b.sum.length,
+      s"ragged embedding: got dim ${a.length}, expected ${b.sum.length}")
     var i = 0
-    while (i < b.sum.length && i < a.length) { b.sum(i) += a(i); i += 1 }
+    while (i < b.sum.length) { b.sum(i) += a(i); i += 1 }
     b.n += 1
     b
   }
@@ -32,8 +37,10 @@ object VecMeanAgg extends Aggregator[Seq[Float], VecMeanBuf, Seq[Double]] {
     if (x.sum.length == 0) y
     else if (y.sum.length == 0) x
     else {
+      require(x.sum.length == y.sum.length,
+        s"ragged partials: dims ${x.sum.length} vs ${y.sum.length}")
       var i = 0
-      while (i < x.sum.length && i < y.sum.length) { x.sum(i) += y.sum(i); i += 1 }
+      while (i < x.sum.length) { x.sum(i) += y.sum(i); i += 1 }
       x.n += y.n
       x
     }
@@ -66,8 +73,12 @@ object VecFixedSumAgg extends Aggregator[Seq[Float], VecFixedBuf, Seq[Long]] {
 
   override def reduce(b: VecFixedBuf, a: Seq[Float]): VecFixedBuf = {
     if (b.sum.length == 0) b.sum = new Array[Long](a.length)
+    // loud on ragged input — see VecMeanAgg.reduce: truncation would
+    // reintroduce reduce-order dependence into the DETERMINISM contract
+    require(a.length == b.sum.length,
+      s"ragged embedding: got dim ${a.length}, expected ${b.sum.length}")
     var i = 0
-    while (i < b.sum.length && i < a.length) {
+    while (i < b.sum.length) {
       b.sum(i) += math.floor(a(i).toDouble * Scale.toDouble + 0.5).toLong
       i += 1
     }
@@ -78,8 +89,10 @@ object VecFixedSumAgg extends Aggregator[Seq[Float], VecFixedBuf, Seq[Long]] {
     if (x.sum.length == 0) y
     else if (y.sum.length == 0) x
     else {
+      require(x.sum.length == y.sum.length,
+        s"ragged partials: dims ${x.sum.length} vs ${y.sum.length}")
       var i = 0
-      while (i < x.sum.length && i < y.sum.length) { x.sum(i) += y.sum(i); i += 1 }
+      while (i < x.sum.length) { x.sum(i) += y.sum(i); i += 1 }
       x
     }
   }

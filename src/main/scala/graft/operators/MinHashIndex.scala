@@ -130,10 +130,27 @@ object MinHashIndex {
         df.select("doc_id", "text").write.mode("append").parquet(docStorePath)
         signatures(df).withColumn("batch", lit(b))
           .write.mode("append").parquet(path)
-        val corpus = spark.read.parquet(docStorePath).dropDuplicates("doc_id")
-        verifyJaccard(candidates(spark, path, b), corpus, Gram, t)
-          .withColumn("batch", lit(b))
-          .write.mode("append").parquet(outPath)
+        // persist the candidate set: it feeds both the doc-id restriction
+        // and the verifier, and re-running the band join per consumer
+        // would double the probe's only non-trivial stage
+        val cand = candidates(spark, path, b)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // restrict the doc store to CANDIDATE ids BEFORE any shingling:
+          // verifyJaccard's corpus projection computes char n-grams for
+          // every row it is handed, and the store grows with every
+          // increment — an unrestricted corpus side would make the Nth
+          // probe pay an N-batch scan+kernel for a handful of candidates,
+          // breaking the batch-sized cost model this operator exists for
+          val ids = cand.select(col("id_a").as("doc_id"))
+            .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
+          val corpus = spark.read.parquet(docStorePath)
+            .join(ids, Seq("doc_id"), "left_semi")
+            .dropDuplicates("doc_id")
+          verifyJaccard(cand, corpus, Gram, t)
+            .withColumn("batch", lit(b))
+            .write.mode("append").parquet(outPath)
+        } finally cand.unpersist()
       }
       .option("checkpointLocation", checkpoint)
       .start()

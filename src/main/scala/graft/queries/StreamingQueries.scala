@@ -406,6 +406,41 @@ object StreamingQueries {
          |GROUP BY c.vec_id, a.cid ORDER BY c.vec_id""".stripMargin
     })
 
+  /** Shared 3-slice crawl-probe driver: md5-slice the documents table into
+    * three increments, stream each as its own micro-batch (mtime-ordered
+    * single files, drained between drops), let `start` stand up the
+    * operator's probeStream against `base`, and hand `base` back to the
+    * caller's output reader. THE single copy of the slice scheme and the
+    * stream-drive discipline for every st_*_probe query.
+    */
+  private def crawlProbe(s: org.apache.spark.sql.SparkSession, dir: String,
+      prefix: String)(
+      start: (org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.streaming.StreamingQuery)(
+      out: String => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(prefix).toString
+    val docs = graft.tables.Tables.load(s, dir, "documents").select("doc_id", "text")
+    val sliceCol = {
+      val h = substring(md5(concat(col("doc_id").cast("string"), lit(":crawl"))), 1, 1)
+      when(h <= "4", 0).when(h <= "9", 1).otherwise(2)
+    }
+    val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    // the source dir must exist before the stream starts — the first
+    // increment is dropped only after the probe stream is live
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    val streamed = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = start(streamed, base)
+    try {
+      for (sl <- 0 to 2) {
+        oneFile(docs.filter(sliceCol === sl), s"$base/src/s$sl.parquet",
+          1000000000000L + sl * 60000L)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    out(base)
+  }
+
   /** Write `df` as ONE plain parquet file at `dest` with a chosen mtime —
     * the file-stream source picks new files up in mtime order, which (with
     * a `processAllAvailable` drain between drops) pins each file to its own
@@ -440,29 +475,10 @@ object StreamingQueries {
     */
   val st_sig_probe: Query = Query(
     "st_sig_probe",
-    (s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_sigprobe_")
-      val docs = graft.tables.Tables.load(s, dir, "documents").select("doc_id", "text")
-      val sliceCol = {
-        val h = substring(md5(concat(col("doc_id").cast("string"), lit(":crawl"))), 1, 1)
-        when(h <= "4", 0).when(h <= "9", 1).otherwise(2)
-      }
-      val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
-        "doc_id BIGINT, text STRING")
-      // the source dir must exist before the stream starts — the first
-      // increment is dropped only after probeStream is live
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
-      val streamed = s.readStream.schema(docSchema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-      val q = graft.operators.SignatureIndex.probeStream(
+    (s, dir) => crawlProbe(s, dir, "graft_stream_sigprobe_") { (streamed, base) =>
+      graft.operators.SignatureIndex.probeStream(
         streamed, s"$base/idx", s"$base/out", s"$base/cp")
-      try {
-        for (sl <- 0 to 2) {
-          oneFile(docs.filter(sliceCol === sl), s"$base/src/s$sl.parquet",
-            1000000000000L + sl * 60000L)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+    } { base =>
       s.read.parquet(s"$base/out")
         .select(col("doc_id"), col("dup_of"))
         .dropDuplicates("doc_id")
@@ -500,27 +516,10 @@ object StreamingQueries {
     */
   val st_substring_probe: Query = Query(
     "st_substring_probe",
-    (s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_subprobe_")
-      val docs = graft.tables.Tables.load(s, dir, "documents").select("doc_id", "text")
-      val sliceCol = {
-        val h = substring(md5(concat(col("doc_id").cast("string"), lit(":crawl"))), 1, 1)
-        when(h <= "4", 0).when(h <= "9", 1).otherwise(2)
-      }
-      val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
-        "doc_id BIGINT, text STRING")
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
-      val streamed = s.readStream.schema(docSchema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-      val q = graft.operators.SubstringIndex.probeStream(
+    (s, dir) => crawlProbe(s, dir, "graft_stream_subprobe_") { (streamed, base) =>
+      graft.operators.SubstringIndex.probeStream(
         streamed, s"$base/idx", s"$base/out", s"$base/cp", w = NorthStar.SubW)
-      try {
-        for (sl <- 0 to 2) {
-          oneFile(docs.filter(sliceCol === sl), s"$base/src/s$sl.parquet",
-            1000000000000L + sl * 60000L)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+    } { base =>
       s.read.parquet(s"$base/out")
         .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
         .dropDuplicates("doc_id", "span_start")
@@ -563,27 +562,10 @@ object StreamingQueries {
     */
   val st_minhash_probe: Query = Query(
     "st_minhash_probe",
-    (s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_mhprobe_")
-      val docs = graft.tables.Tables.load(s, dir, "documents").select("doc_id", "text")
-      val sliceCol = {
-        val h = substring(md5(concat(col("doc_id").cast("string"), lit(":crawl"))), 1, 1)
-        when(h <= "4", 0).when(h <= "9", 1).otherwise(2)
-      }
-      val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
-        "doc_id BIGINT, text STRING")
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
-      val streamed = s.readStream.schema(docSchema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-      val q = graft.operators.MinHashIndex.probeStream(
+    (s, dir) => crawlProbe(s, dir, "graft_stream_mhprobe_") { (streamed, base) =>
+      graft.operators.MinHashIndex.probeStream(
         streamed, s"$base/idx", s"$base/docs", s"$base/out", s"$base/cp")
-      try {
-        for (sl <- 0 to 2) {
-          oneFile(docs.filter(sliceCol === sl), s"$base/src/s$sl.parquet",
-            1000000000000L + sl * 60000L)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+    } { base =>
       s.read.parquet(s"$base/out")
         .select(col("id_a"), col("id_b"), col("jac"))
         .dropDuplicates("id_a", "id_b")

@@ -122,17 +122,8 @@ class AggIndexSpec extends SparkSpec {
     val base = Files.createTempDirectory("graft_aggidx_stream_").toString
     AggIndex.build(events.filter(col("event_id") % 3 === 0), s"$base/idx")
 
-    def oneFile(df: DataFrame, path: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_aggidx_src_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sessionState.newHadoopConf())
-      val src = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
-      val dst = new org.apache.hadoop.fs.Path(path)
-      fs.mkdirs(dst.getParent)
-      fs.rename(src, dst)
-      fs.setTimes(dst, mtime, -1)
-    }
+    def oneFile(df: DataFrame, path: String, mtime: Long): Unit =
+      graft.StreamFixtures.oneFile(df, path, mtime)
     oneFile(events.filter(col("event_id") % 3 === 1), s"$base/src/d1.parquet", 1000000000000L)
     oneFile(events.filter(col("event_id") % 3 === 2), s"$base/src/d2.parquet", 1000000060000L)
 

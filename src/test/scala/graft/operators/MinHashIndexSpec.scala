@@ -87,14 +87,8 @@ class MinHashIndexSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val q = MinHashIndex.probeStream(streamed, s"$base/idx", s"$base/docs",
       s"$base/out", s"$base/cp")
-    def oneFile(df: org.apache.spark.sql.DataFrame, path: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_mhidx_pf_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sessionState.newHadoopConf())
-      val src = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
-      val dst = new org.apache.hadoop.fs.Path(path)
-      fs.mkdirs(dst.getParent); fs.rename(src, dst); fs.setTimes(dst, mtime, -1)
-    }
+    def oneFile(df: org.apache.spark.sql.DataFrame, path: String, mtime: Long): Unit =
+      graft.StreamFixtures.oneFile(df, path, mtime)
     try {
       oneFile(half0.select("doc_id", "text"), s"$base/src/s0.parquet", 1000000000000L)
       q.processAllAvailable()

@@ -20,15 +20,8 @@ class SignatureIndexSpec extends SparkSpec {
     * the file-stream source picks files up in mtime order, which is what
     * makes the multi-micro-batch tests deterministic.
     */
-  private def oneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
-    val tmp = Files.createTempDirectory("graft_onefile_").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
-    Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
-    Files.move(part.toPath, java.nio.file.Paths.get(dest))
-    assert(new java.io.File(dest).setLastModified(mtime))
-  }
+  private def oneFile(df: DataFrame, dest: String, mtime: Long): Unit =
+    graft.StreamFixtures.oneFile(df, dest, mtime)
 
   /** Brute-force twin: batch-`n` docs vs ALL pairs over the given corpus
     * slices, min witness among (earlier batch, any id) + (same batch,

@@ -87,15 +87,8 @@ class SubstringIndexSpec extends SparkSpec {
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
     val batchOf = pmod(col("doc_id"), lit(3)).cast("int")
 
-    def oneFile(df: DataFrame, dest: String, mtime: Long): Unit = {
-      val tmp = Files.createTempDirectory("graft_onefile_").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
-      Files.createDirectories(java.nio.file.Paths.get(dest).getParent)
-      Files.move(part.toPath, java.nio.file.Paths.get(dest))
-      assert(new java.io.File(dest).setLastModified(mtime))
-    }
+    def oneFile(df: DataFrame, dest: String, mtime: Long): Unit =
+      graft.StreamFixtures.oneFile(df, dest, mtime)
     oneFile(docs.filter(batchOf === 0), s"$base/src/d0.parquet", 1000000000000L)
     oneFile(docs.filter(batchOf === 1), s"$base/src/d1.parquet", 1000000060000L)
     oneFile(docs.filter(batchOf === 2), s"$base/src/d2.parquet", 1000000120000L)
