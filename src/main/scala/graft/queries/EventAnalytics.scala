@@ -185,7 +185,10 @@ object EventAnalytics {
     * refresh cost is delta-sized and this query's own cost is
     * O(keys x batches), not O(log).
     */
-  val e_agg_maintain: Query = q("e_agg_maintain",
+  /** Shared oracle (e_agg_maintain + StreamingQueries.st_agg_ingest): the
+    * one-shot whole-log rollup the stored partial table must reproduce.
+    */
+  private[queries] val aggMaintainOracleSql: String =
     """SELECT event_type,
       |       strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
       |       CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -193,11 +196,16 @@ object EventAnalytics {
       |       MIN(value) AS min_v, MAX(value) AS max_v,
       |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
       |       TRUE AS within_5pct
-      |FROM events GROUP BY event_type, day ORDER BY event_type, day""".stripMargin,
-    headline = true) { (s, dir) =>
-    val m = AggIndex.merged(s, aggIndexPath(s, dir))
-    // exact distinct recomputed from the raw log ONLY to feed the
-    // differential gate (the production query ships the estimate alone)
+      |FROM events GROUP BY event_type, day ORDER BY event_type, day""".stripMargin
+
+  /** The merged rollup in the oracle's output shape: exact columns from
+    * the stored table, exact distinct recomputed from the raw log ONLY to
+    * feed the differential gate (the production query ships the estimate
+    * alone). Shared by the batch and streamed ingest rows.
+    */
+  private[queries] def mergedWithGate(s: org.apache.spark.sql.SparkSession,
+                                      dir: String, path: String): DataFrame = {
+    val m = AggIndex.merged(s, path)
     val exact = Tables.load(s, dir, "events")
       .groupBy(col("event_type"),
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
@@ -209,6 +217,11 @@ object EventAnalytics {
         (abs(col("users") - col("exact_users")).cast("double") <=
           col("exact_users").cast("double") * 0.05).as("within_5pct"))
       .orderBy("event_type", "day")
+  }
+
+  val e_agg_maintain: Query = q("e_agg_maintain", aggMaintainOracleSql,
+    headline = true) { (s, dir) =>
+    mergedWithGate(s, dir, aggIndexPath(s, dir))
   }
 
   val all: Seq[Query] =

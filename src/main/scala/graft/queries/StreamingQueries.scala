@@ -573,8 +573,35 @@ object StreamingQueries {
     },
     Some(NorthStar.exactJaccard07Sql))
 
+  /** Streamed ingest into the incremental-rollup partial table — the
+    * AggIndex cell of the streamed-ingest matrix as an ORACLED row: the
+    * event log arrives as three mtime-ordered micro-batches, each
+    * aggregated to per-batch partials INSIDE foreachBatch and appended
+    * under a real pinned batch id ([[graft.operators.AggIndex.ingestStream]]);
+    * the merge-on-read rollup over the streamed table must then equal the
+    * one-shot whole-log aggregate — e_agg_maintain's oracle verbatim,
+    * which is the split-invariance claim applied to a stream's batching.
+    */
+  val st_agg_ingest: Query = Query(
+    "st_agg_ingest",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_agg_").toString
+      val ev = graft.tables.Tables.load(s, dir, "events")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+      for (sl <- 0 to 2)
+        oneFile(ev.filter(pmod(col("event_id"), lit(3)) === sl),
+          s"$base/src/e$sl.parquet", 1000000000000L + sl * 60000L)
+      val streamed = graft.tables.Tables.normalizeEvents(
+        s.readStream.schema(s.read.parquet(s"$base/src").schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/src"))
+      val q = graft.operators.AggIndex.ingestStream(streamed, s"$base/idx", s"$base/cp")
+      try q.processAllAvailable() finally q.stop()
+      EventAnalytics.mergedWithGate(s, dir, s"$base/idx")
+    },
+    Some(EventAnalytics.aggMaintainOracleSql))
+
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
     st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
     st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe,
-    st_substring_probe, st_minhash_probe)
+    st_substring_probe, st_minhash_probe, st_agg_ingest)
 }
