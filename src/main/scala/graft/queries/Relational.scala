@@ -867,8 +867,35 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Correlated LATERAL subquery — per-customer top-2 orders by price,
+    * written as the SQL-standard lateral join both engines parse
+    * verbatim. Catalyst DECORRELATES the lateral into a ranked window
+    * join (DomainJoin rewrite), so the executed plan is one exchange on
+    * the customer key + a rank filter — not a per-row subquery execution;
+    * at 100 TB that rewrite is the difference between a join and a
+    * nested loop over customers. Deterministic: the lateral's internal
+    * ORDER BY (price DESC, orderkey) is total, and ROUND keeps the
+    * double column on the shared lattice.
+    */
+  val q40_lateral: Query = q("q40_lateral",
+    """SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS price
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
   val all: Seq[Query] = Seq(
-    q37_dq_report, q38_scd2_merge, q39_bucket_join,
+    q37_dq_report, q38_scd2_merge, q39_bucket_join, q40_lateral,
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
     q6_partition_key, q7_join, q8_join3_agg, q8b_region_rev, q9_left_join, q9b_full_join,
     q10_semi_join, q11_anti_join, q12_count_distinct, q13_rollup, q13_cube, q13_gsets,
