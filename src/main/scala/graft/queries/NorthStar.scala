@@ -467,28 +467,44 @@ object NorthStar {
     }
 
   /** Exact containment verification of DIRECTED (src_id, dst_id)
-    * candidates — [[verifyJaccard]]'s skeleton with the asymmetric metric
-    * |src ∩ dst| / |src|. The threshold test is integer-exact
-    * (ni * tDen >= n_src * tNum), so no float boundary can disagree with
-    * the oracle's identical integer algebra.
+    * candidates — the asymmetric metric |src ∩ dst| / |src|. The threshold
+    * test is integer-exact (ni * tDen >= n_src * tNum), so no float
+    * boundary can disagree with the oracle's identical integer algebra.
+    *
+    * MEMORY-BOUNDED two-stage intersection (the r9 OOM fix): the previous
+    * shape re-joined both full shingle ARRAYS per candidate pair into one
+    * hash-aggregate row and ran `array_intersect` on them — per-row state
+    * of two complete documents' gram sets, which at 10x duplication
+    * (~100x candidates) exhausted the heap before the aggregate could
+    * spill (SCALE.md "Containment at scale"). Here the intersection is a
+    * streamed equi-join at GRAM grain instead: candidate pairs pick up
+    * the src side's exploded (distinct) grams, the (dst_id, gram) rows
+    * join against the corpus's exploded gram index, and |src ∩ dst| is a
+    * plain spillable COUNT per pair — no task ever holds a document's
+    * gram set in memory, so candidate-volume growth turns into shuffle
+    * volume (disk-backed, AQE-split) rather than aggregation-buffer
+    * growth. Both joins and both aggregates are sort/hash operators that
+    * spill; the 10x-duplication run that previously died completes
+    * (SCALE.md r10 row).
     */
   private def verifyContainment(cand: DataFrame, corpus: DataFrame,
                                 gram: Int, tNum: Int, tDen: Int): DataFrame = {
-    val sides = cand
-      .select(struct(col("src_id"), col("dst_id")).as("pair"))
-      .select(col("pair"), explode(array(col("pair.src_id"), col("pair.dst_id"))).as("doc_id"))
-    val candShingles = corpus
-      .select(col("doc_id"), CharNgrams.charNgrams(col("text"), gram).as("shingles"))
-    val pairsSh = sides.join(candShingles, "doc_id")
-      .groupBy("pair")
-      .agg(
-        first(when(col("doc_id") === col("pair.src_id"), col("shingles")), ignoreNulls = true).as("ss"),
-        first(when(col("doc_id") === col("pair.dst_id"), col("shingles")), ignoreNulls = true).as("sd"))
-    val ni = size(array_intersect(col("ss"), col("sd")))
-    pairsSh
-      .filter(ni * tDen >= size(col("ss")) * tNum)
-      .select(col("pair.src_id").as("src_id"), col("pair.dst_id").as("dst_id"),
-        round(ni.cast("double") / size(col("ss")), 3).as("cont"))
+    val exploded = corpus
+      .select(col("doc_id"), explode(CharNgrams.charNgrams(col("text"), gram)).as("sh"))
+    val srcSizes = corpus
+      .select(col("doc_id").as("src_id"),
+        size(CharNgrams.charNgrams(col("text"), gram)).as("na"))
+    val srcGrams = cand
+      .join(exploded.withColumnRenamed("doc_id", "src_id"), "src_id")
+    // grams are distinct per doc (CharNgrams contract), so the match count
+    // per (src_id, dst_id) IS the intersection cardinality
+    val ni = srcGrams
+      .join(exploded.select(col("doc_id").as("dst_id"), col("sh")), Seq("dst_id", "sh"))
+      .groupBy("src_id", "dst_id").agg(count(lit(1)).as("ni"))
+    ni.join(srcSizes, "src_id")
+      .filter(col("ni") * tDen >= col("na") * tNum)
+      .select(col("src_id"), col("dst_id"),
+        round(col("ni").cast("double") / col("na"), 3).as("cont"))
       .orderBy("src_id", "dst_id")
   }
 
@@ -628,6 +644,77 @@ object NorthStar {
       .select(col("x.doc_id").as("src_id"), col("y.doc_id").as("dst_id"),
         lit(1.0).as("cont"))
     cross.unionByName(within).orderBy("src_id", "dst_id")
+  }
+
+  /** PRODUCTION containment probe — the shape a decontamination /
+    * attribution user actually runs (VERDICT r9 #1): a SMALL src set (an
+    * eval suite, a quote list — here the t_decontam eval slice,
+    * doc_id % 50 = 0) containment-probed against the rest of the corpus,
+    * at t = 1/2 ("at least half of the probe doc's grams appear in the
+    * corpus doc"). Reference analog: the filtered-export pattern
+    * (examples/weekly_partitions.py:77-104) — a bounded driving set
+    * against the full table.
+    *
+    * Why this is decontam-sized and the all-pairs [[d_containment]] is
+    * not: the prefix lemma needs NO particular gram order for recall — if
+    * containment >= t then at most n - ceil(t*n) of src's grams are
+    * unshared, so ANY n - ceil(t*n) + 1 of them contain a shared gram
+    * (pigeonhole). Ordering by index-side document frequency (rare
+    * first) is purely a candidate-count optimization. So the plan is:
+    * one map-side-combined df aggregate over the corpus gram stream
+    * (t_decontam's exact cost class), a broadcast of the TINY src gram
+    * relation into that stream to rank prefixes, and a broadcast of the
+    * ranked prefix back into the corpus gram index — the corpus is never
+    * shuffled on the join key; the only corpus-sized exchange is the df
+    * combine, and candidate rows are probe-output-sized. Verification is
+    * the shared memory-bounded [[verifyContainment]].
+    */
+  val d_containment_probe: Query = q("d_containment_probe", Some(
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct([substring(text, i, 5)
+      |         FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS s
+      |  FROM documents),
+      |sz AS (SELECT doc_id, s, len(s) AS n FROM sh),
+      |pr AS (
+      |  SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+      |         len(list_intersect(a.s, b.s)) AS ni, a.n AS na
+      |  FROM sz a JOIN sz b
+      |    ON a.doc_id % 50 = 0 AND b.doc_id % 50 <> 0
+      |   AND b.n * 2 >= a.n)
+      |SELECT src_id, dst_id, ROUND(CAST(ni AS DOUBLE) / na, 3) AS cont
+      |FROM pr WHERE ni * 2 >= na
+      |ORDER BY src_id, dst_id""".stripMargin)) { (s, dir) =>
+    val (tNum, tDen) = (1, 2)
+    val gram = 5
+    val docs = Tables.load(s, dir, "documents")
+    val src = docs.filter(col("doc_id") % 50 === 0)
+    val dst = docs.filter(col("doc_id") % 50 =!= 0)
+    val dstIdx = dst.select(col("doc_id").as("dst_id"),
+      size(CharNgrams.charNgrams(col("text"), gram)).as("nb"),
+      explode(CharNgrams.charNgrams(col("text"), gram)).as("sh"))
+    // index-side document frequency: ONE map-side-combined aggregate over
+    // the corpus gram stream (no corpus shuffle beyond the combine)
+    val dfreq = dstIdx.groupBy("sh").agg(count(lit(1)).as("df"))
+    val srcSh = src.select(col("doc_id"),
+      size(CharNgrams.charNgrams(col("text"), gram)).as("n"),
+      explode(CharNgrams.charNgrams(col("text"), gram)).as("sh"))
+    // rank the src grams rare-first by INDEX df; grams absent from the
+    // index (df null -> 0) sort first — free prefix slots that can never
+    // produce a candidate. Broadcast the small src side so the vocabulary
+    // -sized dfreq never shuffles.
+    val ranked = srcSh.hint("broadcast").join(dfreq, Seq("sh"), "left")
+      .na.fill(0L, Seq("df"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+    val prefix = ranked
+      .filter(col("r") <= col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col("doc_id").as("src_id"), col("n"), col("sh"))
+    val cand = prefix.hint("broadcast").join(dstIdx,
+        prefix("sh") === dstIdx("sh") &&
+          col("nb") * tDen >= col("n") * tNum)
+      .select(col("src_id"), col("dst_id"))
+      .distinct()
+    verifyContainment(cand, docs, gram = gram, tNum = tNum, tDen = tDen)
   }
 
   /** Shared 63-bit SimHash: bit i = sign of the token-vote where token tk
@@ -3716,7 +3803,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
 
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
-    d_containment, d_containment_collapse,
+    d_containment, d_containment_collapse, d_containment_probe,
     d_minhash_lsh, d_minhash_collapse, d_minhash_index, d_simhash, d_dedup_incremental,
     d_dedup_index, d_index_compact, d_substring_dedup, d_substring_index, p_cut_spans,
     d_simhash_weighted, d_dup_clusters, p_collapse_neardup, p_neardup_prune,

@@ -894,8 +894,51 @@ object Relational {
         |ORDER BY c_custkey, o_orderkey""".stripMargin)
   }
 
+  /** TPC-H Q21-shape multi-correlated subquery — EXISTS and NOT EXISTS
+    * against the SAME table, each correlated on an equality
+    * (l_orderkey) AND an inequality (l_suppkey <>) — the classic
+    * multi-decorrelation stress that q35 (scalar subquery) and q40
+    * (lateral) don't cover. Adapted to this schema: "suppliers who were
+    * the sole problem supplier on a multi-supplier finished order",
+    * with l_returnflag = 'R' standing in for Q21's
+    * receiptdate > commitdate lateness predicate (the fixture carries
+    * no commit/receipt dates).
+    *
+    * Catalyst must decorrelate BOTH subqueries: RewritePredicateSubquery
+    * turns the EXISTS into a LEFT SEMI join and the NOT EXISTS into a
+    * LEFT ANTI join on l_orderkey, carrying the <> correlation as a
+    * post-join condition — so the executed plan is three shuffles on the
+    * order key, never a per-row subquery. At 100 TB a re-executed
+    * subquery per lineitem row is a non-starter; the decorrelation is
+    * plan-pinned in PlanAuditSpec (semi + anti present, no
+    * BroadcastNestedLoopJoin), and the global PlanAuditSpec sweep keeps
+    * the all-pairs shapes out.
+    */
+  val q41_multi_exists: Query = {
+    val sql =
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin
+    q("q41_multi_exists", sql) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(sql)
+    }
+  }
+
   val all: Seq[Query] = Seq(
-    q37_dq_report, q38_scd2_merge, q39_bucket_join, q40_lateral,
+    q37_dq_report, q38_scd2_merge, q39_bucket_join, q40_lateral, q41_multi_exists,
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
     q6_partition_key, q7_join, q8_join3_agg, q8b_region_rev, q9_left_join, q9b_full_join,
     q10_semi_join, q11_anti_join, q12_count_distinct, q13_rollup, q13_cube, q13_gsets,

@@ -98,6 +98,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q41_multi_exists decorrelates both subqueries to semi/anti joins") {
+    // the EXISTS must become a LEFT SEMI join and the NOT EXISTS a LEFT
+    // ANTI join on l_orderkey (RewritePredicateSubquery), each carrying
+    // the <> correlation as a join condition — never a per-row subquery
+    // (no SubqueryExec over lineitem, no nested-loop fallback)
+    val plan = SparkEntry.queries("q41_multi_exists")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no LeftSemi join in q41 plan:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no LeftAnti join in q41 plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop fallback in q41 plan:\n$plan")
+  }
+
   test("d_ngram_jaccard does not broadcast the per-doc sizes side") {
     // sizes is one row per document — a broadcast hint on it is a driver OOM
     // at scale. AQE may still *choose* to broadcast at this sf; the guard is

@@ -20,8 +20,9 @@ def main(sf_dir: str, out_dir: str, names: str) -> int:
     missing = keep - set(oracle)
     if missing:
         print(f"WARN: no oracle for {sorted(missing)}")
-    json.dump(oracle, open(path, "w"))
-    return compare.main(sf_dir, out_dir)
+    # pass the subset in memory — never rewrite oracle_sql.json in place
+    # (a later full compare.py on the same outDir must see the full set)
+    return compare.main(sf_dir, out_dir, oracle=oracle)
 
 
 if __name__ == "__main__":
