@@ -573,6 +573,197 @@ object StreamingQueries {
     },
     Some(NorthStar.exactJaccard07Sql))
 
+  /** Shared streamed-VECTOR-probe driver — the query-side twin of
+    * [[crawlProbe]] for the stored vector indexes: three query embeddings
+    * (vec_id 1..3) arrive as mtime-ordered single-row micro-batches, and
+    * each is answered top-5 from the PERSISTED code table the moment its
+    * batch fires — ANN queries served in-flight, mirroring how the text
+    * probes answer per micro-batch. The per-batch collect is ONE probe
+    * row by construction (the bounded-collect discipline of every ANN
+    * probe in the catalog); `answer` runs the stored-index query (an
+    * M-bytes-a-row code scan — partition-pruned for IVF-PQ — never an
+    * embedding column), and verdicts append under the foreachBatch
+    * exactly-once-per-value contract: results are DETERMINISTIC (frozen
+    * codebooks, 9-dp lattice), so at-least-once replays are byte-identical
+    * rows removed by the contract dropDuplicates.
+    */
+  private def vecProbe(s: org.apache.spark.sql.SparkSession, dir: String,
+      prefix: String)(
+      answer: (org.apache.spark.sql.SparkSession, Seq[Float]) => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory(prefix).toString
+    val emb = graft.tables.Tables.load(s, dir, "embeddings")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    val embSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    val probes = s.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = probes.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("vec_id", "embedding").collect().foreach { r =>
+          answer(df.sparkSession, r.getSeq[Float](1))
+            .withColumn("qid", lit(r.getLong(0)))
+            .write.mode("append").parquet(s"$base/out")
+        }
+      }
+      .option("checkpointLocation", s"$base/cp")
+      .start()
+    try {
+      for (i <- 1 to 3) {
+        oneFile(emb.filter(col("vec_id") === i), s"$base/src/p$i.parquet",
+          1000000000000L + i * 60000L)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.read.parquet(s"$base/out")
+      .dropDuplicates("qid", "vec_id")
+      .select(col("qid"), col("vec_id"), col("asim"))
+      .orderBy(col("qid"), col("asim").desc, col("vec_id"))
+  }
+
+  /** Streamed PQ probe — the QUERY side of the stored vector index as a
+    * stream ([[st_sig_probe]]'s vector twin, closing the in-flight matrix
+    * asymmetry): the code table is built once batch-side, then each
+    * arriving query vector is ADC-ranked against it per micro-batch
+    * ([[graft.operators.PqIndex.query]] — LUT on the driver, M
+    * lookup-table reads a row, no embedding column in the scan). Oracle:
+    * the PQ ADC SQL generalized to all three probes, per-qid top-5.
+    */
+  val st_pq_probe: Query = Query(
+    "st_pq_probe",
+    (s, dir) => {
+      val emb = graft.tables.Tables.load(s, dir, "embeddings")
+      val cb = graft.operators.PqIndex.codebookOf(emb)
+      val idx = java.nio.file.Files.createTempDirectory("graft_stream_pqpr_idx_").toString
+      graft.operators.PqIndex.build(emb, cb, idx)
+      vecProbe(s, dir, "graft_stream_pqprobe_") { (sp, pv) =>
+        graft.operators.PqIndex.query(sp, idx,
+          graft.operators.PqIndex.adcLut(pv, cb), topN = 5)
+      }
+    },
+    Some {
+      val M = graft.operators.PqIndex.M
+      val SubDim = graft.operators.PqIndex.SubDim
+      val KC = graft.operators.PqIndex.KC
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+         |            WHERE vec_id BETWEEN 1 AND $KC),
+         |u AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |cu AS (SELECT cid, CAST(UNNEST(embedding) AS DOUBLE) AS cv,
+         |              generate_subscripts(embedding, 1) AS i FROM cb),
+         |dist AS (
+         |  SELECT u.vec_id, cu.cid, (cu.i - 1) // $SubDim AS m,
+         |         ROUND(SUM((u.v - cu.cv) * (u.v - cu.cv)), 9) AS d
+         |  FROM u JOIN cu ON u.i = cu.i
+         |  GROUP BY u.vec_id, cu.cid, (cu.i - 1) // $SubDim),
+         |code AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+         |    FROM dist) r WHERE rn = 1),
+         |p AS (SELECT vec_id AS qid, CAST(UNNEST(embedding) AS DOUBLE) AS pv,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id IN (1, 2, 3)),
+         |lut AS (
+         |  SELECT p.qid, cu.cid, (cu.i - 1) // $SubDim AS m,
+         |         ROUND(SUM(cu.cv * p.pv), 9) AS pd
+         |  FROM cu JOIN p ON cu.i = p.i GROUP BY p.qid, cu.cid, (cu.i - 1) // $SubDim),
+         |asim AS (
+         |  SELECT l.qid, c.vec_id, ROUND(SUM(l.pd), 9) AS a9
+         |  FROM code c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+         |  GROUP BY l.qid, c.vec_id),
+         |top AS (
+         |  SELECT qid, vec_id, a9,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY a9 DESC, vec_id) AS rn
+         |  FROM asim)
+         |SELECT qid, vec_id, ROUND(a9, 4) AS asim FROM top WHERE rn <= 5
+         |ORDER BY qid, ROUND(a9, 4) DESC, vec_id""".stripMargin
+    })
+
+  /** Streamed IVF-PQ probe — [[st_pq_probe]] against the list-PARTITIONED
+    * stored table ([[graft.operators.IvfPqIndex]]): each arriving query
+    * vector picks its nProbe coarse lists (K driver cosines on the build's
+    * 9-dp lattice) and its per-batch answer scans ONLY those list
+    * directories — partition pruning exercised per micro-batch, which is
+    * the 100 TB serving shape: a query stream against a directory-
+    * structured inverted file, each answer touching ~nProbe/K of the
+    * stored bytes. Oracle: the IVF-PQ ADC SQL generalized to the three
+    * probes (per-qid probe lists, per-qid top-5).
+    */
+  val st_ivfpq_probe: Query = Query(
+    "st_ivfpq_probe",
+    (s, dir) => {
+      val emb = graft.tables.Tables.load(s, dir, "embeddings")
+      val cents = graft.operators.IvfPqIndex.centroidsOf(emb)
+      val cb = graft.operators.PqIndex.codebookOf(emb)
+      val idx = java.nio.file.Files.createTempDirectory("graft_stream_ivfpqpr_idx_").toString
+      graft.operators.IvfPqIndex.build(emb, cents, cb, idx)
+      vecProbe(s, dir, "graft_stream_ivfpqprobe_") { (sp, pv) =>
+        graft.operators.IvfPqIndex.query(sp, idx, pv, cents, cb, topN = 5)
+      }
+    },
+    Some {
+      val KCoarse = graft.operators.IvfPqIndex.KCoarse
+      val NProbe = graft.operators.IvfPqIndex.NProbe
+      val M = graft.operators.PqIndex.M
+      val SubDim = graft.operators.PqIndex.SubDim
+      val KC = graft.operators.PqIndex.KC
+      s"""WITH cent AS (SELECT vec_id AS ccid, embedding FROM embeddings
+         |              WHERE vec_id <= $KCoarse),
+         |u AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |cu AS (SELECT ccid, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         |              generate_subscripts(embedding, 1) AS i FROM cent),
+         |sims AS (
+         |  SELECT u.vec_id, cu.ccid,
+         |         ROUND(SUM(u.v * cu.v) / (SQRT(SUM(u.v * u.v)) * SQRT(SUM(cu.v * cu.v))), 9) AS sim
+         |  FROM u JOIN cu ON u.i = cu.i GROUP BY u.vec_id, cu.ccid),
+         |assign AS (
+         |  SELECT vec_id, ccid FROM (
+         |    SELECT vec_id, ccid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ccid) AS rn
+         |    FROM sims) r WHERE rn = 1),
+         |probe_c AS (
+         |  SELECT vec_id AS qid, ccid FROM (
+         |    SELECT vec_id, ccid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ccid) AS rn
+         |    FROM sims WHERE vec_id IN (1, 2, 3)) r WHERE rn <= $NProbe),
+         |cand AS (SELECT p.qid, a.vec_id FROM assign a JOIN probe_c p ON a.ccid = p.ccid),
+         |cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+         |       WHERE vec_id BETWEEN 1 AND $KC),
+         |cbu AS (SELECT cid, CAST(UNNEST(embedding) AS DOUBLE) AS cv,
+         |               generate_subscripts(embedding, 1) AS i FROM cb),
+         |dist AS (
+         |  SELECT u.vec_id, cbu.cid, (cbu.i - 1) // $SubDim AS m,
+         |         ROUND(SUM((u.v - cbu.cv) * (u.v - cbu.cv)), 9) AS d
+         |  FROM u JOIN cbu ON u.i = cbu.i
+         |  WHERE u.vec_id IN (SELECT vec_id FROM cand)
+         |  GROUP BY u.vec_id, cbu.cid, (cbu.i - 1) // $SubDim),
+         |code AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+         |    FROM dist) r WHERE rn = 1),
+         |p AS (SELECT vec_id AS qid, CAST(UNNEST(embedding) AS DOUBLE) AS pv,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id IN (1, 2, 3)),
+         |lut AS (
+         |  SELECT p.qid, cbu.cid, (cbu.i - 1) // $SubDim AS m,
+         |         ROUND(SUM(cbu.cv * p.pv), 9) AS pd
+         |  FROM cbu JOIN p ON cbu.i = p.i GROUP BY p.qid, cbu.cid, (cbu.i - 1) // $SubDim),
+         |asim AS (
+         |  SELECT ca.qid, c.vec_id, ROUND(SUM(l.pd), 9) AS a9
+         |  FROM code c
+         |  JOIN cand ca ON ca.vec_id = c.vec_id
+         |  JOIN lut l ON l.qid = ca.qid AND l.m = c.m AND l.cid = c.cid
+         |  GROUP BY ca.qid, c.vec_id),
+         |top AS (
+         |  SELECT qid, vec_id, a9,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY a9 DESC, vec_id) AS rn
+         |  FROM asim)
+         |SELECT qid, vec_id, ROUND(a9, 4) AS asim FROM top WHERE rn <= 5
+         |ORDER BY qid, ROUND(a9, 4) DESC, vec_id""".stripMargin
+    })
+
   /** Streamed ingest into the incremental-rollup partial table — the
     * AggIndex cell of the streamed-ingest matrix as an ORACLED row: the
     * event log arrives as three mtime-ordered micro-batches, each
@@ -603,5 +794,6 @@ object StreamingQueries {
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
     st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
     st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe,
-    st_substring_probe, st_minhash_probe, st_agg_ingest)
+    st_substring_probe, st_minhash_probe, st_pq_probe, st_ivfpq_probe,
+    st_agg_ingest)
 }
