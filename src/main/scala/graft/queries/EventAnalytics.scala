@@ -192,7 +192,7 @@ object EventAnalytics {
     """SELECT event_type,
       |       strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
       |       CAST(COUNT(*) AS BIGINT) AS cnt,
-      |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_v,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_v,
       |       MIN(value) AS min_v, MAX(value) AS max_v,
       |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
       |       TRUE AS within_5pct
@@ -212,7 +212,11 @@ object EventAnalytics {
       .agg(countDistinct(col("user_id")).as("exact_users"))
     m.join(exact, Seq("event_type", "day"))
       .select(col("event_type"), col("day"), col("cnt"),
-        round(col("sum_v").cast("double"), 2).as("sum_v"),
+        // round the DECIMAL itself, THEN cast (FLOAT_AUDIT.md): a 6-dp
+        // decimal rounded at 2 dp is exact HALF_UP on both engines; the old
+        // round-after-double-cast could land on a .xx5000 tie where Spark
+        // (shortest-repr) and DuckDB (binary) round apart
+        round(col("sum_v"), 2).cast("double").as("sum_v"),
         col("min_v"), col("max_v"), col("exact_users"),
         (abs(col("users") - col("exact_users")).cast("double") <=
           col("exact_users").cast("double") * 0.05).as("within_5pct"))

@@ -3051,13 +3051,17 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
 
   val q23_time_bucket: Query = q("q23_time_bucket", Some(
     """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS h,
-      |       event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv
+      |       event_type, COUNT(*) AS cnt,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv
       |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin),
     headline = true) { (s, dir) =>
     Tables.load(s, dir, "events")
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
         col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
+      // DECIMAL-exact money sum (FLOAT_AUDIT.md): order-independent at
+      // any partition/batch layout, rounded as decimal on both engines
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sv"))
       .orderBy("h", "event_type")
   }
 
@@ -3140,12 +3144,14 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
       |            ROWS UNBOUNDED PRECEDING) AS sess FROM x)
       |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-      |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sv
+      |       COUNT(*) AS n_events,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv
       |FROM y GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin),
     headline = true) { (s, dir) =>
     Tables.load(s, dir, "events")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sv"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sv"))
       .select(col("user_id"),
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sv"))

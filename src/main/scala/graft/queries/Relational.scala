@@ -82,7 +82,8 @@ object Relational {
 
   val q5_agg: Query = q("q5_agg",
     """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
-      |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
       |       ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS cnt
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
@@ -93,7 +94,12 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        // DECIMAL-exact money sum (FLOAT_AUDIT.md): 2-dp inputs cast to
+        // decimal, summed exactly (order-independent at ANY batch count),
+        // rounded as decimal (HALF_UP both engines), cast to double once
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+          .cast("double").as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -102,12 +108,14 @@ object Relational {
   // Hive-style partition-key derivation (reference: examples/weekly_partitions.py:19).
   val q6_partition_key: Query = q("q6_partition_key",
     """SELECT CAST(o_orderdate AS DATE) AS partition_key, COUNT(*) AS cnt,
-      |       ROUND(SUM(o_totalprice), 2) AS total
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
       |FROM orders GROUP BY partition_key ORDER BY partition_key""".stripMargin) { (s, dir) =>
     def t(n: String): DataFrame = Tables.load(s, dir, n)
     t("orders")
       .groupBy(col("o_orderdate").cast("date").as("partition_key"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("total"))
       .orderBy("partition_key")
   }
 
@@ -144,7 +152,8 @@ object Relational {
     * the three fact joins shuffle with AQE.
     */
   val q8b_region_rev: Query = q("q8b_region_rev",
-    """SELECT r.r_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    """SELECT r.r_name, CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
       |       COUNT(*) AS cnt
       |FROM region r
       |JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -159,7 +168,9 @@ object Relational {
       .join(t("orders").as("o"), col("o.o_custkey") === col("c.c_custkey"))
       .join(t("lineitem").as("l"), col("l.l_orderkey") === col("o.o_orderkey"))
       .groupBy("r_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+          .cast("double").as("revenue"),
         count(lit(1)).as("cnt"))
       .orderBy("r_name")
   }
@@ -543,19 +554,23 @@ object Relational {
       |       ROUND(SUM(l_quantity), 2) AS sum_qty,
       |       ROUND(MIN(l_extendedprice), 2) AS min_price,
       |       ROUND(MAX(l_extendedprice), 2) AS max_price,
-      |       ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price
+      |       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |             / COUNT(*), 4) AS avg_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     val partial = Tables.load(s, dir, "lineitem")
       .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(32)))
       .groupBy(col("l_returnflag"), col("salt"))
       .agg(count(lit(1)).as("c"), sum(col("l_quantity")).as("sq"),
         min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"),
-        sum(col("l_extendedprice")).as("sp"))
+        // DECIMAL partial (FLOAT_AUDIT.md): the salted re-combine is a
+        // second reduction over partials — decimal keeps BOTH stages exact,
+        // so avg_price's numerator is order- and salt-layout-independent
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sp"))
     partial
       .groupBy("l_returnflag")
       .agg(sum(col("c")).as("cnt"), round(sum(col("sq")), 2).as("sum_qty"),
         round(min(col("mn")), 2).as("min_price"), round(max(col("mx")), 2).as("max_price"),
-        round(sum(col("sp")) / sum(col("c")), 4).as("avg_price"))
+        round(sum(col("sp")).cast("double") / sum(col("c")), 4).as("avg_price"))
       .orderBy("l_returnflag")
   }
 
@@ -855,7 +870,7 @@ object Relational {
     */
   val q39_bucket_join: Query = q("q39_bucket_join",
     """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
-      |       ROUND(SUM(o_totalprice), 2) AS rev
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
     val db = bucketDb(s, dir)
@@ -863,7 +878,8 @@ object Relational {
       .join(s.table(s"$db.orders_b").hint("MERGE"), Seq("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("rev"))
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("rev"))
       .orderBy("c_mktsegment")
   }
 

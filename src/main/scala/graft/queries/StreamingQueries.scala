@@ -27,7 +27,8 @@ object StreamingQueries {
     },
     // 1-hour tumbling windows == date_trunc('hour') buckets
     Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS h,
-           |       event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv
+           |       event_type, COUNT(*) AS cnt,
+           |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv
            |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin),
     headline = false)
 
@@ -76,7 +77,8 @@ object StreamingQueries {
         round(col("total_value"), 2).as("total_value"))
         .orderBy("user_id")
     },
-    Some("""SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    Some("""SELECT user_id, COUNT(*) AS n_events,
+           |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
            |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   /** Stream-static enrichment join (events x customer segment dim) with a
@@ -92,7 +94,8 @@ object StreamingQueries {
         OutputMode.Complete, "q_st_enriched")
       out.orderBy("c_mktsegment")
     },
-    Some("""SELECT c.c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(e.value), 2) AS sv
+    Some("""SELECT c.c_mktsegment, COUNT(*) AS cnt,
+           |       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv
            |FROM events e JOIN customer c ON c.c_custkey = e.user_id
            |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin))
 
@@ -160,12 +163,14 @@ object StreamingQueries {
       EventsStreaming.incrementalPartitionedSink(s, EventsStreaming.readStream(s, dir), out)
       s.read.parquet(out)
         .groupBy(col("d"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sv"))
         .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("cnt"), col("sv"))
         .orderBy("d")
     },
     Some("""SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS d,
-           |       COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sv
+           |       COUNT(*) AS cnt,
+           |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv
            |FROM events GROUP BY d ORDER BY d""".stripMargin))
 
   /** LEFT OUTER stream-stream join: matched pairs emit immediately; an

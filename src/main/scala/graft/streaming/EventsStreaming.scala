@@ -55,7 +55,11 @@ object EventsStreaming {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
+      // DECIMAL-exact money sum (FLOAT_AUDIT.md): the streaming state
+      // merges per-batch partials — decimal keeps every merge exact, so
+      // sv is independent of how the stream happened to be batched
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sv"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("h"),
         col("event_type"), col("cnt"), col("sv"))
 
@@ -79,7 +83,8 @@ object EventsStreaming {
     events
       .join(broadcast(dim), "user_id")
       .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sv"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sv"))
 
   /** Exactly-once ingestion over an at-least-once source: duplicate
     * deliveries of the same event (retries, replayed offsets) are suppressed
@@ -120,7 +125,12 @@ object EventsStreaming {
       joinType)
   }
 
-  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+  /** total_cents carries the running sum EXACTLY (the 2-dp value lattice
+    * scaled to integers — FLOAT_AUDIT.md); total_value is derived once per
+    * emission, so the running total cannot drift with accumulation order.
+    */
+  final case class UserTotal(user_id: Long, n_events: Long, total_cents: Long,
+                             total_value: Double)
 
   /** Custom stateful aggregation via flatMapGroupsWithState: per-user running
     * totals maintained in executor state across micro-batches.
@@ -158,12 +168,14 @@ object EventsStreaming {
             state.remove() // idle key: release state, nothing new to emit
             Iterator.empty
           } else {
-            val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+            val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0L, 0.0))
             var n = prev.n_events
-            var v = prev.total_value
+            var c = prev.total_cents
             var maxTs = 0L
-            rows.foreach { r => n += 1; v += r._2; maxTs = math.max(maxTs, r._3.getTime) }
-            val next = UserTotal(userId, n, v)
+            rows.foreach { r =>
+              n += 1; c += math.round(r._2 * 100); maxTs = math.max(maxTs, r._3.getTime)
+            }
+            val next = UserTotal(userId, n, c, c / 100.0)
             state.update(next)
             state.setTimeoutTimestamp(maxTs + idleTimeoutMs)
             Iterator.single(next)
