@@ -53,10 +53,25 @@ object NorthStar {
 
   // ---------------------------------------------------------------- dedup
 
+  /** Exact-duplicate counts over the corpus PLUS a deterministic re-crawl
+    * slice (doc_id % 97 = 0 re-ingested under shifted ids) — the
+    * double-crawl regime the operator exists for. The base fixture has NO
+    * exact duplicates at the gate SF, so the previous contract matched on
+    * 0 = 0 rows and proved nothing (VERDICT r9 #5); the planted slice is
+    * part of the query's published contract, identical on both sides, and
+    * gives the gate 6 / 6 / 60 real dup groups across SFs.
+    */
   val q21_dup_counts: Query = q("q21_dup_counts", Some(
-    """SELECT text, COUNT(*) AS dupes FROM documents GROUP BY text
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 97 = 0)
+      |SELECT text, COUNT(*) AS dupes FROM corpus GROUP BY text
       |HAVING COUNT(*) > 1 ORDER BY dupes DESC, text""".stripMargin)) { (s, dir) =>
-    Tables.load(s, dir, "documents")
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val recrawl = docs.filter(col("doc_id") % 97 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    docs.unionByName(recrawl)
       .groupBy("text").agg(count(lit(1)).as("dupes"))
       .filter(col("dupes") > 1)
       .orderBy(col("dupes").desc, col("text"))
@@ -1448,10 +1463,14 @@ object NorthStar {
   val d_embed_neardup_lsh: Query = q("d_embed_neardup_lsh", Some(
     s"""WITH planes AS (
        |${SharedHash.planesOracleCte(63, Dim)}),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 101 = 0),
        |u0 AS (
        |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
        |         generate_subscripts(embedding, 1) - 1 AS d
-       |  FROM embeddings),
+       |  FROM corpus),
        |dots AS (
        |  SELECT u0.vec_id, p.j, SUM(u0.v * p.p) AS dot
        |  FROM u0 JOIN planes p ON p.d = u0.d GROUP BY u0.vec_id, p.j),
@@ -1465,7 +1484,7 @@ object NorthStar {
        |  WHERE bit_count(xor(a.f, b.f)) <= 6),
        |uu AS (
        |  SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i
-       |  FROM embeddings),
+       |  FROM corpus),
        |p AS (
        |  SELECT c.id_a, c.id_b,
        |         SUM(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot,
@@ -1478,7 +1497,15 @@ object NorthStar {
        |SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 3) AS sim
        |FROM p WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.4
        |ORDER BY id_a, id_b""".stripMargin)) { (s, dir) =>
-    val emb = Tables.load(s, dir, "embeddings")
+    // corpus = embeddings plus a deterministic re-embedded re-crawl slice
+    // (vec_id % 101 = 0 under shifted ids): the base fixture has no pairs
+    // inside hamming 6 at any SF, so the oracle row matched 0 = 0 and
+    // proved nothing (VERDICT r9 #5) — the planted slice gives the gate
+    // real verified pairs (5 / 5 / 20 across SFs) while the planted-vector
+    // parity test in BandedExactParitySpec keeps covering the non-dup case
+    val embRaw = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+    val emb = embRaw.unionByName(embRaw.filter(col("vec_id") % 101 === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
     // banding rows carry the 8-byte fingerprint: hamming verifies inline
     // during pair expansion (no fingerprint re-join / re-computation)
     val banded = emb
@@ -1526,10 +1553,14 @@ object NorthStar {
   val s_ann_lsh: Query = q("s_ann_lsh", Some(
     s"""WITH planes AS (
        |${SharedHash.planesOracleCte(8, Dim)}),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 101 = 0),
        |u0 AS (
        |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
        |         generate_subscripts(embedding, 1) - 1 AS d
-       |  FROM embeddings),
+       |  FROM corpus),
        |dots AS (
        |  SELECT u0.vec_id, p.j, SUM(u0.v * p.p) AS dot
        |  FROM u0 JOIN planes p ON p.d = u0.d GROUP BY u0.vec_id, p.j),

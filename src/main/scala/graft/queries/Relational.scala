@@ -214,12 +214,22 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  // Anti-join over a FILTERED right side ("customers with no 1995 order"):
+  // every customer has SOME order in the fixture, so the unfiltered shape
+  // matched on 0 = 0 rows and the oracle proved nothing (VERDICT r9 #5);
+  // the date window keeps the operator and plan identical while giving the
+  // gate real rows at every SF (34 / 326 / 3305).
   val q11_anti_join: Query = q("q11_anti_join",
     """SELECT c.c_custkey, c.c_name FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |                  AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
       |ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
     def t(n: String): DataFrame = Tables.load(s, dir, n)
-    val c = t("customer"); val o = t("orders")
+    val c = t("customer")
+    val o = t("orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-01-01 00:00:00").cast("timestamp"))
     c.join(o, o("o_custkey") === c("c_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
@@ -349,12 +359,22 @@ object Relational {
       .orderBy("k")
   }
 
+  // EXCEPT with real rows at every SF (29 / 332 / 3249): "customers minus
+  // customers with a 1996 order". The previous operands (customer nations
+  // minus supplier nations) were structurally empty — suppliers cover every
+  // nation at every SF — so the oracle row was vacuous (VERDICT r9 #5).
   val q17_except: Query = q("q17_except",
-    """SELECT c_nationkey AS k FROM customer
-      |EXCEPT SELECT s_nationkey AS k FROM supplier ORDER BY k""".stripMargin) { (s, dir) =>
+    """SELECT c_custkey AS k FROM customer
+      |EXCEPT SELECT o_custkey AS k FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |ORDER BY k""".stripMargin) { (s, dir) =>
     def t(n: String): DataFrame = Tables.load(s, dir, n)
-    t("customer").select(col("c_nationkey").as("k"))
-      .except(t("supplier").select(col("s_nationkey").as("k")))
+    t("customer").select(col("c_custkey").as("k"))
+      .except(t("orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+                col("o_orderdate") <  lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_custkey").as("k")))
       .orderBy("k")
   }
 

@@ -10,11 +10,11 @@ class QueryCatalogSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  // queries where an empty result IS the correct answer on this data
-  // (d_embed_neardup_lsh targets the high-precision fingerprint regime, which
-  // this synthetic corpus has no pairs in — BandedExactParitySpec proves the
-  // operator finds planted near-duplicates)
-  private val mayBeEmpty = Set("q21_dup_counts", "q11_anti_join", "d_embed_neardup_lsh")
+  // r10: the formerly-vacuous contracts (q21_dup_counts, q11_anti_join,
+  // q17_except, d_embed_neardup_lsh) now emit rows at every SF — planted
+  // re-crawl slices / filtered operands, see their scaladoc — so EVERY
+  // catalog entry must return rows here
+  private val mayBeEmpty = Set.empty[String]
 
   test("every catalog entry has a unique name and runnable plan") {
     val names = SparkEntry.catalog.map(_.name)
