@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** q8b_region_rev's claim is that join ORDER is the optimizer's job: the
+  * SQL is written fact-first, the stats database carries ANALYZE'd
+  * row/column statistics, and CostBasedJoinReorder + stats-driven
+  * broadcast decisions produce the dimension-aware plan the hand-tuned
+  * DataFrame twin encodes manually.
+  */
+class CboJoinSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("stats database carries rowCount and key column stats") {
+    graft.SparkEntry.queries("q8b_region_rev")(spark, sfDir).collect()
+    val db = Relational.statsDb(spark, sfDir)
+    for (t <- Seq("region", "nation", "customer", "orders", "lineitem")) {
+      val stats = spark.table(s"$db.$t").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.isDefined && stats.rowCount.get > 0,
+        s"no rowCount statistic on $db.$t")
+    }
+  }
+
+  test("CostBasedJoinReorder inverts the written fact-first order") {
+    // the SQL joins FROM lineitem down to region; with stats + CBO the
+    // optimized logical plan must come out dimension-first — lineitem
+    // joined LAST (top of the left-deep tree), dims at the bottom — i.e.
+    // the optimizer found the order the hand-tuned twin hard-codes
+    val df = graft.SparkEntry.queries("q8b_region_rev")(spark, sfDir)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.toString.linesIterator.next())
+      .flatMap(l => Seq("region", "nation", "customer", "orders", "lineitem")
+        .find(t => l.contains(s".$t[")))
+    assert(leaves.size == 5, s"expected 5 relation leaves, got $leaves")
+    assert(leaves.last == "lineitem" && leaves.head != "lineitem",
+      s"CBO did not reorder fact-first SQL to dimension-first: $leaves")
+  }
+
+  test("q8b plans broadcasts for the dims and scans lineitem once") {
+    val df = graft.SparkEntry.queries("q8b_region_rev")(spark, sfDir)
+    df.collect() // AQE: final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"expected >=2 broadcast joins:\n$plan")
+    // single lineitem scan: the AQE plan string repeats the tree (initial
+    // + final), so count within the final section only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("FileScan parquet [^\\n]*\\.lineitem".r.findAllIn(finalPlan).length == 1,
+      s"lineitem scanned more than once:\n$finalPlan")
+  }
+
+  test("CBO output equals the hand-ordered DataFrame twin") {
+    val got = graft.SparkEntry.queries("q8b_region_rev")(spark, sfDir).collect().toSeq
+    def t(n: String) = Tables.load(spark, sfDir, n)
+    val want = t("region").as("r")
+      .join(broadcast(t("nation").as("n")), col("n.n_regionkey") === col("r.r_regionkey"))
+      .join(t("customer").as("c"), col("c.c_nationkey") === col("n.n_nationkey"))
+      .join(t("orders").as("o"), col("o.o_custkey") === col("c.c_custkey"))
+      .join(t("lineitem").as("l"), col("l.l_orderkey") === col("o.o_orderkey"))
+      .groupBy("r_name")
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("r_name").collect().toSeq
+    assert(got == want, s"CBO plan output diverged:\ngot  $got\nwant $want")
+  }
+}
