@@ -36,6 +36,24 @@ import org.apache.spark.sql.functions.col
   */
 object IndexMaintenance {
 
+  /** Count the data files under `path` (the fragmentation measure the
+    * auto-compaction policy thresholds on). 0 if the path doesn't exist.
+    */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (f.endsWith(".parquet") && !f.startsWith("_") && !f.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
   /** Rewrite the parquet table at `path` into ~`targetBytes` files.
     * Returns (dataFilesBefore, dataFilesAfter).
     */

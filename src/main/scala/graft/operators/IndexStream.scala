@@ -46,15 +46,45 @@ private[operators] object IndexStream {
     }
   }
 
-  /** Start a stream appending `rows` (plus a `batch` id column) to `path`. */
+  /** Auto-compaction threshold for streamed ingest: when a micro-batch
+    * append leaves more than this many data files, the index is compacted
+    * in place before the batch commits. 64 fragments keeps a probe's
+    * footer-read bill bounded while amortizing each rewrite over ~64
+    * ingests (the measured payback is ~2-5 probes per compaction,
+    * SCALE.md); 0 disables the policy.
+    */
+  val DefaultAutoCompactFragments = 64
+
+  /** Start a stream appending `rows` (plus a `batch` id column) to `path`.
+    *
+    * Self-maintenance: a long-lived micro-batch stream accretes one file
+    * (or more) per trigger, and nobody schedules a maintenance window for
+    * an index that never stops ingesting. Inside foreachBatch this stream
+    * IS the path's single writer and appends are serialized — exactly the
+    * writer contract [[IndexMaintenance.compact]] demands — so when the
+    * post-append fragment count exceeds `autoCompactFragments` the batch
+    * compacts the index before committing. Rows (batch ids included) are
+    * invariant under compaction, so replay semantics and probe answers
+    * are untouched; a crash mid-swap is surfaced by compact's
+    * crashed-compaction guard on the next attempt. Concurrent READERS of
+    * a live-compacting index see the same delete+rename window as manual
+    * compaction (scaladoc there) — an object-store deployment would flip
+    * a versioned pointer instead.
+    */
   def appendWithBatchIds(rows: DataFrame, nextBatch: => Int, path: String,
-                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                         checkpoint: String,
+                         autoCompactFragments: Int = DefaultAutoCompactFragments): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.lit
     val base = pinnedBase(rows, nextBatch, checkpoint)
     rows.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         df.withColumn("batch", lit(base + batchId.toInt))
           .write.mode("append").parquet(path)
+        if (autoCompactFragments > 0 &&
+            IndexMaintenance.dataFileCount(df.sparkSession, path) > autoCompactFragments) {
+          IndexMaintenance.compact(df.sparkSession, path)
+          ()
+        }
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -91,10 +91,10 @@ object SignatureIndex {
     * semantic shift (the doc's earlier copy becomes index side for its
     * later one); the restart spec pins the pinned-base behavior.
     */
-  def ingestStream(docs: DataFrame, path: String,
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+  def ingestStream(docs: DataFrame, path: String, checkpoint: String,
+                   autoCompactFragments: Int = IndexStream.DefaultAutoCompactFragments): org.apache.spark.sql.streaming.StreamingQuery =
     IndexStream.appendWithBatchIds(signatures(docs),
-      nextBatch(docs.sparkSession, path), path, checkpoint)
+      nextBatch(docs.sparkSession, path), path, checkpoint, autoCompactFragments)
 
   /** Streamed ingest AND probe — the in-flight crawl-dedup shape. Each
     * micro-batch's signatures land in the index under a real batch id

@@ -74,4 +74,35 @@ class IndexMaintenanceSpec extends SparkSpec {
     val plan = after.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), s"pruning lost after compaction:\n$plan")
   }
+
+  test("a 100-micro-batch stream self-compacts: bounded files, answers unchanged") {
+    // the auto-compaction policy (IndexStream.appendWithBatchIds): nobody
+    // schedules a maintenance window for an index that never stops
+    // ingesting, so the stream compacts itself whenever an append leaves
+    // more than `autoCompactFragments` files — 100 single-doc micro-batches
+    // must end file-count-bounded with every row and batch id intact
+    val base = Files.createTempDirectory("graft_autocompact_").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < 100).select("doc_id", "text")
+    docs.repartition(100).write.parquet(s"$base/src")
+    val nSrc = IndexMaintenance.dataFileCount(spark, s"$base/src")
+    assert(nSrc == 100, s"fixture should be 100 source files, got $nSrc")
+
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = SignatureIndex.ingestStream(streamed, s"$base/idx", s"$base/cp",
+      autoCompactFragments = 8)
+    try q.processAllAvailable() finally q.stop()
+
+    val frags = IndexMaintenance.dataFileCount(spark, s"$base/idx")
+    assert(frags <= 9, s"stream ended with $frags fragments (policy: >8 compacts)")
+    val stored = spark.read.parquet(s"$base/idx")
+    assert(stored.select("batch").distinct().count() == 100,
+      "compaction must preserve every micro-batch id")
+    val twin = Files.createTempDirectory("graft_autocompact_twin_").toString
+    SignatureIndex.build(docs, twin)
+    assert(stored.select("doc_id", "simhash").orderBy("doc_id").collect().toSeq ==
+      spark.read.parquet(twin).select("doc_id", "simhash").orderBy("doc_id").collect().toSeq,
+      "self-compacting stream must store the same signatures as a batch build")
+  }
 }
