@@ -75,15 +75,51 @@ object AggIndex {
         max(col("value")).as("max_v"),
         hll_sketch_agg(col("user_id"), lit(HllLgK)).as("users_hll"))
 
+  /** Commit ledger beside the data files (underscore-prefixed, so parquet
+    * readers ignore it): the highest batch id whose APPEND COMPLETED.
+    * Rows with batch > this value are orphans of a writer that died
+    * mid-batch — harmless when the writer's own checkpoint resumes
+    * (replay lands byte-identical under the original id; [[merged]]'s
+    * dedup folds it) but silently DOUBLE-COUNTED if a fresh checkpoint
+    * re-ingests the same events under a new id, because sum(cnt) is not
+    * duplicate-insensitive. [[ingestStream]] uses the ledger to fail
+    * loudly in exactly that case.
+    */
+  private def commitMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_committed_batch")
+
+  private def markCommitted(spark: SparkSession, path: String, batch: Int): Unit = {
+    val mp = commitMarkerPath(path)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(batch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def committedBatch(spark: SparkSession, path: String): Option[Int] = {
+    val mp = commitMarkerPath(path)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
   /** Aggregate the base log once; write the partial table as batch 0. */
-  def build(events: DataFrame, path: String): Unit =
+  def build(events: DataFrame, path: String): Unit = {
     partials(events).withColumn("batch", lit(0))
       .write.mode("overwrite").parquet(path)
+    markCommitted(events.sparkSession, path, 0)
+  }
 
   /** Aggregate ONLY the delta; append its partials as `batch`. */
-  def ingest(events: DataFrame, path: String, batch: Int): Unit =
+  def ingest(events: DataFrame, path: String, batch: Int): Unit = {
     partials(events).withColumn("batch", lit(batch))
       .write.mode("append").parquet(path)
+    markCommitted(events.sparkSession, path, batch)
+  }
 
   /** Next free batch id (max(batch) + 1; 0 for a fresh path) — delegates
     * to the shared fail-loud implementation.
@@ -109,12 +145,29 @@ object AggIndex {
     // a stateful streaming aggregation (watermark + state store) when the
     // semantics wanted are per-batch partials, recombined at read by
     // [[merged]]; the batch-id discipline is [[IndexStream]]'s
+    // LOUD orphan guard (ADVICE r9): a FRESH checkpoint pointed at a path
+    // whose last writer died mid-batch would re-ingest the orphaned
+    // batch's events under a new id and double-count them — only a
+    // RESUMED checkpoint replays idempotently. Detect via the commit
+    // ledger: stored rows above the last committed batch mean an orphan.
+    if (!IndexStream.baseMarkerExists(events, checkpoint)) {
+      val storedMax = nextBatch(events.sparkSession, path) - 1
+      committedBatch(events.sparkSession, path).foreach { c =>
+        require(storedMax <= c,
+          s"orphaned uncommitted batch at $path: stored max batch $storedMax > " +
+            s"last committed $c. A previous stream died mid-batch; RESUME its " +
+            "original checkpoint (replay lands under the original id and " +
+            "dedups) instead of starting a fresh one, or delete the orphaned " +
+            s"rows (batch > $c) before re-ingesting.")
+      }
+    }
     val base = IndexStream.pinnedBase(events,
       nextBatch(events.sparkSession, path), checkpoint)
     events.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         partials(df).withColumn("batch", lit(base + batchId.toInt))
           .write.mode("append").parquet(path)
+        markCommitted(df.sparkSession, path, base + batchId.toInt)
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -190,5 +243,9 @@ object AggIndex {
     collapsed.write.mode("overwrite").parquet(tmp.toString)
     require(fs.delete(p, true), s"failed to remove pre-compaction table at $path")
     require(fs.rename(tmp, p), s"failed to swap compacted table into $path")
+    // the swap drops the commit ledger with the old directory; everything
+    // in the compacted table is committed by the maintenance-window
+    // contract, so re-pin it at the preserved max batch
+    markCommitted(spark, path, maxBatch)
   }
 }

@@ -24,6 +24,18 @@ import org.apache.spark.sql.DataFrame
   */
 private[operators] object IndexStream {
 
+  /** Whether this checkpoint already has a pinned base — i.e. it is a
+    * RESUMED checkpoint, not a fresh one. Callers use this to
+    * distinguish replay (safe) from a fresh stream pointed at an
+    * existing artifact (where orphaned uncommitted state must be
+    * surfaced, not silently re-ingested — AggIndex's guard).
+    */
+  def baseMarkerExists(rows: DataFrame, checkpoint: String): Boolean = {
+    val markerPath = new org.apache.hadoop.fs.Path(checkpoint, "graft_base_batch")
+    markerPath.getFileSystem(rows.sparkSession.sessionState.newHadoopConf())
+      .exists(markerPath)
+  }
+
   /** Resolve the base batch id for a checkpoint: the marker beside the
     * offsets log if one exists (a restarted query MUST reuse its original
     * base), else `nextBatch` — written to the marker so every restart of

@@ -2238,11 +2238,15 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     * each source. This is the step that actually builds the training
     * mixture after the weights are chosen.
     *
-    * Determinism across engines: the share is 6-dp-rounded BEFORE the
-    * quota floor (share itself ends in a float sum of sqrts whose
-    * last-ulp depends on aggregation order; flooring the rounded value
-    * multiplies two identical doubles on both engines), and the draw
-    * order (md5(doc_id || ':mix'), doc_id) is total.
+    * Determinism across engines (ADVICE r9 / FLOAT_AUDIT.md): the quota
+    * is INTEGER-exact — each source's sqrt(n) lands on the 2^30
+    * fixed-point lattice (floor(sqrt(n) * 2^30 + 0.5): power-of-two
+    * scaling is exact, sqrt is IEEE correctly-rounded on both engines),
+    * the normalizer is an exact BIGINT sum of those lattice points
+    * (order-independent at any layout), and quota = (200 * a) div sum(a)
+    * is pure integer division — no float rounding boundary exists
+    * anywhere in the decision. The draw order (md5(doc_id || ':mix'),
+    * doc_id) is total.
     *
     * Scale shape: a tiny per-source count aggregate broadcast back as
     * quotas, then ONE window ranked inside each source. Exact quotas cost
@@ -2252,10 +2256,10 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     */
   val p_mixture_sample: Query = q("p_mixture_sample", Some(
     """WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
-      |t AS (SELECT SUM(SQRT(n)) AS sp FROM s),
-      |q AS (SELECT source,
-      |             CAST(FLOOR(ROUND(SQRT(n) / t.sp, 6) * 200) AS BIGINT) AS quota
-      |      FROM s CROSS JOIN t),
+      |a AS (SELECT source, CAST(FLOOR(SQRT(n) * 1073741824 + 0.5) AS BIGINT) AS afp FROM s),
+      |t AS (SELECT SUM(afp) AS sp FROM a),
+      |q AS (SELECT source, (200 * afp) // t.sp AS quota
+      |      FROM a CROSS JOIN t),
       |r AS (SELECT doc_id, source,
       |             ROW_NUMBER() OVER (PARTITION BY source
       |               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id) AS rn
@@ -2265,10 +2269,11 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       |WHERE r.rn <= q.quota ORDER BY r.source, r.doc_id""".stripMargin)) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     val bySrc = docs.groupBy("source").agg(count(lit(1)).as("n"))
-    val norm = bySrc.agg(sum(sqrt(col("n").cast("double"))).as("sp"))
-    val quotas = bySrc.crossJoin(broadcast(norm))
-      .select(col("source"),
-        floor(round(sqrt(col("n").cast("double")) / col("sp"), 6) * 200).as("quota"))
+    val fp = bySrc.select(col("source"),
+      floor(sqrt(col("n").cast("double")) * 1073741824d + 0.5).cast("long").as("afp"))
+    val norm = fp.agg(sum(col("afp")).as("sp"))
+    val quotas = fp.crossJoin(broadcast(norm))
+      .select(col("source"), expr("(200 * afp) div sp").as("quota"))
     val ranked = docs.select(col("doc_id"), col("source"),
       row_number().over(Window.partitionBy("source")
         .orderBy(md5(concat(col("doc_id").cast("string"), lit(":mix"))), col("doc_id"))).as("rn"))
@@ -2280,17 +2285,22 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
 
   val p_domain_mix: Query = q("p_domain_mix", Some(
     """WITH s AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
-      |t AS (SELECT SUM(SQRT(n)) AS sp, CAST(SUM(n) AS BIGINT) AS nn FROM s)
+      |a AS (SELECT source, n,
+      |             CAST(FLOOR(SQRT(n) * 1073741824 + 0.5) AS BIGINT) AS afp FROM s),
+      |t AS (SELECT SUM(afp) AS sp, CAST(SUM(n) AS BIGINT) AS nn FROM a)
       |SELECT source, CAST(n AS BIGINT) AS n_docs,
-      |       ROUND(SQRT(n) / t.sp, 6) AS target_share,
-      |       ROUND(SQRT(n) / t.sp * t.nn / n, 6) AS sample_rate
-      |FROM s CROSS JOIN t ORDER BY source""".stripMargin)) { (s, dir) =>
+      |       ROUND(CAST(afp AS DOUBLE) / t.sp, 6) AS target_share,
+      |       ROUND(CAST(afp AS DOUBLE) / t.sp * t.nn / n, 6) AS sample_rate
+      |FROM a CROSS JOIN t ORDER BY source""".stripMargin)) { (s, dir) =>
+    // same 2^30 fixed-point normalizer as p_mixture_sample: the sum of
+    // sqrts becomes an exact BIGINT sum (order-independent), and the
+    // published shares are deterministic divisions of exact integers
     val bySrc = Tables.load(s, dir, "documents")
       .groupBy("source").agg(count(lit(1)).as("n"))
-    val norm = bySrc.agg(
-      sum(sqrt(col("n").cast("double"))).as("sp"),
-      sum(col("n")).as("nn"))
-    val w = sqrt(col("n").cast("double")) / col("sp")
+      .select(col("source"), col("n"),
+        floor(sqrt(col("n").cast("double")) * 1073741824d + 0.5).cast("long").as("afp"))
+    val norm = bySrc.agg(sum(col("afp")).as("sp"), sum(col("n")).as("nn"))
+    val w = col("afp").cast("double") / col("sp")
     bySrc.crossJoin(broadcast(norm))
       .select(col("source"), col("n").as("n_docs"),
         round(w, 6).as("target_share"),

@@ -144,4 +144,28 @@ class AggIndexSpec extends SparkSpec {
     AggIndex.ingest(events.filter(col("event_id") % 3 === 2), twin, batch = 2)
     assert(rows(AggIndex.merged(spark, s"$base/idx")) == rows(AggIndex.merged(spark, twin)))
   }
+
+  test("fresh checkpoint fails loudly on an orphaned uncommitted batch") {
+    // a writer that died BETWEEN its parquet append and its offsets commit
+    // leaves rows above the commit ledger; resuming its own checkpoint
+    // replays idempotently, but a FRESH checkpoint would re-aggregate the
+    // same events under a new batch id and double-count — the guard must
+    // surface that instead (ADVICE r9)
+    val base = Files.createTempDirectory("graft_aggidx_orphan_").toString
+    AggIndex.build(events.filter(col("event_id") % 2 === 0), s"$base/idx")
+    // simulate the mid-batch death: partials appended, ledger NOT advanced
+    AggIndex.partials(events.filter(col("event_id") % 2 === 1))
+      .withColumn("batch", lit(1))
+      .write.mode("append").parquet(s"$base/idx")
+
+    val streamed = Tables.normalizeEvents(
+      spark.readStream.schema(spark.read.parquet(s"$base/idx").sparkSession
+          .read.parquet(sfDir + "/events.parquet").schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+    val ex = intercept[IllegalArgumentException] {
+      AggIndex.ingestStream(streamed, s"$base/idx", s"$base/cp_fresh")
+    }
+    assert(ex.getMessage.contains("orphaned uncommitted batch"),
+      s"wrong failure: ${ex.getMessage}")
+  }
 }
