@@ -228,6 +228,42 @@ object EventAnalytics {
     mergedWithGate(s, dir, aggIndexPath(s, dir))
   }
 
+  /** Last-observation-carried-forward (LOCF) imputation — the time-series
+    * gap-fill every metrics/sensor pipeline runs when a reading is
+    * missing ([[e_gapfill]] fills missing BUCKETS with zeros; this fills
+    * missing VALUES with the previous reading). Nulls are planted
+    * deterministically (event_id % 7 = 0) since the fixture has none;
+    * the carry is `last_value IGNORE NULLS` over a total order
+    * (ts, event_id — event_id is unique, so the frame is deterministic),
+    * with a -1 sentinel for leading nulls.
+    *
+    * Scale shape: ONE window over the user-partitioned stream — a single
+    * exchange on user_id, running-frame evaluation, no self-join (the
+    * naive "join each null to its latest non-null predecessor" is a
+    * range self-join that re-sorts per null). The filled value is a
+    * PICKED value, not a reduction — no float-sum surface
+    * (FLOAT_AUDIT.md class: fixed-order).
+    */
+  val e_locf: Query = q("e_locf",
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |                  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |           FROM events)
+      |SELECT user_id, event_id,
+      |       ROUND(COALESCE(LAST_VALUE(v IGNORE NULLS) OVER (
+      |               PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1), 2) AS filled
+      |FROM e ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("v"))
+      .select(col("user_id"), col("event_id"),
+        round(coalesce(last(col("v"), ignoreNulls = true).over(w), lit(-1)), 2).as("filled"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Query] =
-    Seq(e_funnel, e_retention, w_range_frame, e_gapfill, e_agg_maintain)
+    Seq(e_funnel, e_retention, w_range_frame, e_gapfill, e_locf, e_agg_maintain)
 }

@@ -1036,8 +1036,51 @@ object Relational {
     }
   }
 
+  /** Recursive CTE (SQL:1999 WITH RECURSIVE, Spark 4.1's UnionLoop):
+    * hierarchy traversal — every doc walks its implicit binary-tree
+    * ancestor chain (parent = id div 2), emitting depth and the exact
+    * integer path sum. The shape every org-chart / BOM / referral-graph
+    * rollup takes; outputs are integer-exact (depth = floor(log2 id),
+    * path_sum a geometric-ish integer sum), so the hash contract has no
+    * float surface at all.
+    *
+    * Engine shape: Spark executes the recursion as an iterative
+    * union-loop — one join/filter pass per LEVEL, each a narrow
+    * map-side filter here (no shuffle inside the step), bounded by
+    * spark.sql.cteRecursionLevelLimit (100 by default; depth is
+    * log2(max id), ~40 levels even at 10^12 docs). Contrast with
+    * [[graft.operators.ConnectedComponents]]: that operator needs
+    * whole-graph convergence and uses pointer-doubling (log rounds of
+    * shuffles); a per-row ancestor WALK is O(depth) narrow iterations —
+    * choosing per-level recursion vs doubling is exactly the 100 TB
+    * design decision this pair of entries documents.
+    */
+  val q42_recursive_cte: Query = q("q42_recursive_cte",
+    """WITH RECURSIVE anc AS (
+      |  SELECT doc_id, doc_id AS cur, CAST(0 AS BIGINT) AS depth
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, cur // 2 AS cur, depth + 1 AS depth
+      |  FROM anc WHERE cur >= 2)
+      |SELECT doc_id, CAST(MAX(depth) AS BIGINT) AS depth,
+      |       CAST(SUM(cur) AS BIGINT) AS path_sum
+      |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT doc_id, doc_id AS cur, CAST(0 AS BIGINT) AS depth
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, cur div 2 AS cur, depth + 1 AS depth
+        |  FROM anc WHERE cur >= 2)
+        |SELECT doc_id, CAST(MAX(depth) AS BIGINT) AS depth,
+        |       CAST(SUM(cur) AS BIGINT) AS path_sum
+        |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   val all: Seq[Query] = Seq(
     q37_dq_report, q38_scd2_merge, q39_bucket_join, q40_lateral, q41_multi_exists,
+    q42_recursive_cte,
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
     q6_partition_key, q7_join, q8_join3_agg, q8b_region_rev, q9_left_join, q9b_full_join,
     q10_semi_join, q11_anti_join, q12_count_distinct, q13_rollup, q13_cube, q13_gsets,
