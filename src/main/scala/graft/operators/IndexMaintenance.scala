@@ -47,8 +47,20 @@ object IndexMaintenance {
       val it = fs.listFiles(p, true)
       var n = 0
       while (it.hasNext) {
-        val f = it.next().getPath.getName
-        if (f.endsWith(".parquet") && !f.startsWith("_") && !f.startsWith(".")) n += 1
+        val fp = it.next().getPath
+        val f = fp.getName
+        // skip hidden files AND files inside hidden dirs (e.g. the
+        // _tombstones delete-vector table) — they are not data files
+        val hiddenDir = {
+          var d = fp.getParent; var h = false
+          while (d != null && d.depth() > p.depth()) {
+            if (d.getName.startsWith("_") || d.getName.startsWith(".")) h = true
+            d = d.getParent
+          }
+          h
+        }
+        if (f.endsWith(".parquet") && !f.startsWith("_") && !f.startsWith(".") && !hiddenDir)
+          n += 1
       }
       n
     }
@@ -76,7 +88,15 @@ object IndexMaintenance {
       while (it.hasNext) {
         val f = it.next()
         val n = f.getPath.getName
-        if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        val hiddenDir = {
+          var d = f.getPath.getParent; var h = false
+          while (d != null && d.depth() > dir.depth()) {
+            if (d.getName.startsWith("_") || d.getName.startsWith(".")) h = true
+            d = d.getParent
+          }
+          h
+        }
+        if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") && !hiddenDir)
           buf += f
       }
       buf.result()
@@ -86,7 +106,21 @@ object IndexMaintenance {
     val nFiles =
       math.max(1L, (before.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
 
-    val df = spark.read.parquet(path)
+    // tombstone-aware: if a _tombstones delete-vector table exists
+    // (SignatureIndex.forget), the rewrite RECLAIMS the deleted rows —
+    // anti-join on the tombstone table's own columns — and the swap
+    // retires the tombstones with the old directory (they are applied,
+    // not lost). This is the compaction half of the deletion-vector
+    // design: forget is O(deletes), reclamation rides the rewrite that
+    // was happening anyway.
+    val raw = spark.read.parquet(path)
+    val tomb = new Path(path + "/_tombstones")
+    val df =
+      if (!fs.exists(tomb)) raw
+      else {
+        val t = spark.read.parquet(tomb.toString).distinct()
+        raw.join(t, t.columns.toSeq, "left_anti")
+      }
     val tmp = new Path(path + ".compact_tmp")
     val writer =
       if (partitionCols.isEmpty) df.repartition(nFiles).write

@@ -58,6 +58,42 @@ object SignatureIndex {
     signatures(docs).withColumn("batch", lit(batch))
       .write.mode("append").parquet(path)
 
+  /** Tombstone table for right-to-be-forgotten deletes: an
+    * underscore-prefixed subdirectory (invisible to plain parquet reads
+    * of the index) holding one doc_id per forgotten document.
+    */
+  private[operators] def tombstoneDir(path: String): String = path + "/_tombstones"
+
+  /** Forget documents — the GDPR/right-to-be-forgotten lifecycle step a
+    * training-data index must support. O(deletes), not O(index): the ids
+    * append to the tombstone table and every probe anti-joins them out;
+    * the physical rows are reclaimed by the next
+    * [[IndexMaintenance.compact]] (tombstone-aware), which also clears
+    * the tombstone table. Deletion-vector semantics, the same design as
+    * Delta/Iceberg delete files — at 100 TB an eager rewrite per delete
+    * request would be an index-sized job each time.
+    *
+    * Batch-id stability: forgotten rows stay physically present until
+    * compaction, so [[nextBatch]] never shrinks and no batch id is ever
+    * reused for new documents. Writer contract: forget is an appender —
+    * serialize it with ingest under the single-writer discipline.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("doc_id")).distinct()
+      .write.mode("append").parquet(tombstoneDir(path))
+
+  /** The live view of the index: stored rows minus tombstoned documents.
+    * Every read on the query path goes through here.
+    */
+  private[graft] def readIndex(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val td = new org.apache.hadoop.fs.Path(tombstoneDir(path))
+    val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(td)) base
+    else base.join(spark.read.parquet(tombstoneDir(path)).select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** The next free batch id in a stored index — max(batch) + 1, or 0 for a
     * fresh/empty path: the monotone base offset a streamed appender adds to
     * its micro-batch ids so stream batches continue the batch-API sequence.
@@ -161,7 +197,7 @@ object SignatureIndex {
     // below is not inferable as a pushable b-side predicate, so without
     // this a historical-batch probe would band and shuffle every LATER
     // batch's rows only to drop them in the join
-    val idx = banded(spark.read.parquet(path).filter(col("batch") <= batch))
+    val idx = banded(readIndex(spark, path).filter(col("batch") <= batch))
     val a = idx.filter(col("batch") === batch).hint("SHUFFLE_HASH").as("a")
     val b = idx.as("b")
     // a.doc_id != b.doc_id: a doc re-ingested under a LATER batch (an
@@ -181,7 +217,7 @@ object SignatureIndex {
     // is what makes at-least-once appenders — a replayed streaming
     // micro-batch (st_sig_ingest), a retried batch ingest — safe without
     // any sink-side exactly-once machinery
-    spark.read.parquet(path).filter(col("batch") === batch)
+    readIndex(spark, path).filter(col("batch") === batch)
       .select(col("doc_id")).distinct()
       .join(matches, Seq("doc_id"), "left")
   }

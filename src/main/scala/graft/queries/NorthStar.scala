@@ -1018,6 +1018,45 @@ object NorthStar {
     SignatureIndex.probe(s, p, batch = 4).orderBy("doc_id")
   }
 
+  /** Right-to-be-forgotten under the gate: the crawl-shaped index (base +
+    * four deltas) FORGETS a deterministic slice (doc_id % 17 = 0 — a
+    * takedown/GDPR batch) via [[graft.operators.SignatureIndex.forget]]'s
+    * tombstone table, is compacted (tombstone-aware — physical rows
+    * reclaimed, tombstones retired with the swap), and then probed. The
+    * oracle is the witness relation over a corpus that never contained
+    * the forgotten docs — on either side: they are not probed, and they
+    * never witness. At 100 TB the design point is that forget is
+    * O(deletes) (an append to the delete-vector table read by every
+    * probe), while physical reclamation rides the compaction rewrite that
+    * was happening anyway — the Delta/Iceberg deletion-vector pattern on
+    * the index lifecycle. Forget-equals-never-ingested parity and
+    * tombstone retirement are spec-pinned in SignatureIndexSpec.
+    */
+  val d_forget: Query = q("d_forget", Some(
+    s"""WITH $simhashShCte,
+       |m AS (SELECT doc_id, simhash, doc_id % 5 AS b FROM sh
+       |      WHERE doc_id % 17 <> 0),
+       |mm AS (
+       |  SELECT a.doc_id, MIN(bb.doc_id) AS dup_of
+       |  FROM m a JOIN m bb
+       |    ON a.doc_id != bb.doc_id
+       |   AND (bb.b < 4 OR bb.doc_id < a.doc_id)
+       |   AND bit_count(xor(a.simhash, bb.simhash)) <= 6
+       |  WHERE a.b = 4
+       |  GROUP BY a.doc_id)
+       |SELECT m.doc_id, mm.dup_of
+       |FROM m LEFT JOIN mm ON m.doc_id = mm.doc_id
+       |WHERE m.b = 4 ORDER BY m.doc_id""".stripMargin)) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val p = java.nio.file.Files.createTempDirectory("graft_sigidx_fgt_").toString + "/idx"
+    val b = pmod(col("doc_id"), lit(5)).cast("int")
+    SignatureIndex.build(docs.filter(b === 0), p)
+    (1 to 4).foreach(i => SignatureIndex.ingest(docs.filter(b === i), p, batch = i))
+    SignatureIndex.forget(s, p, docs.filter(col("doc_id") % 17 === 0).select("doc_id"))
+    IndexMaintenance.compact(s, p)
+    SignatureIndex.probe(s, p, batch = 4).orderBy("doc_id")
+  }
+
   /** Substring-level exact dedup — cross-document repeated token spans, the
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better") EXACTSUBSTR shape: the whole-document dedup family (exact /
@@ -3852,7 +3891,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
     d_containment, d_containment_collapse, d_containment_probe,
     d_minhash_lsh, d_minhash_collapse, d_minhash_index, d_simhash, d_dedup_incremental,
-    d_dedup_index, d_index_compact, d_substring_dedup, d_substring_index, p_cut_spans,
+    d_dedup_index, d_index_compact, d_forget, d_substring_dedup, d_substring_index, p_cut_spans,
     d_simhash_weighted, d_dup_clusters, p_collapse_neardup, p_neardup_prune,
     p_dedup_weights, t_bm25,
     q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,

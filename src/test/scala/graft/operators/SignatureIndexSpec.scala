@@ -220,4 +220,43 @@ class SignatureIndexSpec extends SparkSpec {
     assert(!plan.contains("text"),
       s"pair feed must never read document text:\n$plan")
   }
+
+  test("forget: tombstoned docs vanish from probes; compact reclaims and retires") {
+    val base = Files.createTempDirectory("graft_sigidx_forget_").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    val b = pmod(col("doc_id"), lit(3)).cast("int")
+    SignatureIndex.build(docs.filter(b === 0), s"$base/idx")
+    (1 to 2).foreach(i => SignatureIndex.ingest(docs.filter(b === i), s"$base/idx", batch = i))
+
+    val gone = docs.filter(col("doc_id") % 17 === 0).select("doc_id")
+    val goneSet = gone.collect().map(_.getLong(0)).toSet
+    assert(goneSet.nonEmpty)
+    SignatureIndex.forget(spark, s"$base/idx", gone)
+
+    def probed() = SignatureIndex.probe(spark, s"$base/idx", batch = 2)
+      .orderBy("doc_id").collect().toSeq
+    val afterForget = probed()
+    assert(afterForget.forall(r => !goneSet(r.getLong(0))),
+      "forgotten docs must not appear on the probe side")
+    assert(afterForget.forall(r => r.isNullAt(1) || !goneSet(r.getLong(1))),
+      "forgotten docs must never be witnesses")
+    // parity: the live view must equal an index that never saw those docs
+    val twin = Files.createTempDirectory("graft_sigidx_forget_twin_").toString
+    val kept = docs.join(gone, Seq("doc_id"), "left_anti")
+    SignatureIndex.build(kept.filter(b === 0), twin)
+    (1 to 2).foreach(i => SignatureIndex.ingest(kept.filter(b === i), twin, batch = i))
+    val want = SignatureIndex.probe(spark, twin, batch = 2).orderBy("doc_id").collect().toSeq
+    assert(afterForget == want, "forget must equal never-ingested")
+
+    // compaction physically reclaims the rows and retires the tombstones
+    IndexMaintenance.compact(spark, s"$base/idx")
+    val survivors = spark.read.parquet(s"$base/idx")
+    assert(survivors.filter(col("doc_id").isin(goneSet.toSeq: _*)).count() == 0,
+      "compaction must reclaim tombstoned rows")
+    val fs = new org.apache.hadoop.fs.Path(s"$base/idx")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/idx/_tombstones")),
+      "applied tombstones must be retired with the swap")
+    assert(probed() == want, "post-compaction probe must be unchanged")
+  }
 }
