@@ -119,6 +119,18 @@ object MinHashIndex {
     * consumers restore set semantics with dropDuplicates, the ingest
     * queries' contract.
     */
+  /** Right-to-be-forgotten for the Jaccard lifecycle: tombstone the doc in
+    * BOTH artifacts — the band index (candidates stop surfacing it) and
+    * the doc store (verification stops reading its text, which is the
+    * part a takedown actually demands). Shared [[Tombstones]] semantics;
+    * reclamation rides the tombstone-aware compact of each path.
+    */
+  def forget(spark: SparkSession, path: String, docStorePath: String,
+             ids: DataFrame): Unit = {
+    Tombstones.forget(spark, path, ids)
+    Tombstones.forget(spark, docStorePath, ids)
+  }
+
   def probeStream(docs: DataFrame, path: String, docStorePath: String,
                   outPath: String, checkpoint: String,
                   t: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -144,7 +156,7 @@ object MinHashIndex {
           // breaking the batch-sized cost model this operator exists for
           val ids = cand.select(col("id_a").as("doc_id"))
             .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
-          val corpus = spark.read.parquet(docStorePath)
+          val corpus = Tombstones.live(spark, docStorePath)
             .join(ids, Seq("doc_id"), "left_semi")
             .dropDuplicates("doc_id")
           verifyJaccard(cand, corpus, Gram, t)
@@ -169,7 +181,7 @@ object MinHashIndex {
     // batch <= probe pre-filter: same argument as SignatureIndex.probe —
     // the disjunctive condition below is not pushable, so later batches
     // would otherwise band and shuffle only to be dropped in the join
-    val idx = spark.read.parquet(path).filter(col("batch") <= batch)
+    val idx = Tombstones.live(spark, path).filter(col("batch") <= batch)
       .select(col("doc_id"), col("n"), col("batch"),
         posexplode(col("bands")).as(Seq("band", "bucket")))
     val a = idx.filter(col("batch") === batch).hint("SHUFFLE_HASH").as("a")

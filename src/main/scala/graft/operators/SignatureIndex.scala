@@ -58,41 +58,17 @@ object SignatureIndex {
     signatures(docs).withColumn("batch", lit(batch))
       .write.mode("append").parquet(path)
 
-  /** Tombstone table for right-to-be-forgotten deletes: an
-    * underscore-prefixed subdirectory (invisible to plain parquet reads
-    * of the index) holding one doc_id per forgotten document.
-    */
-  private[operators] def tombstoneDir(path: String): String = path + "/_tombstones"
-
   /** Forget documents — the GDPR/right-to-be-forgotten lifecycle step a
-    * training-data index must support. O(deletes), not O(index): the ids
-    * append to the tombstone table and every probe anti-joins them out;
-    * the physical rows are reclaimed by the next
-    * [[IndexMaintenance.compact]] (tombstone-aware), which also clears
-    * the tombstone table. Deletion-vector semantics, the same design as
-    * Delta/Iceberg delete files — at 100 TB an eager rewrite per delete
-    * request would be an index-sized job each time.
-    *
-    * Batch-id stability: forgotten rows stay physically present until
-    * compaction, so [[nextBatch]] never shrinks and no batch id is ever
-    * reused for new documents. Writer contract: forget is an appender —
-    * serialize it with ingest under the single-writer discipline.
+    * training-data index must support; the shared [[Tombstones]]
+    * delete-vector machinery (O(deletes) per request, probes anti-join
+    * the live view, physical reclamation rides the tombstone-aware
+    * [[IndexMaintenance.compact]]).
     */
   def forget(spark: SparkSession, path: String, ids: DataFrame): Unit =
-    ids.select(col("doc_id")).distinct()
-      .write.mode("append").parquet(tombstoneDir(path))
+    Tombstones.forget(spark, path, ids)
 
-  /** The live view of the index: stored rows minus tombstoned documents.
-    * Every read on the query path goes through here.
-    */
-  private[graft] def readIndex(spark: SparkSession, path: String): DataFrame = {
-    val base = spark.read.parquet(path)
-    val td = new org.apache.hadoop.fs.Path(tombstoneDir(path))
-    val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(td)) base
-    else base.join(spark.read.parquet(tombstoneDir(path)).select("doc_id").distinct(),
-      Seq("doc_id"), "left_anti")
-  }
+  private[graft] def readIndex(spark: SparkSession, path: String): DataFrame =
+    Tombstones.live(spark, path)
 
   /** The next free batch id in a stored index — max(batch) + 1, or 0 for a
     * fresh/empty path: the monotone base offset a streamed appender adds to

@@ -96,6 +96,14 @@ object SubstringIndex {
     * replayed micro-batch re-appends value-identical span rows; consumers
     * restore set semantics with dropDuplicates.
     */
+  /** Right-to-be-forgotten for the window-triple index — shared
+    * [[Tombstones]] delete-vector semantics: forgotten docs' triples
+    * vanish from every probe's live view (their spans stop witnessing
+    * duplication), reclamation rides the tombstone-aware compact.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    Tombstones.forget(spark, path, ids)
+
   def probeStream(docs: DataFrame, path: String, outPath: String,
                   checkpoint: String, w: Int): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
@@ -121,7 +129,7 @@ object SubstringIndex {
     * data ingested after it.
     */
   def probe(spark: SparkSession, path: String, batch: Int, w: Int): DataFrame = {
-    val win = spark.read.parquet(path).filter(col("batch") <= batch)
+    val win = Tombstones.live(spark, path).filter(col("batch") <= batch)
     val dup = win.groupBy("h").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") > 1).select("h")
     val marked = win.filter(col("batch") === batch)

@@ -120,4 +120,27 @@ class MinHashIndexSpec extends SparkSpec {
     assert(MinHashIndex.candidates(spark, base, 1)
       .orderBy("id_a", "id_b").collect().toSeq == before)
   }
+
+  test("forget: tombstoned docs vanish from candidates (band index live view)") {
+    val base = Files.createTempDirectory("graft_mh_forget_").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    MinHashIndex.build(docs.filter(col("doc_id") % 2 === 0), s"$base/idx")
+    MinHashIndex.ingest(docs.filter(col("doc_id") % 2 === 1), s"$base/idx", batch = 1)
+    docs.select("doc_id", "text").write.parquet(s"$base/docs")
+    val gone = docs.filter(col("doc_id") % 17 === 0).select("doc_id")
+    val goneSet = gone.collect().map(_.getLong(0)).toSet
+    MinHashIndex.forget(spark, s"$base/idx", s"$base/docs", gone)
+    val cand = MinHashIndex.candidates(spark, s"$base/idx", batch = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.forall { case (a, b) => !goneSet(a) && !goneSet(b) },
+      "forgotten docs must not appear in any candidate pair")
+    // parity with a band index that never saw them
+    val twin = Files.createTempDirectory("graft_mh_forget_twin_").toString
+    val kept = docs.join(gone, Seq("doc_id"), "left_anti")
+    MinHashIndex.build(kept.filter(col("doc_id") % 2 === 0), twin)
+    MinHashIndex.ingest(kept.filter(col("doc_id") % 2 === 1), twin, batch = 1)
+    val want = MinHashIndex.candidates(spark, twin, batch = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.toSet == want, "forget must equal never-ingested")
+  }
 }

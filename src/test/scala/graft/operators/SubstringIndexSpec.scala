@@ -128,4 +128,24 @@ class SubstringIndexSpec extends SparkSpec {
     assert(!plan.contains("rolling_window_hash"),
       s"query plan must be kernel-free (index-only):\n$plan")
   }
+
+  test("forget: tombstoned docs' spans vanish and stop witnessing") {
+    val base = Files.createTempDirectory("graft_sub_forget_").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    val batchOf = pmod(col("doc_id"), lit(2)).cast("int")
+    SubstringIndex.build(docs.filter(batchOf === 0), s"$base/idx", W)
+    SubstringIndex.ingest(docs.filter(batchOf === 1), s"$base/idx", batch = 1, W)
+    val gone = docs.filter(col("doc_id") % 17 === 0).select("doc_id")
+    SubstringIndex.forget(spark, s"$base/idx", gone)
+    val got = SubstringIndex.probe(spark, s"$base/idx", batch = 1, W)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    // parity with an index that never ingested them
+    val twin = Files.createTempDirectory("graft_sub_forget_twin_").toString
+    val kept = docs.join(gone, Seq("doc_id"), "left_anti")
+    SubstringIndex.build(kept.filter(batchOf === 0), twin, W)
+    SubstringIndex.ingest(kept.filter(batchOf === 1), twin, batch = 1, W)
+    val want = SubstringIndex.probe(spark, twin, batch = 1, W)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(got == want, "forget must equal never-ingested")
+  }
 }
