@@ -1366,6 +1366,46 @@ object NorthStar {
       .limit(10)
   }
 
+  /** FILTERED vector search — the metadata-constrained ANN every vector
+    * store must answer ("nearest docs WHERE label = 3"): exact cosine
+    * top-5 over the label-filtered subset, probe = vec 1. The regime
+    * choice is the operator's real content: PRE-filtering (this plan —
+    * filter, then score only survivors) is exact and cheapest when the
+    * predicate is selective and pushable; POST-filtering an ANN shortlist
+    * (query the index, then filter) keeps index speed but loses recall
+    * when the filter removes shortlist members — the classic vector-DB
+    * trade. At 100 TB the pre-filter path rides the columnar scan (label
+    * lands in PushedFilters, embeddings of non-matching rows are never
+    * materialized) and the stored-index path makes the label a PARTITION
+    * column of the code table (the IvfPqIndex `list=` layout generalized
+    * to `label=`), turning the filter into partition pruning — both are
+    * plan-level, never a per-row re-rank.
+    */
+  val s_ann_filtered: Query = q("s_ann_filtered", Some(
+    """WITH probe AS (
+      |  SELECT UNNEST(embedding) AS pv, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id = 1),
+      |cand AS (
+      |  SELECT vec_id, UNNEST(embedding) AS cv, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE label = 3),
+      |j AS (
+      |  SELECT c.vec_id,
+      |         SUM(CAST(c.cv AS DOUBLE) * CAST(p.pv AS DOUBLE)) AS dot,
+      |         SUM(CAST(c.cv AS DOUBLE) * CAST(c.cv AS DOUBLE)) AS nc,
+      |         SUM(CAST(p.pv AS DOUBLE) * CAST(p.pv AS DOUBLE)) AS np
+      |  FROM cand c JOIN probe p ON c.i = p.i GROUP BY c.vec_id)
+      |SELECT vec_id, ROUND(dot / (SQRT(nc) * SQRT(np)), 3) AS sim
+      |FROM j ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 1).select(col("embedding").as("pe"))
+    emb.filter(col("label") === 3)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(Vectors.cosineSim(col("embedding"), col("pe")), 3).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** Batch kNN join — the top-3 cosine neighbors for EACH probe in a
     * bounded probe set (vec_id <= 20, standing in for a query batch): the
     * retrieval shape (kNN-LM datastores, retrieval-augmented data prep,
@@ -3894,7 +3934,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     d_dedup_index, d_index_compact, d_forget, d_substring_dedup, d_substring_index, p_cut_spans,
     d_simhash_weighted, d_dup_clusters, p_collapse_neardup, p_neardup_prune,
     p_dedup_weights, t_bm25,
-    q24_cosine_topk, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
+    q24_cosine_topk, s_ann_filtered, d_embed_neardup, d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_ivf_trained, s_ann_pq, s_ann_pq_index, s_ann_pq_ingest, s_ann_pq_rerank,
     s_ann_ivfpq, s_ann_ivfpq_index, s_ann_ivfpq_ingest, s_ann_ivfpq_trained,
     s_label_centroid, d_semdedup,

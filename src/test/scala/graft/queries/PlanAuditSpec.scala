@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
   // p_domain_mix / p_mixture_sample cross a ONE-row normalizer aggregate
   // (like t_bm25); s_ann_pq_rerank crosses a ONE-row probe vector with its
   // 32-id broadcast shortlist (q24's probe-row pattern, both sides bounded)
-  private val exempt = Set("q24_cosine_topk", "s_ann_lsh", "s_ann_ivf",
+  // s_ann_filtered: q24's broadcast-1-row-probe pattern over the filtered scan
+  private val exempt = Set("q24_cosine_topk", "s_ann_filtered", "s_ann_lsh", "s_ann_ivf",
     "s_ann_ivf_trained", "t_bm25", "s_knn_batch", "t_unigram_surprise",
     "t_heavy_hitters", "p_domain_mix", "p_mixture_sample",
     "s_ann_pq_rerank",
