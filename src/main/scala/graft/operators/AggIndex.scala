@@ -91,9 +91,17 @@ object AggIndex {
   private def markCommitted(spark: SparkSession, path: String, batch: Int): Unit = {
     val mp = commitMarkerPath(path)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(mp, true)
+    // write-temp-then-rename: an in-place truncating create could crash
+    // half-written, leaving an empty marker that parses as garbage instead
+    // of the orphan guard's diagnostic. A crash in the delete->rename
+    // window leaves the marker ABSENT, which the guard treats as "no
+    // ledger" (skip) — a conservative miss, never a wrong number.
+    val tmp = new org.apache.hadoop.fs.Path(path, "_graft_committed_batch.tmp")
+    val out = fs.create(tmp, true)
     try out.write(batch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(mp, false)
+    require(fs.rename(tmp, mp), s"failed to publish commit ledger at $mp")
   }
 
   private def committedBatch(spark: SparkSession, path: String): Option[Int] = {
@@ -102,8 +110,13 @@ object AggIndex {
     if (!fs.exists(mp)) None
     else {
       val in = fs.open(mp)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+      Some(try raw.toInt catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"corrupt commit ledger at $mp (contents: '$raw') — repair it to " +
+            "the highest fully-appended batch id before ingesting")
+      })
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
@@ -13,22 +13,32 @@ import org.apache.spark.sql.functions.col
   * micro-batches a probe pays thousands of footer reads and the scan
   * plans thousands of splits for kilobytes each. Compaction rewrites the
   * stored rows into ceil(bytes/targetBytes) right-sized files WITHOUT
-  * changing a single row: every column (including `batch` ids and
-  * replayed duplicate rows) survives byte-for-byte, so probe answers,
-  * [[SignatureIndex.nextBatch]], and the at-least-once replay semantics
-  * are all invariant — pinned in IndexMaintenanceSpec.
+  * changing a single row (tombstoned rows excepted — see below): every
+  * column (including `batch` ids and replayed duplicate rows) survives
+  * byte-for-byte, so probe answers, [[SignatureIndex.nextBatch]], and the
+  * at-least-once replay semantics are all invariant — pinned in
+  * IndexMaintenanceSpec.
   *
   * Partitioned indexes ([[IvfPqIndex]]'s `list=` layout) compact
   * per-directory: rows are hash-distributed on the partition columns and
   * written back `partitionBy` the same columns, so the directory layout —
   * and therefore the nProbe partition pruning — is preserved.
   *
-  * Writer contract: compaction is a MAINTENANCE-WINDOW operation under
-  * the index's single-writer discipline (see [[IndexStream]]) — no
-  * concurrent ingest or live stream checkpoint during the swap. The swap
-  * itself is delete + rename, atomic enough on a real filesystem/HDFS; an
-  * object-store deployment would write a new versioned directory and flip
-  * a pointer instead, which changes nothing about the rewrite itself.
+  * CRASH SAFETY (the swap): the rewrite lands in `<path>.compact_tmp`,
+  * the live directory is renamed aside to `<path>.compact_trash`, tmp is
+  * renamed into place, and trash is deleted — at every instant a COMPLETE
+  * copy of the table exists under exactly one of (live, tmp, trash), and
+  * [[recover]] deterministically restores the live directory from
+  * whichever holds it. recover runs at the head of [[compact]], of
+  * [[IndexStream.appendWithBatchIds]] (so a stream restarting over a
+  * crashed in-stream compaction heals BEFORE its first append can
+  * recreate a truncated live dir), and of [[SignatureIndex.nextBatch]]
+  * (so batch-API callers sizing their next ingest heal too).
+  *
+  * Writer contract: compaction runs under the index's single-writer
+  * discipline (see [[IndexStream]]) — no concurrent appender during the
+  * swap. An object-store deployment would write a new versioned directory
+  * and flip a pointer instead, which changes nothing about the rewrite.
   *
   * Reference analog: the reference re-points its external table at fresh
   * parquet after each conversion run (spectrify/create.py:49-57); here the
@@ -36,33 +46,73 @@ import org.apache.spark.sql.functions.col
   */
 object IndexMaintenance {
 
+  private def tmpPath(path: String) = new Path(path + ".compact_tmp")
+  private def trashPath(path: String) = new Path(path + ".compact_trash")
+
+  /** True for a visible data file: parquet, not hidden, and not inside a
+    * hidden directory below `root` (e.g. the `_tombstones` delete-vector
+    * table). THE single definition both the fragmentation count and the
+    * compaction rewrite size on — they must never disagree about what a
+    * data file is.
+    */
+  private def isDataFile(root: Path, f: FileStatus): Boolean = {
+    val n = f.getPath.getName
+    def inHiddenDir: Boolean = {
+      var d = f.getPath.getParent; var h = false
+      while (d != null && d.depth() > root.depth()) {
+        if (d.getName.startsWith("_") || d.getName.startsWith(".")) h = true
+        d = d.getParent
+      }
+      h
+    }
+    n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") && !inHiddenDir
+  }
+
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                        dir: Path): Seq[FileStatus] = {
+    val it = fs.listFiles(dir, true)
+    val buf = Seq.newBuilder[FileStatus]
+    while (it.hasNext) {
+      val f = it.next()
+      if (isDataFile(dir, f)) buf += f
+    }
+    buf.result()
+  }
+
   /** Count the data files under `path` (the fragmentation measure the
     * auto-compaction policy thresholds on). 0 if the path doesn't exist.
     */
   def dataFileCount(spark: SparkSession, path: String): Int = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0
-    else {
-      val it = fs.listFiles(p, true)
-      var n = 0
-      while (it.hasNext) {
-        val fp = it.next().getPath
-        val f = fp.getName
-        // skip hidden files AND files inside hidden dirs (e.g. the
-        // _tombstones delete-vector table) — they are not data files
-        val hiddenDir = {
-          var d = fp.getParent; var h = false
-          while (d != null && d.depth() > p.depth()) {
-            if (d.getName.startsWith("_") || d.getName.startsWith(".")) h = true
-            d = d.getParent
-          }
-          h
-        }
-        if (f.endsWith(".parquet") && !f.startsWith("_") && !f.startsWith(".") && !hiddenDir)
-          n += 1
+    if (!fs.exists(p)) 0 else dataFiles(fs, p).size
+  }
+
+  /** Heal a compaction that died mid-swap — safe (and cheap: two
+    * existence checks) to call any time under the single-writer contract.
+    * Invariant of the swap order: a complete copy of the table always
+    * exists; this routine moves it back under the live path and clears
+    * the leftovers.
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = tmpPath(path); val trash = trashPath(path)
+    if (fs.exists(tmp)) {
+      if (!fs.exists(p)) {
+        // crash between live->trash and tmp->live: tmp holds the complete
+        // compacted table — finish the swap
+        require(fs.rename(tmp, p), s"recovery failed: cannot rename $tmp to $path")
+      } else {
+        // crash before the live dir moved aside: live is authoritative and
+        // untouched; the half-written (or complete, same rows) tmp is waste
+        fs.delete(tmp, true)
       }
-      n
+    }
+    if (fs.exists(trash)) {
+      if (fs.exists(p)) fs.delete(trash, true) // swap done, cleanup died
+      else require(fs.rename(trash, p), // tmp also gone: restore the original
+        s"recovery failed: cannot rename $trash back to $path")
     }
   }
 
@@ -75,34 +125,9 @@ object IndexMaintenance {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    // a leftover tmp means a prior compaction died mid-swap — if the live
-    // dir is gone the data now lives ONLY in tmp, and blindly overwriting
-    // it would destroy the index; surface that state instead of guessing
-    require(!fs.exists(new Path(path + ".compact_tmp")) || fs.exists(p),
-      s"crashed compaction detected: $path.compact_tmp exists and $path does " +
-        "not — recover by renaming the tmp dir back before compacting again")
+    recover(spark, path)
 
-    def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val it = fs.listFiles(dir, true)
-      val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-      while (it.hasNext) {
-        val f = it.next()
-        val n = f.getPath.getName
-        val hiddenDir = {
-          var d = f.getPath.getParent; var h = false
-          while (d != null && d.depth() > dir.depth()) {
-            if (d.getName.startsWith("_") || d.getName.startsWith(".")) h = true
-            d = d.getParent
-          }
-          h
-        }
-        if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") && !hiddenDir)
-          buf += f
-      }
-      buf.result()
-    }
-
-    val before = dataFiles(p)
+    val before = dataFiles(fs, p)
     val nFiles =
       math.max(1L, (before.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
 
@@ -114,23 +139,26 @@ object IndexMaintenance {
     // design: forget is O(deletes), reclamation rides the rewrite that
     // was happening anyway.
     val raw = spark.read.parquet(path)
-    val tomb = new Path(path + "/_tombstones")
+    val tombDir = new Path(path + "/_tombstones")
     val df =
-      if (!fs.exists(tomb)) raw
+      if (!fs.exists(tombDir)) raw
       else {
-        val t = spark.read.parquet(tomb.toString).distinct()
+        val t = spark.read.parquet(tombDir.toString).distinct()
         raw.join(t, t.columns.toSeq, "left_anti")
       }
-    val tmp = new Path(path + ".compact_tmp")
+    val tmp = tmpPath(path)
     val writer =
       if (partitionCols.isEmpty) df.repartition(nFiles).write
       else df.repartition(nFiles, partitionCols.map(col): _*)
         .write.partitionBy(partitionCols: _*)
     writer.mode("overwrite").parquet(tmp.toString)
 
-    // the swap: maintenance-window single-writer contract (scaladoc above)
-    require(fs.delete(p, true), s"failed to remove pre-compaction index at $path")
+    // the swap (crash-safe order — scaladoc above): live aside, tmp in,
+    // trash out. A complete copy exists at every instant.
+    val trash = trashPath(path)
+    require(fs.rename(p, trash), s"failed to move $path aside for the swap")
     require(fs.rename(tmp, p), s"failed to swap compacted index into $path")
-    (before.size, dataFiles(p).size)
+    fs.delete(trash, true)
+    (before.size, dataFiles(fs, p).size)
   }
 }

@@ -77,8 +77,13 @@ private[operators] object IndexStream {
     * post-append fragment count exceeds `autoCompactFragments` the batch
     * compacts the index before committing. Rows (batch ids included) are
     * invariant under compaction, so replay semantics and probe answers
-    * are untouched; a crash mid-swap is surfaced by compact's
-    * crashed-compaction guard on the next attempt. Concurrent READERS of
+    * are untouched; a crash mid-swap heals via [[IndexMaintenance.recover]]
+    * at the head of this method and of every nextBatch caller (a complete
+    * copy of the table survives every window of the swap order).
+    * Per-trigger cost: one recursive listing to test the threshold —
+    * trivial on local/HDFS paths; an object-store deployment would
+    * amortize it with a running file counter or an every-N-batches check
+    * rather than a listing per trigger. Concurrent READERS of
     * a live-compacting index see the same delete+rename window as manual
     * compaction (scaladoc there) — an object-store deployment would flip
     * a versioned pointer instead.
@@ -87,6 +92,10 @@ private[operators] object IndexStream {
                          checkpoint: String,
                          autoCompactFragments: Int = DefaultAutoCompactFragments): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.lit
+    // heal a crashed in-stream compaction BEFORE anything reads or appends:
+    // a restarted stream's first append would otherwise recreate a live dir
+    // holding only the replayed micro-batch, silently truncating the index
+    IndexMaintenance.recover(rows.sparkSession, path)
     val base = pinnedBase(rows, nextBatch, checkpoint)
     rows.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>

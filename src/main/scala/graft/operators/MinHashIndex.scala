@@ -70,10 +70,10 @@ object MinHashIndex {
   /** Streamed ingest: the kernel runs per micro-batch, appended under real
     * monotone batch ids ([[IndexStream]]'s checkpoint-pinned base).
     */
-  def ingestStream(docs: DataFrame, path: String,
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+  def ingestStream(docs: DataFrame, path: String, checkpoint: String,
+                   autoCompactFragments: Int = IndexStream.DefaultAutoCompactFragments): org.apache.spark.sql.streaming.StreamingQuery =
     IndexStream.appendWithBatchIds(signatures(docs),
-      nextBatch(docs.sparkSession, path), path, checkpoint)
+      nextBatch(docs.sparkSession, path), path, checkpoint, autoCompactFragments)
 
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs with ONE
     * shingle-array scan — THE single copy of the verifier (the query-side

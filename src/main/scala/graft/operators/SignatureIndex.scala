@@ -74,7 +74,10 @@ object SignatureIndex {
     * fresh/empty path: the monotone base offset a streamed appender adds to
     * its micro-batch ids so stream batches continue the batch-API sequence.
     */
-  def nextBatch(spark: SparkSession, path: String): Int =
+  def nextBatch(spark: SparkSession, path: String): Int = {
+    // heal any crashed compaction swap first: a stranded live-dir-less
+    // state would otherwise read as "fresh index" and hand out batch 0
+    IndexMaintenance.recover(spark, path)
     try {
       val r = spark.read.parquet(path).agg(max("batch")).first()
       if (r.isNullAt(0)) 0 else r.getInt(0) + 1
@@ -87,6 +90,7 @@ object SignatureIndex {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PATH_NOT_FOUND" => 0
     }
+  }
 
   /** Streamed ingest of a documents stream: the fused kernel runs per
     * micro-batch (stateless — no watermark, no aggregation state) and each

@@ -63,7 +63,8 @@ object SubstringIndex {
     * crashed build, corrupt footer) fails loudly, as with
     * [[SignatureIndex.nextBatch]].
     */
-  def nextBatch(spark: SparkSession, path: String): Int =
+  def nextBatch(spark: SparkSession, path: String): Int = {
+    IndexMaintenance.recover(spark, path) // heal a crashed swap first
     try {
       val r = spark.read.parquet(path).agg(max("batch")).first()
       if (r.isNullAt(0)) 0 else r.getInt(0) + 1
@@ -71,6 +72,7 @@ object SubstringIndex {
       case e: org.apache.spark.sql.AnalysisException
           if e.getCondition == "PATH_NOT_FOUND" => 0
     }
+  }
 
   /** Streamed ingest: the rolling-hash kernel runs per micro-batch
     * (stateless) and each micro-batch's triples append under a REAL
@@ -79,10 +81,10 @@ object SubstringIndex {
     * signature index. probe() is duplicate-insensitive, so at-least-once
     * replays are safe by construction.
     */
-  def ingestStream(docs: DataFrame, path: String, checkpoint: String,
-                   w: Int): org.apache.spark.sql.streaming.StreamingQuery =
+  def ingestStream(docs: DataFrame, path: String, checkpoint: String, w: Int,
+                   autoCompactFragments: Int = IndexStream.DefaultAutoCompactFragments): org.apache.spark.sql.streaming.StreamingQuery =
     IndexStream.appendWithBatchIds(windows(docs, w),
-      nextBatch(docs.sparkSession, path), path, checkpoint)
+      nextBatch(docs.sparkSession, path), path, checkpoint, autoCompactFragments)
 
   /** Streamed ingest AND probe — the substring twin of
     * [[SignatureIndex.probeStream]]: each micro-batch's window triples

@@ -1632,14 +1632,10 @@ object NorthStar {
   val s_ann_lsh: Query = q("s_ann_lsh", Some(
     s"""WITH planes AS (
        |${SharedHash.planesOracleCte(8, Dim)}),
-       |corpus AS (
-       |  SELECT vec_id, embedding FROM embeddings
-       |  UNION ALL
-       |  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id % 101 = 0),
        |u0 AS (
        |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
        |         generate_subscripts(embedding, 1) - 1 AS d
-       |  FROM corpus),
+       |  FROM embeddings),
        |dots AS (
        |  SELECT u0.vec_id, p.j, SUM(u0.v * p.p) AS dot
        |  FROM u0 JOIN planes p ON p.d = u0.d GROUP BY u0.vec_id, p.j),

@@ -177,20 +177,14 @@ object Relational {
     db
   }
 
-  private[queries] def statsDb(s: SparkSession, dir: String): String = {
-    val db = statsDbCache.computeIfAbsent(dir, _ => buildStatsDb(s, dir))
-    if (s.catalog.tableExists(s"$db.lineitem")) db
-    else {
-      statsDbCache.remove(dir)
-      statsDbCache.computeIfAbsent(dir, _ => buildStatsDb(s, dir))
-    }
-  }
+  private[queries] def statsDb(s: SparkSession, dir: String): String =
+    cachedDb(statsDbCache, s, dir, "lineitem")(buildStatsDb(s, dir))
 
   /** TPC-H Q5-shaped 5-way join under COST-BASED join ordering: the SQL is
     * written fact-first (lineitem at the bottom — the order a naive author
     * or a generated query produces), and the plan is NOT trusted to that
     * order: the tables carry ANALYZE'd row/column statistics and the query
-    * runs with spark.sql.cbo.enabled + cbo.joinReorder.enabled, so
+    * runs with the session-wide cbo.enabled + joinReorder defaults, so
     * Catalyst's CostBasedJoinReorder prices the join tree and the
     * broadcast decisions come from true rowCounts instead of file-size
     * guesses. At 100x the stakes are shuffling lineitem once vs several
@@ -213,8 +207,8 @@ object Relational {
       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin) { (s, dir) =>
     val db = statsDb(s, dir)
-    s.conf.set("spark.sql.cbo.enabled", "true")
-    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // CBO + joinReorder are session defaults (Sessions.builder) — set
+    // there, not here, so no query's plan depends on execution order
     s.sql(
       s"""SELECT r.r_name, CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
          |                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
@@ -905,6 +899,23 @@ object Relational {
     * customer and orders are rewritten ONCE per dir as 8-bucket,
     * bucket-sorted parquet tables, hashed and sorted on the customer key.
     */
+  /** THE per-JVM database memo: resolve-or-build, then VALIDATE the probe
+    * table still exists in this session's catalog and rebuild on a miss
+    * (ADVICE r9 — a recreated session/catalog would otherwise fail on the
+    * stale cached name). Shared by the bucketed and stats databases so
+    * the recovery logic has exactly one copy.
+    */
+  private def cachedDb(cache: java.util.concurrent.ConcurrentHashMap[String, String],
+                       s: SparkSession, dir: String, probeTable: String)(
+                       build: => String): String = {
+    val db = cache.computeIfAbsent(dir, _ => build)
+    if (s.catalog.tableExists(s"$db.$probeTable")) db
+    else {
+      cache.remove(dir)
+      cache.computeIfAbsent(dir, _ => build)
+    }
+  }
+
   private val bucketDbCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def buildBucketDb(s: SparkSession, dir: String): String = {
@@ -920,17 +931,8 @@ object Relational {
     db
   }
 
-  private def bucketDb(s: SparkSession, dir: String): String = {
-    val db = bucketDbCache.computeIfAbsent(dir, _ => buildBucketDb(s, dir))
-    // the memo is per-JVM but the saved tables live in the creating
-    // session's catalog: a recreated session/catalog within the JVM would
-    // otherwise fail on the stale name (ADVICE r9) — verify and rebuild
-    if (s.catalog.tableExists(s"$db.orders_b")) db
-    else {
-      bucketDbCache.remove(dir)
-      bucketDbCache.computeIfAbsent(dir, _ => buildBucketDb(s, dir))
-    }
-  }
+  private def bucketDb(s: SparkSession, dir: String): String =
+    cachedDb(bucketDbCache, s, dir, "orders_b")(buildBucketDb(s, dir))
 
   /** Bucketed co-located fact-fact join — the pre-shuffle answer to the
     * one shuffle AQE cannot remove: both tables are STORED pre-hashed into

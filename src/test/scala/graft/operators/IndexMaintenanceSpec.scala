@@ -105,4 +105,47 @@ class IndexMaintenanceSpec extends SparkSpec {
       spark.read.parquet(twin).select("doc_id", "simhash").orderBy("doc_id").collect().toSeq,
       "self-compacting stream must store the same signatures as a batch build")
   }
+
+  test("recover heals every crashed-swap state without data loss") {
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft_recover_").toString
+    val path = s"$base/idx"
+    val docs = Tables.load(spark, sfDir, "documents")
+    SignatureIndex.build(docs, path)
+    val want = spark.read.parquet(path).orderBy("doc_id").collect().toSeq
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    def readBack() = spark.read.parquet(path).orderBy("doc_id").collect().toSeq
+
+    // state A: live renamed aside, tmp holds the complete compacted copy
+    // (crash between the two swap renames) — recover must finish the swap
+    fs.rename(new Path(path), new Path(path + ".compact_tmp"))
+    IndexMaintenance.recover(spark, path)
+    assert(readBack() == want, "state A: tmp copy must become live")
+    assert(!fs.exists(new Path(path + ".compact_tmp")))
+
+    // state B: live in trash, tmp gone (crash after tmp->live then live
+    // externally lost — strictly worse than any real window) — restore
+    fs.rename(new Path(path), new Path(path + ".compact_trash"))
+    IndexMaintenance.recover(spark, path)
+    assert(readBack() == want, "state B: trash must be restored")
+
+    // state C: a stale half-written tmp beside an intact live (crash
+    // before the swap started) — live is authoritative, tmp is waste
+    fs.mkdirs(new Path(path + ".compact_tmp"))
+    IndexMaintenance.recover(spark, path)
+    assert(readBack() == want)
+    assert(!fs.exists(new Path(path + ".compact_tmp")), "state C: stale tmp dropped")
+
+    // state D: leftover trash beside an intact live (cleanup died)
+    fs.mkdirs(new Path(path + ".compact_trash"))
+    IndexMaintenance.recover(spark, path)
+    assert(readBack() == want)
+    assert(!fs.exists(new Path(path + ".compact_trash")), "state D: trash dropped")
+
+    // and the streaming entry point heals state A implicitly: nextBatch
+    // (every batch caller) runs recover before reading
+    fs.rename(new Path(path), new Path(path + ".compact_tmp"))
+    assert(SignatureIndex.nextBatch(spark, path) == 1)
+    assert(readBack() == want)
+  }
 }
