@@ -22,14 +22,6 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
-      // cost-based optimization is ON for every session (not a per-query
-      // toggle — that would make plans order-dependent within a session):
-      // CBO only activates where ANALYZE'd catalog stats exist (the
-      // statsDb tables behind q8b_region_rev); the path-based parquet
-      // scans every other query uses carry no stats, so their plans are
-      // byte-identical with or without these flags
-      .config("spark.sql.cbo.enabled", "true")
-      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
