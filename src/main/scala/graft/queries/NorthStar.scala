@@ -511,10 +511,23 @@ object NorthStar {
         size(CharNgrams.charNgrams(col("text"), gram)).as("na"))
     val srcGrams = cand
       .join(exploded.withColumnRenamed("doc_id", "src_id"), "src_id")
+    // ELEVATED parallelism for the gram-grain stages: candidate x grams is
+    // the volume amplifier (|cand| x ~doc-length rows), and at the
+    // session's default 32-way shuffle each task's sort/hash state grew
+    // past the 8 GiB verification JVM at sf0.1 (TaskMemoryManager page
+    // exhaustion before spill). 8x more, smaller tasks bound per-task
+    // state; AQE coalesces small partitions back, so the floor is free
+    // when volume is low. Explicit hash repartitioning on the join /
+    // grouping keys means no EXTRA exchanges — the join and aggregate
+    // reuse these distributions.
+    val parts = math.max(
+      corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt * 8, 256)
     // grams are distinct per doc (CharNgrams contract), so the match count
     // per (src_id, dst_id) IS the intersection cardinality
-    val ni = srcGrams
-      .join(exploded.select(col("doc_id").as("dst_id"), col("sh")), Seq("dst_id", "sh"))
+    val ni = srcGrams.repartition(parts, col("dst_id"), col("sh"))
+      .join(exploded.select(col("doc_id").as("dst_id"), col("sh"))
+        .repartition(parts, col("dst_id"), col("sh")), Seq("dst_id", "sh"))
+      .repartition(parts, col("src_id"), col("dst_id"))
       .groupBy("src_id", "dst_id").agg(count(lit(1)).as("ni"))
     ni.join(srcSizes, "src_id")
       .filter(col("ni") * tDen >= col("na") * tNum)
