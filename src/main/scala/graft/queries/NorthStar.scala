@@ -499,8 +499,14 @@ object NorthStar {
     * gram set in memory, so candidate-volume growth turns into shuffle
     * volume (disk-backed, AQE-split) rather than aggregation-buffer
     * growth. Both joins and both aggregates are sort/hash operators that
-    * spill; the 10x-duplication run that previously died completes
-    * (SCALE.md r10 row).
+    * spill. The 10x-duplication run that previously OOM'd in minutes no
+    * longer OOMs — it held steady at 47-62% of an 80 GiB heap for 4h43m —
+    * but was terminated as UNECONOMICAL: at ~100x candidates the direct
+    * all-pairs shape is superseded by [[d_containment_collapse]] (same
+    * relation in 225 s via representatives) and [[d_containment_probe]]
+    * (the small-src production shape). See SCALE.md "The 10x ScaleRun
+    * outcome, honestly". A candidate-count budget guard
+    * (graft.containment.maxCandidates) fails loudly before burning hours.
     */
   private def verifyContainment(cand: DataFrame, corpus: DataFrame,
                                 gram: Int, tNum: Int, tDen: Int): DataFrame = {
@@ -554,6 +560,28 @@ object NorthStar {
     val prefix = ranked
       .filter(col("r") <= col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
       .select(col("doc_id"), col("n"), col("sh"))
+    // ECONOMIC GUARD (SCALE.md "The 10x ScaleRun outcome"): the candidate
+    // join's row volume is exactly sum over grams of prefix_df * df. At 10x
+    // duplication that sum grows ~100x and the direct all-pairs shape burns
+    // hours at steady heap (memory-bounded but uneconomical). Estimate the
+    // volume from two gram-grain aggregates (trivial next to the join
+    // itself) and fail LOUDLY before starting it, pointing at the
+    // production paths. Override / disable via graft.containment.maxCandidates.
+    val budget = docs.sparkSession.conf
+      .get("graft.containment.maxCandidates", "500000000").toLong
+    if (budget > 0) {
+      val vol = prefix.groupBy("sh").agg(count(lit(1)).as("pdf"))
+        .join(dfreq, "sh")
+        .agg(coalesce(sum(col("pdf") * col("df")), lit(0L)).as("v"))
+        .head.getLong(0)
+      if (vol > budget) throw new IllegalStateException(
+        s"containment candidate budget exceeded: estimated candidate-join volume " +
+          s"$vol > graft.containment.maxCandidates=$budget. The direct all-pairs " +
+          "shape is uneconomical at this duplication level - collapse duplicates " +
+          "first (d_containment_collapse) or probe a small src set " +
+          "(d_containment_probe). Set graft.containment.maxCandidates higher " +
+          "(or <= 0 to disable) to proceed anyway.")
+    }
     prefix.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
           // one-directional size bound: |dst| >= ceil(t*|src|); no upper

@@ -67,4 +67,27 @@ class ContainmentSpec extends SparkSpec {
     assert(pair.getDouble(0) >= 0.95, s"quote should be ~fully contained: $pair")
     assert(pair.getDouble(1) < 0.3, s"Jaccard should miss the asymmetric pair: $pair")
   }
+
+  test("candidate budget guard fails loudly before the join, and is overridable") {
+    val key = "graft.containment.maxCandidates"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "10") // far below the fixture's gram-grain volume
+      val ex = intercept[IllegalStateException] {
+        graft.SparkEntry.queries("d_containment")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      assert(ex.getMessage.contains("d_containment_collapse"),
+        s"guard must point at the production paths: ${ex.getMessage}")
+      assert(ex.getMessage.contains(key))
+      spark.conf.set(key, "0") // <= 0 disables the guard entirely
+      val rows = graft.SparkEntry.queries("d_containment")(spark, sfDir).count()
+      assert(rows > 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
