@@ -89,19 +89,23 @@ object AggIndex {
     new org.apache.hadoop.fs.Path(path, "_graft_committed_batch")
 
   private def markCommitted(spark: SparkSession, path: String, batch: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
     val mp = commitMarkerPath(path)
-    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
-    // write-temp-then-rename: an in-place truncating create could crash
-    // half-written, leaving an empty marker that parses as garbage instead
-    // of the orphan guard's diagnostic. A crash in the delete->rename
-    // window leaves the marker ABSENT, which the guard treats as "no
-    // ledger" (skip) — a conservative miss, never a wrong number.
+    val fs = mp.getFileSystem(conf)
+    // write-temp-then-OVERWRITE-rename: an in-place truncating create
+    // could crash half-written (empty marker parses as garbage), and a
+    // delete-then-rename could crash with the marker ABSENT — which
+    // silently DISABLES the orphan guard, the unsafe direction: a fresh
+    // checkpoint would then double-count without the intended loud
+    // failure (ADVICE r10). FileContext.rename(OVERWRITE) publishes
+    // atomically, so the ledger is never absent once first written.
     val tmp = new org.apache.hadoop.fs.Path(path, "_graft_committed_batch.tmp")
     val out = fs.create(tmp, true)
     try out.write(batch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(mp, false)
-    require(fs.rename(tmp, mp), s"failed to publish commit ledger at $mp")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(mp),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def committedBatch(spark: SparkSession, path: String): Option[Int] = {
@@ -163,6 +167,8 @@ object AggIndex {
     // batch's events under a new id and double-count them — only a
     // RESUMED checkpoint replays idempotently. Detect via the commit
     // ledger: stored rows above the last committed batch mean an orphan.
+    // Writer entry point: heal a crashed compact() swap before any read.
+    IndexMaintenance.recover(events.sparkSession, path)
     if (!IndexStream.baseMarkerExists(events, checkpoint)) {
       val storedMax = nextBatch(events.sparkSession, path) - 1
       committedBatch(events.sparkSession, path).foreach { c =>
@@ -238,12 +244,11 @@ object AggIndex {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact_tmp")
-    // guard FIRST — before nextBatch or any read can turn the
-    // crashed-swap state (data only in tmp) into a generic
-    // path-not-found or, worse, a silent fresh-index rebuild
-    require(!fs.exists(tmp) || fs.exists(p),
-      s"crashed compaction detected: $path.compact_tmp exists and $path does " +
-        "not — recover by renaming the tmp dir back before compacting again")
+    // writer entry point under the maintenance-window contract: heal any
+    // crashed earlier swap first (same live->trash->delete scheme as
+    // IndexMaintenance.compact, so its recover applies — ADVICE r10
+    // replaced the old crash-unsafe delete+rename swap here)
+    IndexMaintenance.recover(spark, path)
     val maxBatch = nextBatch(spark, path) - 1
     val all = spark.read.parquet(path).dropDuplicates(Keys :+ "batch")
     val last = all.filter(col("batch") === maxBatch)
@@ -254,11 +259,19 @@ object AggIndex {
     // <= 2 rows per key: a single right-sized file unless keys are huge
     val collapsed = last.unionByName(history).coalesce(1)
     collapsed.write.mode("overwrite").parquet(tmp.toString)
-    require(fs.delete(p, true), s"failed to remove pre-compaction table at $path")
+    // the old directory's ledger rides to trash with the swap; write the
+    // new one INTO tmp BEFORE the swap so the guard's ledger is never
+    // absent, however the process dies (everything in the compacted table
+    // is committed by the maintenance-window contract)
+    val lt = new org.apache.hadoop.fs.Path(tmp, "_graft_committed_batch")
+    val out = fs.create(lt, true)
+    try out.write(maxBatch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // crash-safe swap: live aside, tmp in, trash out — a complete copy
+    // (data + ledger) exists at every instant; recover() heals any window
+    val trash = new org.apache.hadoop.fs.Path(path + ".compact_trash")
+    require(fs.rename(p, trash), s"failed to move $path aside for the swap")
     require(fs.rename(tmp, p), s"failed to swap compacted table into $path")
-    // the swap drops the commit ledger with the old directory; everything
-    // in the compacted table is committed by the maintenance-window
-    // contract, so re-pin it at the preserved max batch
-    markCommitted(spark, path, maxBatch)
+    fs.delete(trash, true)
   }
 }

@@ -29,11 +29,14 @@ import org.apache.spark.sql.functions.col
   * renamed into place, and trash is deleted — at every instant a COMPLETE
   * copy of the table exists under exactly one of (live, tmp, trash), and
   * [[recover]] deterministically restores the live directory from
-  * whichever holds it. recover runs at the head of [[compact]], of
-  * [[IndexStream.appendWithBatchIds]] (so a stream restarting over a
-  * crashed in-stream compaction heals BEFORE its first append can
-  * recreate a truncated live dir), and of [[SignatureIndex.nextBatch]]
-  * (so batch-API callers sizing their next ingest heal too).
+  * whichever holds it. recover runs ONLY from writer entry points — the
+  * head of [[compact]], of [[IndexStream.appendWithBatchIds]] (so a
+  * stream restarting over a crashed in-stream compaction heals BEFORE its
+  * first append can recreate a truncated live dir), and of each index's
+  * probeStream. Read-side callers ([[SignatureIndex.nextBatch]], probes)
+  * never recover: a reader racing a LIVE compaction could delete the
+  * writer's fully-written tmp or steal its rename (ADVICE r10) — they
+  * fail loudly on a stranded state instead ([[crashRemnants]]).
   *
   * Writer contract: compaction runs under the index's single-writer
   * discipline (see [[IndexStream]]) — no concurrent appender during the
@@ -48,6 +51,47 @@ object IndexMaintenance {
 
   private def tmpPath(path: String) = new Path(path + ".compact_tmp")
   private def trashPath(path: String) = new Path(path + ".compact_trash")
+
+  /** True if a crashed swap left tmp/trash remnants beside (or instead of)
+    * the live directory. Read-side callers ([[SignatureIndex.nextBatch]])
+    * use this to FAIL LOUDLY on a stranded state instead of destructively
+    * healing it — recover's renames/deletes are writer-only actions (a
+    * reader racing a live compaction could delete the writer's
+    * fully-written tmp or steal its rename; ADVICE r10).
+    */
+  private[operators] def crashRemnants(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(tmpPath(path)) || fs.exists(trashPath(path))
+  }
+
+  /** Sidecar marker preserving the pre-compaction max batch id across a
+    * tombstone-aware rewrite: if every row of the highest batch is
+    * tombstoned, the rewrite drops them all and a marker-less nextBatch
+    * would hand the id out AGAIN — breaking the monotone batch-id
+    * discipline (probe(batch=N) history semantics, pinned stream bases).
+    * Written into the tmp dir before the swap (so it publishes atomically
+    * with the rewrite) and consulted by every nextBatch.
+    */
+  private[operators] val MaxBatchMarker = "_graft_max_batch"
+
+  private[operators] def readMaxBatchMarker(spark: SparkSession, path: String): Option[Int] = {
+    val mp = new Path(path, MaxBatchMarker)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeMaxBatchMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: Path, batch: Int): Unit = {
+    val out = fs.create(new Path(dir, MaxBatchMarker), true)
+    try out.write(batch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** True for a visible data file: parquet, not hidden, and not inside a
     * hidden directory below `root` (e.g. the `_tombstones` delete-vector
@@ -138,12 +182,30 @@ object IndexMaintenance {
     // not lost). This is the compaction half of the deletion-vector
     // design: forget is O(deletes), reclamation rides the rewrite that
     // was happening anyway.
+    //
+    // The tombstone read is pinned to a SNAPSHOT of the files present when
+    // the rewrite starts: with auto-compaction running INSIDE ingest
+    // streams (IndexStream.appendWithBatchIds) there is no externally
+    // observable maintenance window, so a forget() may append a tombstone
+    // file while the rewrite job runs. Reading the directory loosely would
+    // let the final trash delete silently destroy that unapplied file —
+    // the forgotten docs would REAPPEAR in the live view (ADVICE r10).
+    // Instead: apply exactly the snapshot, and after the swap move any
+    // tombstone file that arrived later from trash into the new live dir,
+    // still pending for the next compaction.
     val raw = spark.read.parquet(path)
     val tombDir = new Path(path + "/_tombstones")
+    val tombSnapshot: Set[String] =
+      if (!fs.exists(tombDir)) Set.empty
+      else fs.listStatus(tombDir).iterator
+        .filter(f => f.isFile && isDataFile(tombDir, f))
+        .map(_.getPath.getName).toSet
     val df =
-      if (!fs.exists(tombDir)) raw
+      if (tombSnapshot.isEmpty) raw
       else {
-        val t = spark.read.parquet(tombDir.toString).distinct()
+        val t = spark.read
+          .parquet(tombSnapshot.toSeq.sorted.map(n => new Path(tombDir, n).toString): _*)
+          .distinct()
         raw.join(t, t.columns.toSeq, "left_anti")
       }
     val tmp = tmpPath(path)
@@ -153,12 +215,53 @@ object IndexMaintenance {
         .write.partitionBy(partitionCols: _*)
     writer.mode("overwrite").parquet(tmp.toString)
 
+    // preserve the monotone batch-id high-water mark across reclamation:
+    // if tombstones dropped rows and the table carries batch ids, the
+    // pre-compaction max(batch) rides into tmp as a sidecar marker (see
+    // MaxBatchMarker scaladoc) so nextBatch can never re-issue an id whose
+    // rows were all reclaimed. An existing marker (earlier compactions)
+    // must survive the swap too.
+    val priorMarker = readMaxBatchMarker(spark, path)
+    if (raw.columns.contains("batch") && (tombSnapshot.nonEmpty || priorMarker.nonEmpty)) {
+      val r = raw.agg(org.apache.spark.sql.functions.max("batch")).first()
+      val dataMax = if (r.isNullAt(0)) None else Some(r.getInt(0))
+      (dataMax ++ priorMarker).reduceOption(_ max _)
+        .foreach(m => writeMaxBatchMarker(fs, tmp, m))
+    }
+
     // the swap (crash-safe order — scaladoc above): live aside, tmp in,
     // trash out. A complete copy exists at every instant.
     val trash = trashPath(path)
     require(fs.rename(p, trash), s"failed to move $path aside for the swap")
     require(fs.rename(tmp, p), s"failed to swap compacted index into $path")
+    rescueUnappliedTombstones(fs, trash, p, tombSnapshot)
     fs.delete(trash, true)
     (before.size, dataFiles(fs, p).size)
+  }
+
+  /** Re-home tombstone files that were appended AFTER a compaction's
+    * snapshot read (they rode live->trash with the old directory) into the
+    * new live dir, still pending, before the trash delete can destroy
+    * them — otherwise the 'forgotten' docs silently reappear in the live
+    * view (ADVICE r10). Runs between the swap and the trash delete.
+    */
+  private[operators] def rescueUnappliedTombstones(
+      fs: org.apache.hadoop.fs.FileSystem, trash: Path, live: Path,
+      applied: Set[String]): Unit = {
+    val trashTomb = new Path(trash, "_tombstones")
+    if (fs.exists(trashTomb)) {
+      val unapplied = fs.listStatus(trashTomb).iterator
+        .filter(f => f.isFile && isDataFile(trashTomb, f) &&
+          !applied.contains(f.getPath.getName))
+        .toSeq
+      if (unapplied.nonEmpty) {
+        val liveTomb = new Path(live, "_tombstones")
+        fs.mkdirs(liveTomb)
+        unapplied.foreach { f =>
+          require(fs.rename(f.getPath, new Path(liveTomb, f.getPath.getName)),
+            s"failed to rescue unapplied tombstone file ${f.getPath} from trash")
+        }
+      }
+    }
   }
 }

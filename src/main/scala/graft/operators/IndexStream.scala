@@ -78,8 +78,9 @@ private[operators] object IndexStream {
     * compacts the index before committing. Rows (batch ids included) are
     * invariant under compaction, so replay semantics and probe answers
     * are untouched; a crash mid-swap heals via [[IndexMaintenance.recover]]
-    * at the head of this method and of every nextBatch caller (a complete
-    * copy of the table survives every window of the swap order).
+    * at the head of this method and the other writer entry points (a
+    * complete copy of the table survives every window of the swap order;
+    * read-side callers fail loudly instead of healing — ADVICE r10).
     * Per-trigger cost: one recursive listing to test the threshold —
     * trivial on local/HDFS paths; an object-store deployment would
     * amortize it with a running file counter or an every-N-batches check

@@ -135,6 +135,9 @@ object MinHashIndex {
                   outPath: String, checkpoint: String,
                   t: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
+    // writer entry point: heal a crashed swap BEFORE reading or appending
+    // (nextBatch itself is read-only and must not — ADVICE r10)
+    IndexMaintenance.recover(spark, path)
     val base = IndexStream.pinnedBase(docs, nextBatch(spark, path), checkpoint)
     docs.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>

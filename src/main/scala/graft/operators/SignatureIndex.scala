@@ -73,23 +73,43 @@ object SignatureIndex {
   /** The next free batch id in a stored index — max(batch) + 1, or 0 for a
     * fresh/empty path: the monotone base offset a streamed appender adds to
     * its micro-batch ids so stream batches continue the batch-API sequence.
+    *
+    * READ-ONLY by design (ADVICE r10): this is called from probe/read-side
+    * paths that may race a live in-stream compaction, so it must never run
+    * [[IndexMaintenance.recover]]'s destructive renames itself — a reader
+    * could delete the writer's fully-written tmp mid-swap. A stranded
+    * crashed-swap state (live dir missing, tmp/trash remnants present)
+    * fails LOUDLY instead of reading as "fresh index" and handing out
+    * batch 0; writer entry points ([[IndexStream.appendWithBatchIds]],
+    * [[probeStream]], [[IndexMaintenance.compact]]) heal it first.
+    *
+    * Consults the [[IndexMaintenance.MaxBatchMarker]] sidecar too: a
+    * tombstone-aware compaction may have reclaimed every row of the
+    * highest batch, and its id must never be re-issued.
     */
   def nextBatch(spark: SparkSession, path: String): Int = {
-    // heal any crashed compaction swap first: a stranded live-dir-less
-    // state would otherwise read as "fresh index" and hand out batch 0
-    IndexMaintenance.recover(spark, path)
-    try {
-      val r = spark.read.parquet(path).agg(max("batch")).first()
-      if (r.isNullAt(0)) 0 else r.getInt(0) + 1
-    } catch {
-      // ONLY a genuinely absent path means "fresh index". Any other
-      // analysis failure — empty dir from a crashed build, corrupt
-      // footer, missing batch column — must fail loudly: starting over at
-      // base 0 would hand out batch ids an existing half-written index
-      // already uses, silently corrupting the same-batch witness rule.
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "PATH_NOT_FOUND" => 0
-    }
+    val dataMax: Option[Int] =
+      try {
+        val r = spark.read.parquet(path).agg(max("batch")).first()
+        if (r.isNullAt(0)) None else Some(r.getInt(0))
+      } catch {
+        // ONLY a genuinely absent path means "fresh index". Any other
+        // analysis failure — empty dir from a crashed build, corrupt
+        // footer, missing batch column — must fail loudly: starting over at
+        // base 0 would hand out batch ids an existing half-written index
+        // already uses, silently corrupting the same-batch witness rule.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" =>
+          if (IndexMaintenance.crashRemnants(spark, path))
+            throw new IllegalStateException(
+              s"stranded crashed-compaction state at $path: the live directory is " +
+                "absent but .compact_tmp/.compact_trash remnants exist. Refusing to " +
+                "answer batch 0 for a non-fresh index; heal via a writer entry point " +
+                "(IndexMaintenance.recover / compact / a restarted ingest stream).")
+          None
+      }
+    val markerMax = IndexMaintenance.readMaxBatchMarker(spark, path)
+    (dataMax ++ markerMax).reduceOption(_ max _).map(_ + 1).getOrElse(0)
   }
 
   /** Streamed ingest of a documents stream: the fused kernel runs per
@@ -132,6 +152,9 @@ object SignatureIndex {
   def probeStream(docs: DataFrame, path: String, outPath: String,
                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
+    // writer entry point: heal a crashed swap BEFORE reading or appending
+    // (nextBatch itself is read-only and must not — ADVICE r10)
+    IndexMaintenance.recover(spark, path)
     val base = IndexStream.pinnedBase(docs, nextBatch(spark, path), checkpoint)
     signatures(docs).writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>

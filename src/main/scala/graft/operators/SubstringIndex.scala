@@ -59,20 +59,12 @@ object SubstringIndex {
       .write.mode("append").parquet(path)
 
   /** The next free batch id in a stored index — max(batch) + 1, or 0 for a
-    * genuinely absent path; any other analysis failure (empty dir from a
-    * crashed build, corrupt footer) fails loudly, as with
-    * [[SignatureIndex.nextBatch]].
+    * genuinely absent path; read-only, marker-aware, and fail-loud on a
+    * stranded crashed swap, exactly as [[SignatureIndex.nextBatch]]
+    * (which it delegates to).
     */
-  def nextBatch(spark: SparkSession, path: String): Int = {
-    IndexMaintenance.recover(spark, path) // heal a crashed swap first
-    try {
-      val r = spark.read.parquet(path).agg(max("batch")).first()
-      if (r.isNullAt(0)) 0 else r.getInt(0) + 1
-    } catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "PATH_NOT_FOUND" => 0
-    }
-  }
+  def nextBatch(spark: SparkSession, path: String): Int =
+    SignatureIndex.nextBatch(spark, path)
 
   /** Streamed ingest: the rolling-hash kernel runs per micro-batch
     * (stateless) and each micro-batch's triples append under a REAL
@@ -109,6 +101,9 @@ object SubstringIndex {
   def probeStream(docs: DataFrame, path: String, outPath: String,
                   checkpoint: String, w: Int): org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docs.sparkSession
+    // writer entry point: heal a crashed swap BEFORE reading or appending
+    // (nextBatch itself is read-only and must not — ADVICE r10)
+    IndexMaintenance.recover(spark, path)
     val base = IndexStream.pinnedBase(docs, nextBatch(spark, path), checkpoint)
     windows(docs, w).writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>

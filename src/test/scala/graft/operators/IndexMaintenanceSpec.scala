@@ -142,10 +142,98 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(readBack() == want)
     assert(!fs.exists(new Path(path + ".compact_trash")), "state D: trash dropped")
 
-    // and the streaming entry point heals state A implicitly: nextBatch
-    // (every batch caller) runs recover before reading
+    // read-side callers must NOT destructively heal (a reader racing a
+    // live compaction could delete the writer's fully-written tmp —
+    // ADVICE r10): on a stranded state nextBatch fails LOUDLY instead of
+    // reading as "fresh index" and handing out batch 0 ...
     fs.rename(new Path(path), new Path(path + ".compact_tmp"))
+    val ex = intercept[IllegalStateException](SignatureIndex.nextBatch(spark, path))
+    assert(ex.getMessage.contains("stranded"), ex.getMessage)
+    // ... and a writer entry point heals it, after which nextBatch answers
+    IndexMaintenance.recover(spark, path)
     assert(SignatureIndex.nextBatch(spark, path) == 1)
     assert(readBack() == want)
+  }
+
+  test("tombstones appended during a compaction survive it, still pending") {
+    // the always-on un-delete window (ADVICE r10): with auto-compaction
+    // running inside ingest streams, a forget() can land while a rewrite
+    // is in flight. The rewrite applies a SNAPSHOT of the tombstone files;
+    // any file appended after that snapshot rides live->trash with the old
+    // directory, and the final trash delete would silently destroy it —
+    // the 'forgotten' docs would reappear in the live view. The rescue
+    // step must re-home exactly the unapplied files into the new live dir.
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft_tomb_race_").toString
+    val path = s"$base/idx"
+    val docs = Tables.load(spark, sfDir, "documents").limit(50)
+    SignatureIndex.build(docs, path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+    // applied-at-snapshot tombstone: doc 0
+    SignatureIndex.forget(spark, path, spark.range(1).selectExpr("0L as doc_id"))
+    val snapshot = fs.listStatus(new Path(path + "/_tombstones"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    assert(snapshot.nonEmpty)
+
+    // the race, deterministically: doc 1's forget lands AFTER the snapshot
+    // (emulated by appending it now and driving the rescue step directly
+    // against a trash dir holding both files — the exact state compact
+    // reaches between its swap and its trash delete)
+    SignatureIndex.forget(spark, path, spark.range(1).selectExpr("1L as doc_id"))
+    val trash = new Path(path + ".compact_trash_fixture")
+    fs.mkdirs(trash)
+    require(fs.rename(new Path(path + "/_tombstones"), new Path(trash, "_tombstones")))
+    IndexMaintenance.rescueUnappliedTombstones(fs, trash, new Path(path), snapshot)
+
+    // doc 1's unapplied file was re-homed into the live dir, still pending;
+    // doc 0's applied file stayed in trash, destined for the delete
+    val rescued = fs.listStatus(new Path(path + "/_tombstones"))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    assert(rescued.nonEmpty && rescued.intersect(snapshot).isEmpty,
+      s"rescue must move exactly the post-snapshot files: $rescued vs $snapshot")
+    val pending = spark.read.parquet(path + "/_tombstones")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pending == Set(1L),
+      s"doc 1's mid-flight forget must still be pending, got $pending")
+    fs.delete(trash, true)
+
+    // and end-to-end through compact(): the pending tombstone is applied
+    // by the NEXT compaction, so the forgotten doc never reappears
+    assert(Tombstones.live(spark, path).where("doc_id = 1").count() == 0)
+    IndexMaintenance.compact(spark, path)
+    assert(spark.read.parquet(path).where("doc_id = 1").count() == 0)
+  }
+
+  test("reclaiming every row of the max batch never re-issues its id") {
+    // ADVICE r10: if all rows of the highest batch are tombstoned, the
+    // rewrite drops them and a marker-less nextBatch would hand the id
+    // out again — probe(batch=N) history and pinned stream bases break.
+    // The sidecar max-batch marker must preserve the high-water mark.
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft_maxbatch_").toString
+    val path = s"$base/idx"
+    val docs = Tables.load(spark, sfDir, "documents")
+    val b = pmod(col("doc_id"), lit(2)).cast("int")
+    SignatureIndex.build(docs.filter(b === 0), path)
+    SignatureIndex.ingest(docs.filter(b === 1), path, batch = 1)
+    assert(SignatureIndex.nextBatch(spark, path) == 2)
+
+    // forget EVERY doc of batch 1, then compact: batch 1's rows are all
+    // reclaimed, but its id must stay burned
+    SignatureIndex.forget(spark, path,
+      docs.filter(b === 1).select("doc_id"))
+    IndexMaintenance.compact(spark, path)
+    val stored = spark.read.parquet(path)
+    assert(stored.agg(max("batch")).first().getInt(0) == 0,
+      "batch 1 rows should be physically reclaimed")
+    assert(SignatureIndex.nextBatch(spark, path) == 2,
+      "nextBatch must never shrink past a reclaimed max batch")
+    // and the marker survives a SUBSEQUENT compaction + further ingest
+    SignatureIndex.ingest(docs.filter(b === 0).limit(5), path, batch = 2)
+    IndexMaintenance.compact(spark, path)
+    assert(SignatureIndex.nextBatch(spark, path) == 3)
   }
 }

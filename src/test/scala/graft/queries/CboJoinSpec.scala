@@ -18,11 +18,31 @@ class CboJoinSpec extends SparkSpec {
   test("stats database carries rowCount and key column stats") {
     graft.SparkEntry.queries("q8b_region_rev")(spark, sfDir).collect()
     val db = Relational.statsDb(spark, sfDir)
+    // read CATALOG stats, not plan stats: plan-level rowCount only
+    // surfaces when cbo.enabled is on, and q8b now scopes CBO to its own
+    // cloned session (no shared-session conf side effect) — the catalog
+    // metadata is what ANALYZE wrote, independent of any session conf
     for (t <- Seq("region", "nation", "customer", "orders", "lineitem")) {
-      val stats = spark.table(s"$db.$t").queryExecution.optimizedPlan.stats
-      assert(stats.rowCount.isDefined && stats.rowCount.get > 0,
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db)))
+      assert(meta.stats.isDefined && meta.stats.get.rowCount.exists(_ > 0),
         s"no rowCount statistic on $db.$t")
     }
+  }
+
+  test("q8b leaves the caller's session CBO confs untouched") {
+    // the r10 wart: running q8b permanently flipped spark.sql.cbo.enabled
+    // on the shared session, making every later query's planning depend on
+    // execution order. CBO now lives in a cloned session bound to the
+    // returned frame.
+    val before = (spark.conf.get("spark.sql.cbo.enabled"),
+      spark.conf.get("spark.sql.cbo.joinReorder.enabled"))
+    graft.SparkEntry.queries("q8b_region_rev")(spark, sfDir).collect()
+    val after = (spark.conf.get("spark.sql.cbo.enabled"),
+      spark.conf.get("spark.sql.cbo.joinReorder.enabled"))
+    assert(after == before, s"q8b mutated session CBO confs: $before -> $after")
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "false",
+      "caller session must keep CBO at its default (off)")
   }
 
   test("CostBasedJoinReorder inverts the written fact-first order") {
