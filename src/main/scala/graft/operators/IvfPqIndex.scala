@@ -69,6 +69,16 @@ object IvfPqIndex {
     codeTable(emb, cents, cb)
       .write.partitionBy("list").mode("append").parquet(path)
 
+  /** Forget vectors from the partitioned code table — [[PqIndex.forget]]'s
+    * semantics (shared [[Tombstones]] machinery on `vec_id`; the query
+    * path already reads the live view via [[PqIndex.readCodes]]).
+    * Reclamation: `IndexMaintenance.compact(spark, path, Seq("list"))` —
+    * tombstone-aware AND layout-preserving, so a forgotten vec_id's rows
+    * leave their `list=` directory physically while pruning keeps working.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    PqIndex.forget(spark, path, ids)
+
   private def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 

@@ -130,15 +130,32 @@ object PqIndex {
       .select(col("vec_id"), round(col("a9"), 4).as("asim"))
   }
 
-  /** Stored-table read for querying: restores SET semantics before any
-    * ranking. Build/ingest write each vector once, but a STREAMED table's
-    * at-least-once appends can replay byte-identical rows ([[ingestStream]]
-    * scaladoc), and a duplicated row would occupy two top-k slots — the
-    * dedup is an all-column dropDuplicates (duplicates are byte-identical
-    * by construction), a map-side-combined exchange of M-byte rows.
+  /** Forget vectors — the GDPR/takedown lifecycle step for the vector
+    * family (a user's embeddings are personal data exactly like their
+    * text): shared [[Tombstones]] delete-vector semantics keyed on
+    * `vec_id`. O(deletes) per request; every query path reads through the
+    * live view ([[readCodes]]) so forgotten vec_ids stop ranking
+    * immediately; physical reclamation rides the tombstone-aware
+    * [[IndexMaintenance.compact]] (for [[IvfPqIndex]]'s partitioned
+    * layout, with partitionCols = Seq("list") — the rewrite preserves the
+    * `list=` directories and their pruning). Writer contract: forget is
+    * an appender — serialize with ingest under the single-writer
+    * discipline.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    Tombstones.forget(spark, path, ids, idCol = "vec_id")
+
+  /** Stored-table read for querying: the tombstone-aware LIVE view
+    * (forgotten vec_ids anti-joined out — [[forget]]), with SET semantics
+    * restored before any ranking. Build/ingest write each vector once,
+    * but a STREAMED table's at-least-once appends can replay
+    * byte-identical rows ([[ingestStream]] scaladoc), and a duplicated
+    * row would occupy two top-k slots — the dedup is an all-column
+    * dropDuplicates (duplicates are byte-identical by construction), a
+    * map-side-combined exchange of M-byte rows.
     */
   private[operators] def readCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).dropDuplicates()
+    Tombstones.live(spark, path, idCol = "vec_id").dropDuplicates()
 
   /** Approximate top-N for one probe, entirely from the STORED code table:
     * the plan scans the code parquet — no embedding column, no sub-vector

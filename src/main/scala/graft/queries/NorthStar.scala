@@ -3215,10 +3215,13 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     Tables.load(s, dir, "events")
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
         col("event_type"))
-      // DECIMAL-exact money sum (FLOAT_AUDIT.md): order-independent at
-      // any partition/batch layout, rounded as decimal on both engines
+      // INTEGER-CENTS exact money sum (FLOAT_AUDIT.md): round(v*100)
+      // recovers exact integer cents from the 2-dp values, the reduction
+      // is 64-bit integer algebra (order-independent, ANSI-loud on
+      // overflow), /100.0 the single float op — value-identical to the
+      // r10 DECIMAL form at 0.67x its measured cost (DecimalTaxRun r11)
       .agg(count(lit(1)).as("cnt"),
-        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sv"))
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sv"))
       .orderBy("h", "event_type")
   }
 
@@ -3307,8 +3310,9 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     headline = true) { (s, dir) =>
     Tables.load(s, dir, "events")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      // integer-cents exact sum — same lattice + rationale as q23_time_bucket
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sv"))
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sv"))
       .select(col("user_id"),
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sv"))

@@ -94,12 +94,19 @@ object Relational {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        // DECIMAL-exact money sum (FLOAT_AUDIT.md): 2-dp inputs cast to
-        // decimal, summed exactly (order-independent at ANY batch count),
-        // rounded as decimal (HALF_UP both engines), cast to double once
-        round(sum(col("l_extendedprice").cast("decimal(18,2)")
-          * (lit(1) - col("l_discount").cast("decimal(18,2)"))), 2)
-          .cast("double").as("sum_disc_price"),
+        // INTEGER-CENTS exact money sum (FLOAT_AUDIT.md): the 2-dp inputs
+        // are exact multiples of 0.01, so round(x*100) recovers exact
+        // integer cents and the whole reduction is 64-bit integer algebra —
+        // order-independent like the r10 DECIMAL form but 0.67x its cost
+        // (DecimalTaxRun r11: decimal 0.440 s, int-cents 0.293 s, the two
+        // value-identical; the unsafe double form was 0.344 s). Units:
+        // cents x (100 - disc100) = 10^-4; +50/100 is HALF_UP back to
+        // cents (all-positive domain), /100.0 the single float op. Range:
+        // <= 10^10 per row -> ~9x10^8 rows/group before 2^63; ANSI mode
+        // overflows LOUDLY, never wraps.
+        (floor((sum(round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long"))) + 50L) / 100L)
+          / 100.0).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
