@@ -156,4 +156,34 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(scanned <= IvfPqIndex.NProbe && scanned < allLists,
       s"expected <= ${IvfPqIndex.NProbe} scanned list partitions of $allLists, got $scanned")
   }
+
+  test("forget equals never-ingested on the partitioned layout; pruning survives compact") {
+    import org.apache.hadoop.fs.Path
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = IvfPqIndex.centroidsOf(emb)
+    val cb = PqIndex.codebookOf(emb)
+    val probe = cents.find(_._1 == 1L).get._2
+
+    val path = Files.createTempDirectory("graft_ivfpq_fgt_").toString + "/idx"
+    IvfPqIndex.build(emb, cents, cb, path)
+    IvfPqIndex.forget(spark, path, emb.filter(col("vec_id") % 3 === 0).select("vec_id"))
+
+    val twin = Files.createTempDirectory("graft_ivfpq_fgt_twin_").toString + "/idx"
+    IvfPqIndex.build(emb.filter(col("vec_id") % 3 =!= 0), cents, cb, twin)
+    val want = IvfPqIndex.query(spark, twin, probe, cents, cb, topN = 5).collect().toSeq
+
+    assert(IvfPqIndex.query(spark, path, probe, cents, cb, topN = 5)
+      .collect().toSeq == want, "live view must equal the never-ingested twin")
+
+    // reclamation preserves the list= layout AND the pruning
+    IndexMaintenance.compact(spark, path, partitionCols = Seq("list"))
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(path + "/_tombstones")))
+    assert(spark.read.parquet(path).filter(col("vec_id") % 3 === 0).count() == 0,
+      "forgotten rows must leave their list= directories physically")
+    val df = IvfPqIndex.query(spark, path, probe, cents, cb, topN = 5)
+    assert(df.collect().toSeq == want)
+    assert(df.queryExecution.executedPlan.toString.contains("PartitionFilters: [list"),
+      "pruning must survive forget + compact")
+  }
 }
