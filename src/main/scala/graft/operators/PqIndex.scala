@@ -67,6 +67,25 @@ object PqIndex {
   def build(emb: DataFrame, cb: Array[Seq[Float]], path: String): Unit =
     encode(emb, cb).write.mode("overwrite").parquet(path)
 
+  /** Encode the corpus once and write the code table PARTITIONED BY a
+    * metadata column that rides in from `emb` (e.g. `label`) — the stored
+    * shape of FILTERED vector search: a "nearest WHERE label = X" query
+    * becomes literal partition pruning on the code table (the
+    * [[IvfPqIndex]] `list=` layout generalized to user metadata), so the
+    * filter never post-scans and the inline pre-filter's
+    * rescan-raw-embeddings-per-query cost disappears — the query reads
+    * ~1/|labels| of an already-M-bytes-a-vector table. Compose with
+    * [[query]]-style ADC via `readCodes(...).filter(col(partCol) === x)`.
+    * Ingest/forget/compact compose as with [[IvfPqIndex]]: frozen codebook
+    * appends land in the right `label=` directory;
+    * `IndexMaintenance.compact(spark, path, Seq(partCol))` reclaims
+    * tombstones while preserving the layout.
+    */
+  def buildPartitioned(emb: DataFrame, cb: Array[Seq[Float]], path: String,
+                       partCol: String): Unit =
+    emb.select(col("vec_id") +: col(partCol) +: codeColumns(cb): _*)
+      .write.partitionBy(partCol).mode("overwrite").parquet(path)
+
   /** Encode ONLY a delta against the FROZEN codebook; append its codes —
     * [[SignatureIndex.ingest]]'s discipline on the vector side. The
     * codebook is frozen by design (every stored code's meaning depends on
@@ -164,4 +183,13 @@ object PqIndex {
   def query(spark: SparkSession, path: String,
             lut: Array[Array[Double]], topN: Int): DataFrame =
     adcRank(readCodes(spark, path), lut, topN)
+
+  /** [[query]] restricted by a metadata predicate — over a
+    * [[buildPartitioned]] table the predicate on the partition column
+    * becomes literal partition pruning (PartitionFilters, plan-pinned in
+    * PqIndexSpec), the stored answer to filtered vector search.
+    */
+  def queryWhere(spark: SparkSession, path: String, lut: Array[Array[Double]],
+                 topN: Int, pred: org.apache.spark.sql.Column): DataFrame =
+    adcRank(readCodes(spark, path).filter(pred), lut, topN)
 }

@@ -142,19 +142,21 @@ class IvfPqIndexSpec extends SparkSpec {
     IvfPqIndex.build(emb, cents, cb, path)
     val probe = cents.find(_._1 == 1L).get._2
     val df = IvfPqIndex.query(spark, path, probe, cents, cb, topN = 5)
-    val plan = df.queryExecution.executedPlan
-    val planStr = plan.toString
+    val planStr = df.queryExecution.executedPlan.toString
     // the list predicate must land in PartitionFilters (pruned at planning),
     // and the scan must never touch an embedding column
     assert(planStr.contains("PartitionFilters: [list"),
       s"list restriction did not become a partition filter:\n$planStr")
     assert(!planStr.contains("embedding"),
       s"stored query must not read embeddings:\n$planStr")
-    val scanned = plan.collectLeaves()
-      .collect { case f: FileSourceScanExec => f.selectedPartitions.partitionCount }.sum
+    // fileScans descends through AQE query-stage leaves (readCodes'
+    // dropDuplicates makes the plan adaptive): the old collectLeaves
+    // counted 0 scans and the <=-style assertion passed VACUOUSLY
+    // (caught in r11); >= 1 pins it non-vacuous
+    val scanned = fileScans(df).map(_.selectedPartitions.partitionCount).sum
     val allLists = spark.read.parquet(path).select("list").distinct().count()
-    assert(scanned <= IvfPqIndex.NProbe && scanned < allLists,
-      s"expected <= ${IvfPqIndex.NProbe} scanned list partitions of $allLists, got $scanned")
+    assert(scanned >= 1 && scanned <= IvfPqIndex.NProbe && scanned < allLists,
+      s"expected 1..${IvfPqIndex.NProbe} scanned list partitions of $allLists, got $scanned")
   }
 
   test("forget equals never-ingested on the partitioned layout; pruning survives compact") {

@@ -85,6 +85,40 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("label-partitioned code table: filter is partition pruning, one label scanned") {
+    // the stored shape of filtered vector search (VERDICT r10 missing #2):
+    // the label predicate must land in PartitionFilters (planning-time
+    // pruning of label= directories), never a post-scan filter, and the
+    // scan must stay embedding-free
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cb = PqIndex.codebookOf(emb)
+    val probe = emb.filter(col("vec_id") === 1)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val path = Files.createTempDirectory("graft_pqidx_lbl_spec_").toString + "/idx"
+    PqIndex.buildPartitioned(emb, cb, path, partCol = "label")
+
+    val df = PqIndex.queryWhere(spark, path, PqIndex.adcLut(probe, cb),
+      topN = 5, pred = col("label") === 3)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [") && planStr.contains("label"),
+      s"label restriction did not become a partition filter:\n$planStr")
+    assert(!planStr.contains("embedding"),
+      s"stored filtered query must not read embeddings:\n$planStr")
+    // fileScans descends through AQE query-stage leaves — a naive
+    // collectLeaves sees none and the count assertion goes vacuous
+    val scanned = fileScans(df).map(_.selectedPartitions.partitionCount).sum
+    val nLabels = spark.read.parquet(path).select("label").distinct().count()
+    assert(scanned == 1 && nLabels > 1,
+      s"expected exactly 1 of $nLabels label partitions scanned, got $scanned")
+
+    // and the answer equals ADC over the label's vectors from a flat table
+    val flat = Files.createTempDirectory("graft_pqidx_lbl_flat_").toString + "/idx"
+    PqIndex.build(emb.filter(col("label") === 3), cb, flat)
+    assert(df.collect().toSeq ==
+      PqIndex.query(spark, flat, PqIndex.adcLut(probe, cb), topN = 5).collect().toSeq)
+  }
+
   test("forget equals never-ingested: live view first, physically after compact") {
     // the SignatureIndexSpec forget contract, vector edition (VERDICT r10
     // missing #1): tombstoned vec_ids must vanish from query answers

@@ -28,13 +28,15 @@ class ScaleTechniquesSpec extends SparkSpec {
     // or a post-scan Filter
     assert(plan.contains("PartitionFilters: [isnotnull(od"),
       s"partition filter not applied:\n$plan")
-    val scannedParts = read.queryExecution.executedPlan.collectLeaves()
+    val scannedParts = finalPlan(read).collectLeaves()
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.selectedPartitions.partitionCount }.sum
     val allParts = Tables.load(spark, sfDir, "orders")
       .select(col("o_orderdate").cast("date")).distinct().count()
-    assert(scannedParts <= 1 && scannedParts < allParts,
-      s"expected <=1 scanned partition of $allParts, got $scannedParts")
+    // == 1 exactly: a <=-style bound would pass VACUOUSLY at 0 if an AQE
+    // wrapper ever hid the scan (the r11 IvfPqIndexSpec lesson)
+    assert(scannedParts == 1 && scannedParts < allParts,
+      s"expected exactly 1 scanned partition of $allParts, got $scannedParts")
   }
 
   test("q34 TopK aggregator plans map-side partial aggregation, no Window sort") {
