@@ -117,6 +117,41 @@ object IvfPqIndex {
         .filter(col("list").isin(probeLists(probe, cents): _*)),
       PqIndex.adcLut(probe, cb), topN)
 
+  /** Answer a BATCH of probes in ONE plan from the partitioned table —
+    * [[PqIndex.queryBatch]]'s discipline with per-qid list pruning: the
+    * scan restricts to the UNION of every probe's nProbe lists (still
+    * literal partition pruning — unmatched `list=` directories are never
+    * listed), each surviving row scores only against the qids whose probe
+    * lists contain its list (array_contains on the broadcast relation),
+    * and per-qid top-N is the bounded mergeable TopK. Byte-identical per
+    * qid to [[query]].
+    */
+  def queryBatch(spark: SparkSession, path: String,
+                 probes: Seq[(Long, Seq[Float])],
+                 cents: Array[(Long, Seq[Float])], cb: Array[Seq[Float]],
+                 topN: Int): DataFrame = {
+    import spark.implicits._
+    val entries = probes.map { case (qid, pv) =>
+      (qid, probeLists(pv, cents),
+        PqIndex.adcLut(pv, cb).map(_.toSeq).toSeq)
+    }
+    val lutDf = entries.toDF("qid", "lists", "lut")
+    val allLists = entries.flatMap(_._2).distinct
+    val asim9 = round((0 until PqIndex.M).map(m =>
+      element_at(element_at(col("lut"), m + 1), col(s"code$m"))).reduceLeft(_ + _), 9)
+    val topk = udaf(new graft.functions.TopK.TopKAgg(topN))
+    PqIndex.readCodes(spark, path)
+      .filter(col("list").isin(allLists: _*))
+      .crossJoin(broadcast(lutDf))
+      .filter(array_contains(col("lists"), col("list")))
+      .select(col("qid"), col("vec_id"), asim9.as("a9"))
+      .groupBy("qid")
+      .agg(topk(col("a9"), col("vec_id")).as("top"))
+      .select(col("qid"), explode(col("top")).as("r"))
+      .select(col("qid"), col("r.id").as("vec_id"),
+        round(col("r.ord"), 4).as("asim"))
+  }
+
   // ------------------------------------------- residual encoding (FAISS)
 
   /** Per-row residual v - centroid(list(v)), FLOAT-quantized per dimension
