@@ -90,9 +90,18 @@ class IndexMaintenanceSpec extends SparkSpec {
 
     val streamed = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val listingsBefore = IndexMaintenance.listings.get()
     val q = SignatureIndex.ingestStream(streamed, s"$base/idx", s"$base/cp",
       autoCompactFragments = 8)
     try q.processAllAvailable() finally q.stop()
+    // the running-counter policy: the threshold test must NOT list per
+    // trigger — 100 triggers at threshold 8 means ~13 crossings, each an
+    // exact listing (+ compaction and its post-listing), plus the stream's
+    // seed listing. Anything near 100 means the per-trigger listing is back.
+    val listingsUsed = IndexMaintenance.listings.get() - listingsBefore
+    assert(listingsUsed <= 45,
+      s"expected the running file counter to amortize listings (~1 per " +
+        s"threshold crossing), got $listingsUsed for 100 triggers")
 
     val frags = IndexMaintenance.dataFileCount(spark, s"$base/idx")
     assert(frags <= 9, s"stream ended with $frags fragments (policy: >8 compacts)")
