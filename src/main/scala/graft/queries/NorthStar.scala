@@ -3920,6 +3920,75 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
       .orderBy("doc_id")
   }
 
+  /** PageRank over the near-duplicate graph — the iterative-numeric graph
+    * family [[d_dup_clusters]]' structural contraction doesn't cover:
+    * connected components answers "which docs form a duplicate cluster",
+    * PageRank answers "which member is the cluster's CENTER" — the doc
+    * most referenced by near-duplication, the principled pick for a
+    * canonical representative (keep-first picks the oldest id; a curation
+    * pipeline often wants the most-connected variant instead).
+    *
+    * Determinism (FLOAT_AUDIT discipline): the entire recurrence is EXACT
+    * 64-bit integer algebra on a 10^12 mass lattice — r0 = 10^12 per node,
+    * r_{t+1}(i) = (15*10^12) div 100 + (85 * SUM over neighbors j of
+    * (r_t(j) div deg(j))) div 100 — identical truncating integer division
+    * on both engines (all values positive), zero float surface, so five
+    * iterations hash-match exactly. Nodes are the duplicate-graph members
+    * (symmetrized hamming<=6 edges, so every node has degree >= 1 — no
+    * dangling-mass term). Range: 85 * (total mass) needs N < ~10^5 docs
+    * per 2^63 at this lattice; ANSI overflows loudly, and a larger corpus
+    * rescales the lattice.
+    *
+    * Scale shape (the Pregel pattern declared in DataFrames): the edge
+    * relation comes kernel- and text-free from the persisted signature
+    * index ([[storedSimhashPairs]]), is computed ONCE and persisted
+    * (every iteration re-reads it — the one genuinely-reused relation in
+    * an iterative algorithm), and each iteration is one edge-sized
+    * equi-join + one map-side-combined integer aggregation. Five
+    * iterations = five small shuffles; no driver-side loop over data,
+    * only over PLAN construction. (GraphX does exactly this with RDDs;
+    * the DataFrame form keeps codegen and AQE.)
+    */
+  val g_pagerank: Query = q("g_pagerank", Some {
+    val iter = (prev: String, next: String) =>
+      s"""$next AS (
+         |  SELECT e.d AS doc_id,
+         |         CAST(150000000000 + (85 * SUM($prev.r // deg.dg)) // 100 AS BIGINT) AS r
+         |  FROM e JOIN deg ON e.s = deg.s JOIN $prev ON $prev.doc_id = e.s
+         |  GROUP BY e.d)""".stripMargin
+    s"""WITH $simhashShCte,
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |       WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+       |e AS (SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr),
+       |deg AS (SELECT s, COUNT(*) AS dg FROM e GROUP BY s),
+       |r0 AS (SELECT s AS doc_id, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")},
+       |${iter("r3", "r4")},
+       |${iter("r4", "r5")}
+       |SELECT doc_id, r AS score FROM r5 ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val pairs = storedSimhashPairs(s, dir)
+    // symmetrize + distinct: a pair colliding in several bands must carry
+    // one edge, and deg must be the true degree
+    val edges = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+      .unionByName(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+      .distinct()
+    val deg = edges.groupBy("s").agg(count(lit(1)).as("dg"))
+    val withDeg = edges.join(deg, "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var ranks = deg.select(col("s").as("doc_id"), lit(1000000000000L).as("r"))
+    for (_ <- 1 to 5) {
+      ranks = withDeg.join(ranks, withDeg("s") === ranks("doc_id"))
+        .select(col("d"), expr("r div dg").as("contrib"))
+        .groupBy(col("d").as("doc_id"))
+        .agg((lit(150000000000L) + expr("(85 * sum(contrib)) div 100")).as("r"))
+    }
+    ranks.select(col("doc_id"), col("r").as("score")).orderBy("doc_id")
+  }
+
   /** Composed exact-collapse -> near-dup pipeline — SCALE.md's round-8
     * lesson made executable. Web-crawl-shaped corpora are majority EXACT
     * duplicates, and running banded near-dup machinery directly on such a
@@ -4046,7 +4115,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     d_containment, d_containment_collapse, d_containment_probe,
     d_minhash_lsh, d_minhash_collapse, d_minhash_index, d_simhash, d_dedup_incremental,
     d_dedup_index, d_index_compact, d_forget, d_substring_dedup, d_substring_index, p_cut_spans,
-    d_simhash_weighted, d_dup_clusters, p_collapse_neardup, p_neardup_prune,
+    d_simhash_weighted, d_dup_clusters, g_pagerank, p_collapse_neardup, p_neardup_prune,
     p_dedup_weights, t_bm25,
     q24_cosine_topk, s_ann_filtered, s_ann_filtered_index, d_embed_neardup,
     d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
