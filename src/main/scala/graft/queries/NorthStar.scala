@@ -1073,7 +1073,11 @@ object NorthStar {
     * the index lifecycle. Forget-equals-never-ingested parity and
     * tombstone retirement are spec-pinned in SignatureIndexSpec.
     */
-  val d_forget: Query = q("d_forget", Some(
+  /** Shared by d_forget and StreamingQueries.st_forget: the witness
+    * relation over a corpus that never contained the forgotten slice
+    * (doc_id % 17 = 0).
+    */
+  private[queries] val forgetOracleSql: String =
     s"""WITH $simhashShCte,
        |m AS (SELECT doc_id, simhash, doc_id % 5 AS b FROM sh
        |      WHERE doc_id % 17 <> 0),
@@ -1087,7 +1091,9 @@ object NorthStar {
        |  GROUP BY a.doc_id)
        |SELECT m.doc_id, mm.dup_of
        |FROM m LEFT JOIN mm ON m.doc_id = mm.doc_id
-       |WHERE m.b = 4 ORDER BY m.doc_id""".stripMargin)) { (s, dir) =>
+       |WHERE m.b = 4 ORDER BY m.doc_id""".stripMargin
+
+  val d_forget: Query = q("d_forget", Some(forgetOracleSql)) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     val p = java.nio.file.Files.createTempDirectory("graft_sigidx_fgt_").toString + "/idx"
     val b = pmod(col("doc_id"), lit(5)).cast("int")

@@ -804,9 +804,57 @@ object StreamingQueries {
     },
     Some(EventAnalytics.aggMaintainOracleSql))
 
+  /** Streamed right-to-be-forgotten — the takedown QUEUE as a stream (the
+    * GDPR production shape: deletion requests arrive continuously, not in
+    * maintenance windows): the crawl-shaped signature index (base + four
+    * deltas, the d_forget fixture) consumes forget requests as
+    * micro-batches — each trigger appends its doc_ids to the delete-vector
+    * table (O(requests) per trigger, [[graft.operators.Tombstones]]) —
+    * then the index is compacted (tombstone-aware reclamation) and probed.
+    * Oracle: the d_forget witness relation over a corpus that never
+    * contained the forgotten docs — the STREAM of forgets must land
+    * exactly where the batch forget landed. At-least-once replay is safe:
+    * a replayed request re-appends the same ids, and the live view's
+    * anti-join (and compact's distinct) are duplicate-insensitive. The
+    * request stream is the index's only writer while it runs — the
+    * single-writer contract forget already demands.
+    */
+  val st_forget: Query = Query(
+    "st_forget",
+    (s, dir) => {
+      val docs = graft.tables.Tables.load(s, dir, "documents")
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_forget_").toString
+      val idx = s"$base/idx"
+      val b = pmod(col("doc_id"), lit(5)).cast("int")
+      graft.operators.SignatureIndex.build(docs.filter(b === 0), idx)
+      (1 to 4).foreach(i =>
+        graft.operators.SignatureIndex.ingest(docs.filter(b === i), idx, batch = i))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/req"))
+      val reqSchema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT")
+      val reqs = s.readStream.schema(reqSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/req")
+      val q = reqs.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.SignatureIndex.forget(df.sparkSession, idx, df)
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .start()
+      val forgotten = docs.filter(col("doc_id") % 17 === 0).select("doc_id")
+      try {
+        for (h <- 0 to 1) { // two takedown batches split by doc_id parity
+          oneFile(forgotten.filter(pmod(col("doc_id"), lit(2)) === h),
+            s"$base/req/r$h.parquet", 1000000000000L + h * 60000L)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      graft.operators.IndexMaintenance.compact(s, idx)
+      graft.operators.SignatureIndex.probe(s, idx, batch = 4).orderBy("doc_id")
+    },
+    Some(NorthStar.forgetOracleSql))
+
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
     st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
     st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe,
     st_substring_probe, st_minhash_probe, st_pq_probe, st_ivfpq_probe,
-    st_agg_ingest)
+    st_agg_ingest, st_forget)
 }
