@@ -55,6 +55,9 @@ object AggIndex {
     */
   val HllLgK = 12
 
+  /** k for the KLL quantile sketches (same fixed-across-batches rule). */
+  val KllK = 200
+
   /** Mergeable partials for one batch of events: one row per
     * (event_type, day). The ONLY place raw events are scanned in this
     * lifecycle — a corpus-sized map + one map-side-combined shuffle of
@@ -73,7 +76,15 @@ object AggIndex {
         sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)").as("sum_v"),
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"),
-        hll_sketch_agg(col("user_id"), lit(HllLgK)).as("users_hll"))
+        hll_sketch_agg(col("user_id"), lit(HllLgK)).as("users_hll"),
+        // mergeable KLL quantile sketch (DataSketches, k=200: ~1.65% rank
+        // error once n > k; EXACT below) — the partial that makes "p50/p95
+        // value per day" answerable from the stored table without ever
+        // rescanning the log ([[quantiles]]). Replay note: sketch BYTES
+        // can differ across retries (insertion order), which is safe —
+        // merged()/quantiles() dedup on the (keys, batch) SUBSET, so one
+        // replica survives and any replica is a valid sketch of the rows.
+        expr(s"kll_sketch_agg_double(value, $KllK)").as("vals_kll"))
 
   /** Commit ledger beside the data files (underscore-prefixed, so parquet
     * readers ignore it): the highest batch id whose APPEND COMPLETED.
@@ -197,7 +208,8 @@ object AggIndex {
     sum(col("sum_v")).cast("decimal(18,6)").as("sum_v"),
     min(col("min_v")).as("min_v"),
     max(col("max_v")).as("max_v"),
-    hll_union_agg(col("users_hll"), lit(false)).as("users_hll"))
+    hll_union_agg(col("users_hll"), lit(false)).as("users_hll"),
+    expr("kll_merge_agg_double(vals_kll)").as("vals_kll"))
 
   /** The rollup, entirely from the stored partial table: second-order
     * merge of the per-batch partials. `users` is the HLL estimate of
@@ -206,15 +218,35 @@ object AggIndex {
     */
   def merged(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
-      // replayed streamed micro-batches append byte-identical partial
+      // replayed streamed micro-batches append value-identical partial
       // rows; (keys, batch) identifies a partial uniquely, so this
-      // restores exactly-once before the non-duplicate-insensitive sums
+      // SUBSET dedup restores exactly-once before the
+      // non-duplicate-insensitive sums (subset-keyed: a replayed row
+      // whose sketch BYTES differ still folds)
       .dropDuplicates(Keys :+ "batch")
       .groupBy(Keys.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
       .select(col("event_type"), col("day"), col("cnt"), col("sum_v"),
         col("min_v"), col("max_v"),
         hll_sketch_estimate(col("users_hll")).as("users"))
+
+  /** Value quantiles per key, entirely from the stored partial table —
+    * the dashboard percentile ("p50/p95 per day") answered by merging the
+    * per-batch KLL sketches: merge-on-read like [[merged]], never a log
+    * rescan. Estimates carry KLL's published rank-error bound (~1.65% at
+    * k=200 once n > k; exact below), the q32/HLL tolerance discipline —
+    * the e_agg_quantile oracle gates the estimates by their EXACT rank in
+    * the raw log.
+    */
+  def quantiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .dropDuplicates(Keys :+ "batch")
+      .groupBy(Keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        expr("kll_merge_agg_double(vals_kll)").as("k"))
+      .select(col("event_type"), col("day"), col("cnt"),
+        expr("kll_sketch_get_quantile_double(k, 0.5)").as("p50"),
+        expr("kll_sketch_get_quantile_double(k, 0.95)").as("p95"))
 
   /** Right-to-be-forgotten for the rollup — retract one set of users'
     * contributions from the stored partials (VERDICT r10 missing #1: a
