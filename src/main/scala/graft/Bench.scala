@@ -22,13 +22,17 @@ object Bench {
       try exec(q)
       catch { case e: Throwable => System.err.println(s"[bench-warm] ${q.name}: $e") }
     }
-    // Median of 3 timed runs per query: single-shot slots let one-off
-    // environmental outliers (GC pause, page-cache miss, a straggler
+    // Median of 5 timed runs per query (3 until r11): single-shot slots let
+    // one-off environmental outliers (GC pause, page-cache miss, a straggler
     // scheduled last) into the round record — r6 shipped a 6x outlier for
-    // w_session_window that two re-runs couldn't reproduce. The median is
-    // robust to one bad run in either direction; per-run times go to stderr
-    // so spread stays inspectable.
-    val timedRuns = 3
+    // w_session_window that two re-runs couldn't reproduce, and r11 MEASURED
+    // the median-of-3 noise floor by benching identical code twice on an
+    // idle machine: median slot-level spread 1.13x, tail to 1.65x
+    // (q14_window_rank 0.365 vs 0.600 s) — larger than most round-over-round
+    // deltas being adjudicated. Median-of-5 tightens the estimator (two bad
+    // runs in the same direction no longer move it); per-run times go to
+    // stderr so spread stays inspectable.
+    val timedRuns = 5
     val results = SparkEntry.headlineQueries.map { query =>
       val times = (1 to timedRuns).flatMap { _ =>
         val t0 = System.nanoTime()

@@ -84,7 +84,12 @@ object AggIndex {
         // can differ across retries (insertion order), which is safe —
         // merged()/quantiles() dedup on the (keys, batch) SUBSET, so one
         // replica survives and any replica is a valid sketch of the rows.
-        expr(s"kll_sketch_agg_double(value, $KllK)").as("vals_kll"))
+        expr(s"kll_sketch_agg_double(value, $KllK)").as("vals_kll"),
+        // theta sketch of the same user set: unlike HLL (union-only),
+        // theta supports INTERSECTION/DIFFERENCE — audience overlap
+        // ("users active on day d AND d+1") from stored state
+        // ([[overlaps]]); exact below ~4096 users/key, bounded error above
+        expr("theta_sketch_agg(user_id)").as("users_theta"))
 
   /** Commit ledger beside the data files (underscore-prefixed, so parquet
     * readers ignore it): the highest batch id whose APPEND COMPLETED.
@@ -209,7 +214,8 @@ object AggIndex {
     min(col("min_v")).as("min_v"),
     max(col("max_v")).as("max_v"),
     hll_union_agg(col("users_hll"), lit(false)).as("users_hll"),
-    expr("kll_merge_agg_double(vals_kll)").as("vals_kll"))
+    expr("kll_merge_agg_double(vals_kll)").as("vals_kll"),
+    expr("theta_union_agg(users_theta)").as("users_theta"))
 
   /** The rollup, entirely from the stored partial table: second-order
     * merge of the per-batch partials. `users` is the HLL estimate of
@@ -247,6 +253,26 @@ object AggIndex {
       .select(col("event_type"), col("day"), col("cnt"),
         expr("kll_sketch_get_quantile_double(k, 0.5)").as("p50"),
         expr("kll_sketch_get_quantile_double(k, 0.95)").as("p95"))
+
+  /** Day-over-day user OVERLAP per event_type, entirely from the stored
+    * theta sketches — the set operation HLL structurally cannot answer
+    * (HLL registers union by max; they carry no intersection): merge each
+    * (key, day)'s per-batch theta sketches, self-join consecutive days,
+    * `theta_intersection` + estimate. The retention dashboard from
+    * O(keys x batches) stored rows, never a log rescan.
+    */
+  def overlaps(spark: SparkSession, path: String): DataFrame = {
+    val daily = spark.read.parquet(path)
+      .dropDuplicates(Keys :+ "batch")
+      .groupBy(Keys.map(col): _*)
+      .agg(expr("theta_union_agg(users_theta)").as("th"))
+    daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          expr("to_date(b.day) = date_add(to_date(a.day), 1)"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.day").as("day"), col("b.day").as("day_next"),
+        expr("theta_sketch_estimate(theta_intersection(a.th, b.th))").as("overlap_est"))
+  }
 
   /** Right-to-be-forgotten for the rollup — retract one set of users'
     * contributions from the stored partials (VERDICT r10 missing #1: a

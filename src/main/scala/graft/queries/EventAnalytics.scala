@@ -269,6 +269,52 @@ object EventAnalytics {
       .orderBy("event_type", "day")
   }
 
+  /** Day-over-day audience overlap from the stored rollup — the set
+    * operation the HLL users sketch structurally cannot answer:
+    * "how many users were active on day d AND day d+1" needs
+    * INTERSECTION, and HLL registers only union; the partial table's
+    * theta sketches ([[graft.operators.AggIndex.overlaps]]) intersect
+    * losslessly at this cardinality (theta is exact below its k=4096
+    * retained entries; bounded-error above). Gate discipline as
+    * e_agg_quantile: the exact overlap (hash-checked) comes from the raw
+    * log, the sketch estimate must land within max(5, 15%) of it, and the
+    * boolean verdict is the contract. At 100 TB the retention dashboard
+    * reads O(keys x batches) sketch rows; the log is scanned here only to
+    * AUDIT the estimates.
+    */
+  val e_agg_overlap: Query = q("e_agg_overlap",
+    """WITH u AS (
+      |  SELECT DISTINCT event_type,
+      |         strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+      |         user_id
+      |  FROM events)
+      |SELECT a.event_type, a.day, b.day AS day_next,
+      |       CAST(COUNT(*) AS BIGINT) AS exact_overlap, TRUE AS within_tol
+      |FROM u a JOIN u b
+      |  ON a.event_type = b.event_type AND a.user_id = b.user_id
+      | AND CAST(b.day AS DATE) = CAST(a.day AS DATE) + INTERVAL 1 DAY
+      |GROUP BY a.event_type, a.day, b.day
+      |ORDER BY a.event_type, a.day""".stripMargin) { (s, dir) =>
+    val est = AggIndex.overlaps(s, aggIndexPath(s, dir))
+    val u = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .distinct()
+    val exact = u.as("a").join(u.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.user_id") === col("b.user_id") &&
+          expr("to_date(b.day) = date_add(to_date(a.day), 1)"))
+      .groupBy(col("a.event_type").as("event_type"),
+        col("a.day").as("day"), col("b.day").as("day_next"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    exact.join(broadcast(est), Seq("event_type", "day", "day_next"))
+      .select(col("event_type"), col("day"), col("day_next"), col("exact_overlap"),
+        (abs(col("overlap_est") - col("exact_overlap")) <=
+          greatest(lit(5.0), col("exact_overlap") * 0.15)).as("within_tol"))
+      .orderBy("event_type", "day")
+  }
+
   /** Right-to-be-forgotten for the ROLLUP under the gate (VERDICT r10
     * missing #1 — a GDPR delete hits the user's aggregate contributions,
     * not just their documents): the 3-batch stored partial table retracts
@@ -346,5 +392,5 @@ object EventAnalytics {
 
   val all: Seq[Query] =
     Seq(e_funnel, e_retention, w_range_frame, e_gapfill, e_locf, e_agg_maintain,
-      e_agg_quantile, e_agg_forget)
+      e_agg_quantile, e_agg_overlap, e_agg_forget)
 }
