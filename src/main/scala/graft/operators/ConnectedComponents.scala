@@ -48,8 +48,24 @@ object ConnectedComponents {
     * labeled node has at least one distinct neighbor. Callers feeding
     * near-dup pairs (id_a < id_b by construction) are unaffected; union in
     * self-labels for isolated ids if you need total coverage.
+    *
+    * HYBRID (r11): a canonical edge set at or below `smallGraphEdges`
+    * (long-typed endpoints) is closed DRIVER-SIDE by union-find and
+    * returned with rounds = 0. This is a BOUNDED collect by an explicit
+    * budget — 2^20 edges is ~16 MB of rows and ~100 MB of union-find state
+    * — not a scale escape hatch: near-dup pair graphs are OUTPUT-sized
+    * (sf0.1: 9,150 edges for a 60 GB-scale corpus slice), and at that size
+    * the distributed loop's cost is pure SCHEDULING — each 2-round batch
+    * is ~8 sequential single-partition exchanges moving kilobytes, ~2.3 s
+    * of stage barriers for work union-find closes in microseconds
+    * (measured r11; the slot had crept 1.85 -> 2.7 s purely on barrier
+    * latency under load). Above the budget the contraction loop runs
+    * unchanged — THAT is the 100 TB path, and the budget is the honest
+    * boundary between "graph fits one driver page" and "graph needs a
+    * cluster". Parity hybrid == loop is spec-pinned on random graphs.
     */
-  def label(pairs: DataFrame, maxRounds: Int = 48): (DataFrame, Int) = {
+  def label(pairs: DataFrame, maxRounds: Int = 48,
+            smallGraphEdges: Long = 1L << 20): (DataFrame, Int) = {
     val cols = pairs.columns
     require(cols.length == 2, s"pairs must have 2 columns, got ${cols.length}")
     val caller = pairs.sparkSession
@@ -76,6 +92,10 @@ object ConnectedComponents {
     // two cheap loopSp-width batches. Empty input needs no loop at all.
     val edgeCount = canonical.count()
     if (edgeCount == 0L) return (readOff(canonical), 0)
+    val longTyped = canonical.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (longTyped && edgeCount <= smallGraphEdges)
+      return (labelSmall(caller, canonical), 0)
     // The contraction loop runs on the EDGE set, which is usually orders of
     // magnitude smaller than the corpus (sf0.1: 9k edges vs 5k docs x 7
     // bands x 2 join sides; 100 TB: pair graphs are output-sized, not
@@ -126,6 +146,40 @@ object ConnectedComponents {
     // job barrier costs more than the saved caller-side distinct exchange,
     // which fuses into the consumer's own job anyway.)
     (readOff(Bridge.ofRows(caller, Bridge.analyzed(eFinal))), rounds)
+  }
+
+  /** Driver-side closure of a small canonical edge set: union-find with
+    * path compression, union-by-MIN (the smaller root becomes parent, so
+    * every root only ever decreases and the final root IS the component
+    * minimum — the same label the contraction fixed point reads off).
+    * Output schema and node coverage match [[readOff]] exactly.
+    */
+  private def labelSmall(spark: org.apache.spark.sql.SparkSession,
+                         canonical: DataFrame): DataFrame = {
+    val edges = canonical.collect() // bounded by smallGraphEdges (caller)
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x0: Long): Long = {
+      var r = x0
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x0
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    var i = 0
+    while (i < edges.length) {
+      val u = edges(i).getLong(0); val v = edges(i).getLong(1)
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val id = it.next(); out += ((id, find(id))) }
+    spark.createDataFrame(out.toSeq).toDF("id", "lab")
   }
 
   /** Labels from a star forest: each non-root appears exactly once as u,

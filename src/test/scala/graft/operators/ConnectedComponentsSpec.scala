@@ -13,7 +13,12 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   private def labelsOf(pairs: Seq[(Long, Long)], maxRounds: Int = 48): (Map[Long, Long], Int) = {
     import spark.implicits._
-    val (df, rounds) = ConnectedComponents.label(pairs.toDF("a", "b"), maxRounds)
+    // smallGraphEdges = 0 forces the DISTRIBUTED contraction loop: these
+    // tests exercise the star-contraction machinery and its round counts,
+    // which the driver-side small-graph path (tested separately below)
+    // would otherwise shortcut
+    val (df, rounds) = ConnectedComponents.label(pairs.toDF("a", "b"), maxRounds,
+      smallGraphEdges = 0L)
     val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1))
     val m = rows.toMap
     // a non-star-forest fixed point would emit duplicate/conflicting (id, lab)
@@ -73,5 +78,32 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(labels == expected(pairs), s"trial $trial diverged from union-find")
       assert(rounds <= 12, s"trial $trial took $rounds rounds")
     }
+  }
+
+  test("hybrid small-graph path: identical labels to the contraction loop, rounds = 0") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (trial <- 0 until 3) {
+      val n = 80
+      val pairs = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val df = pairs.toDF("a", "b")
+      val (small, r0) = ConnectedComponents.label(df) // default budget: small path
+      val (loop, _) = ConnectedComponents.label(df, smallGraphEdges = 0L)
+      assert(r0 == 0, "small-graph path must report rounds = 0")
+      val sm = small.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lm = loop.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sm == lm, s"trial $trial: hybrid diverged from the loop")
+      assert(sm == expected(pairs), s"trial $trial: hybrid diverged from ground truth")
+    }
+  }
+
+  test("non-long endpoints always take the distributed loop") {
+    import spark.implicits._
+    val pairs = Seq((3, 8), (8, 5)).toDF("a", "b") // IntegerType
+    val (labels, rounds) = ConnectedComponents.label(pairs)
+    assert(rounds > 0, "int-typed pairs must not take the driver path")
+    assert(labels.collect().map(r => (r.getInt(0), r.getInt(1))).toMap ==
+      Map(3 -> 3, 8 -> 3, 5 -> 3))
   }
 }
