@@ -149,6 +149,42 @@ object PqIndex {
       .select(col("vec_id"), round(col("a9"), 4).as("asim"))
   }
 
+  /** [[queryBatch]] over a [[buildPartitioned]] table with a per-probe
+    * restriction on the partition column — the serving shape of FILTERED
+    * vector search under a query STREAM (each tenant/label's query must
+    * only see its own partition): ONE plan answers the whole batch, the
+    * scan touches only the UNION of the batch's labels (the `isin` on the
+    * partition column is planning-time pruning — `label=` directories
+    * outside the batch are never listed into the scan), and each code row
+    * scores only against the qids whose label it carries (the LUT relation
+    * joins on the partition column instead of cross-joining, so a
+    * candidate never burns ADC math on a probe that could not return it).
+    * Per-qid answers are byte-identical to a sequential [[queryWhere]] per
+    * probe (StFilteredProbeSpec pins it); same lattice, same tie-break.
+    */
+  def queryBatchPartitioned(spark: SparkSession, path: String,
+      probes: Seq[(Long, Seq[Float], Int)], cb: Array[Seq[Float]],
+      topN: Int, partCol: String): DataFrame = {
+    import spark.implicits._
+    val luts = probes.map { case (qid, pv, lbl) =>
+      (qid, lbl, adcLut(pv, cb).map(_.toSeq).toSeq)
+    }
+    val lutDf = luts.toDF("qid", "plbl", "lut")
+    val labels = probes.map(_._3).distinct
+    val asim9 = round((0 until M).map(m =>
+      element_at(element_at(col("lut"), m + 1), col(s"code$m"))).reduceLeft(_ + _), 9)
+    val topk = udaf(new graft.functions.TopK.TopKAgg(topN))
+    readCodes(spark, path)
+      .filter(col(partCol).isin(labels: _*))
+      .join(broadcast(lutDf), col(partCol) === col("plbl"))
+      .select(col("qid"), col("vec_id"), asim9.as("a9"))
+      .groupBy("qid")
+      .agg(topk(col("a9"), col("vec_id")).as("top"))
+      .select(col("qid"), explode(col("top")).as("r"))
+      .select(col("qid"), col("r.id").as("vec_id"),
+        round(col("r.ord"), 4).as("asim"))
+  }
+
   /** Forget vectors — the GDPR/takedown lifecycle step for the vector
     * family (a user's embeddings are personal data exactly like their
     * text): shared [[Tombstones]] delete-vector semantics keyed on

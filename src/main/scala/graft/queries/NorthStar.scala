@@ -3027,6 +3027,79 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       .orderBy("doc_id")
   }
 
+  /** FUZZY decontamination — the near-duplicate complement of
+    * [[t_decontam]]'s exact-substring flag: a train doc is contaminated if
+    * its distinct-8-gram Jaccard with ANY eval doc reaches 1/4, and the
+    * output names the best-matching eval doc. Exact matching misses
+    * PERTURBED contamination (a synonym swap every ~15 characters kills
+    * every 20-char gram while leaving most 8-gram shingle mass intact —
+    * the case the GPT-3 appendix-C 13-gram rule is known to leak), so
+    * production pipelines run both: exact for verbatim leaks, similarity
+    * for paraphrase/whitespace/punctuation-perturbed ones.
+    *
+    * Scale shape: [[d_ngram_jaccard]]'s verifier crossed with
+    * [[t_decontam]]'s asymmetry. The gram equi-join carries only SHARED
+    * (train-gram, eval-gram) rows — contamination-sized, never
+    * corpus-sized; per-doc distinct-gram sizes ride each exploded row out
+    * of the [[graft.functions.CharNgrams]] kernel (size(ng) is computed
+    * map-side per doc — no sizes shuffle, the kernel already dedups); the
+    * 1/4 threshold is tested as an integer cross-multiplication BEFORE
+    * the per-doc argmax, so the window ranks only flagged pairs
+    * (output-sized) on the exact integer lattice (ni * 10^9 div nu —
+    * integer division of exact counts, bit-identical in both engines,
+    * eval_id tie-break). Against a fixed benchmark suite the eval side
+    * broadcasts and the train side never shuffles at all (the
+    * [[t_decontam_bloom]] regime composes unchanged).
+    */
+  val t_decontam_fuzzy: Query = q("t_decontam_fuzzy", Some(
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, substring(text, i, 8) AS g
+      |  FROM (SELECT doc_id, text,
+      |        UNNEST(generate_series(1, GREATEST(length(text)-7, 1))) AS i
+      |        FROM documents) t),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT t.doc_id, e.doc_id AS eval_id, COUNT(*) AS ni
+      |  FROM sh t JOIN sh e ON t.g = e.g
+      |  WHERE t.doc_id % 5 <> 0 AND e.doc_id % 5 = 0
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT i.doc_id, i.eval_id, i.ni, (st.n + se.n - i.ni) AS nu
+      |  FROM inter i
+      |  JOIN sizes st ON st.doc_id = i.doc_id
+      |  JOIN sizes se ON se.doc_id = i.eval_id
+      |  WHERE i.ni * 4 >= (st.n + se.n - i.ni)),
+      |best AS (
+      |  SELECT doc_id, eval_id, ni, nu,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id
+      |           ORDER BY (ni * 1000000000) // nu DESC, eval_id) AS rn
+      |  FROM j)
+      |SELECT doc_id, eval_id, ROUND(CAST(ni AS DOUBLE) / nu, 3) AS jac
+      |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    import CharNgrams.charNgrams
+    val docs = Tables.load(s, dir, "documents")
+    def grams(side: DataFrame, idAs: String, nAs: String): DataFrame = side
+      .select(col("doc_id"), charNgrams(col("text"), 8).as("ng"))
+      .select(col("doc_id").as(idAs), size(col("ng")).as(nAs),
+        explode(col("ng")).as("g"))
+    val tr = grams(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "nt")
+    val ev = grams(docs.filter(col("doc_id") % 5 === 0), "eval_id", "ne")
+    val inter = tr.join(ev, "g")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("ni"),
+        first(col("nt")).as("nt"), first(col("ne")).as("ne"))
+    val nu = col("nt") + col("ne") - col("ni")
+    val flagged = inter.filter(col("ni") * 4 >= nu).select(
+      col("doc_id"), col("eval_id"), col("ni"), nu.as("nu"))
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(expr("(ni * 1000000000) div nu").desc, col("eval_id")))
+    flagged.withColumn("rn", rn).filter(col("rn") === 1)
+      .select(col("doc_id"), col("eval_id"),
+        round(col("ni").cast("double") / col("nu"), 3).as("jac"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram-surprisal quality score — the CCNet-style "how unlike the
     * corpus LM is this document" signal (Wenzek et al., CCNet: high
     * perplexity under a reference LM flags gibberish and boilerplate
@@ -4132,7 +4205,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     s_knn_batch,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
     t_repetition, t_entropy, t_unigram_surprise, t_bigram_surprise,
-    t_fingerprint, t_decontam, t_decontam_bloom, t_sample_split, t_stratified, t_pii, p_clean_corpus,
+    t_fingerprint, t_decontam, t_decontam_bloom, t_decontam_fuzzy, t_sample_split, t_stratified, t_pii, p_clean_corpus,
     p_domain_mix, p_mixture_sample, p_dataset_card, p_shard, p_pack,
     p_pack_exact, p_zorder, p_pipeline_full, p_pipeline_neardup, p_token_budget,
     q23_time_bucket, e_anomaly, w_sliding_window, w_session_window, m_binary_meta)

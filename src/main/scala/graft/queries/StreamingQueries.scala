@@ -602,7 +602,7 @@ object StreamingQueries {
     */
   private def vecProbe(s: org.apache.spark.sql.SparkSession, dir: String,
       prefix: String)(
-      answerBatch: (org.apache.spark.sql.SparkSession, Seq[(Long, Seq[Float])]) => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      answerBatch: (org.apache.spark.sql.SparkSession, Seq[(Long, Seq[Float], Int)]) => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val base = java.nio.file.Files.createTempDirectory(prefix).toString
     val emb = graft.tables.Tables.load(s, dir, "embeddings")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
@@ -612,8 +612,8 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
     val q = probes.writeStream
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        val batch = df.select("vec_id", "embedding").collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        val batch = df.select("vec_id", "embedding", "label").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
         if (batch.nonEmpty) {
           answerBatch(df.sparkSession, batch)
             .write.mode("append").parquet(s"$base/out")
@@ -650,7 +650,7 @@ object StreamingQueries {
       val idx = java.nio.file.Files.createTempDirectory("graft_stream_pqpr_idx_").toString
       graft.operators.PqIndex.build(emb, cb, idx)
       vecProbe(s, dir, "graft_stream_pqprobe_") { (sp, batch) =>
-        graft.operators.PqIndex.queryBatch(sp, idx, batch, cb, topN = 5)
+        graft.operators.PqIndex.queryBatch(sp, idx, batch.map(t => (t._1, t._2)), cb, topN = 5)
       }
     },
     Some {
@@ -711,7 +711,7 @@ object StreamingQueries {
       val idx = java.nio.file.Files.createTempDirectory("graft_stream_ivfpqpr_idx_").toString
       graft.operators.IvfPqIndex.build(emb, cents, cb, idx)
       vecProbe(s, dir, "graft_stream_ivfpqprobe_") { (sp, batch) =>
-        graft.operators.IvfPqIndex.queryBatch(sp, idx, batch, cents, cb, topN = 5)
+        graft.operators.IvfPqIndex.queryBatch(sp, idx, batch.map(t => (t._1, t._2)), cents, cb, topN = 5)
       }
     },
     Some {
@@ -769,6 +769,78 @@ object StreamingQueries {
          |  JOIN cand ca ON ca.vec_id = c.vec_id
          |  JOIN lut l ON l.qid = ca.qid AND l.m = c.m AND l.cid = c.cid
          |  GROUP BY ca.qid, c.vec_id),
+         |top AS (
+         |  SELECT qid, vec_id, a9,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY a9 DESC, vec_id) AS rn
+         |  FROM asim)
+         |SELECT qid, vec_id, ROUND(a9, 4) AS asim FROM top WHERE rn <= 5
+         |ORDER BY qid, ROUND(a9, 4) DESC, vec_id""".stripMargin
+    })
+
+  /** Streamed FILTERED vector probe — [[st_pq_probe]] against the
+    * label-PARTITIONED code table ([[graft.operators.PqIndex.buildPartitioned]],
+    * `s_ann_filtered_index`'s layout), completing the streamed x filtered
+    * matrix cell: each arriving query vector searches ONLY its own label's
+    * partition (the multi-tenant serving contract — a tenant's query must
+    * never rank another tenant's vectors), and a trigger's whole probe set
+    * is answered in ONE plan ([[graft.operators.PqIndex.queryBatchPartitioned]]):
+    * the scan is pruned to the UNION of the batch's labels at planning
+    * time, each code row ADC-scores only against the qids whose label it
+    * carries (LUTs join on the partition column instead of cross-joining),
+    * per-qid top-5 via the bounded mergeable TopK. Oracle: the PQ ADC SQL
+    * with each qid's candidates restricted to its own label's vectors
+    * (per-vector-independent ADC makes prune-then-rank equal
+    * rank-then-filter). Batch-vs-sequential byte-equality and the
+    * partitions-scanned == batch-labels pin live in StFilteredProbeSpec.
+    */
+  val st_filtered_probe: Query = Query(
+    "st_filtered_probe",
+    (s, dir) => {
+      val emb = graft.tables.Tables.load(s, dir, "embeddings")
+      val cb = graft.operators.PqIndex.codebookOf(emb)
+      val idx = java.nio.file.Files.createTempDirectory("graft_stream_fltpr_idx_").toString + "/idx"
+      graft.operators.PqIndex.buildPartitioned(emb, cb, idx, partCol = "label")
+      vecProbe(s, dir, "graft_stream_fltprobe_") { (sp, batch) =>
+        graft.operators.PqIndex.queryBatchPartitioned(sp, idx, batch, cb,
+          topN = 5, partCol = "label")
+      }
+    },
+    Some {
+      val M = graft.operators.PqIndex.M
+      val SubDim = graft.operators.PqIndex.SubDim
+      val KC = graft.operators.PqIndex.KC
+      s"""WITH cb AS (SELECT vec_id AS cid, embedding FROM embeddings
+         |            WHERE vec_id BETWEEN 1 AND $KC),
+         |u AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         |cu AS (SELECT cid, CAST(UNNEST(embedding) AS DOUBLE) AS cv,
+         |              generate_subscripts(embedding, 1) AS i FROM cb),
+         |dist AS (
+         |  SELECT u.vec_id, cu.cid, (cu.i - 1) // $SubDim AS m,
+         |         ROUND(SUM((u.v - cu.cv) * (u.v - cu.cv)), 9) AS d
+         |  FROM u JOIN cu ON u.i = cu.i
+         |  GROUP BY u.vec_id, cu.cid, (cu.i - 1) // $SubDim),
+         |code AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+         |    FROM dist) r WHERE rn = 1),
+         |p AS (SELECT vec_id AS qid, CAST(UNNEST(embedding) AS DOUBLE) AS pv,
+         |             generate_subscripts(embedding, 1) AS i
+         |      FROM embeddings WHERE vec_id IN (1, 2, 3)),
+         |lbl AS (SELECT vec_id AS qid, label FROM embeddings
+         |        WHERE vec_id IN (1, 2, 3)),
+         |lut AS (
+         |  SELECT p.qid, cu.cid, (cu.i - 1) // $SubDim AS m,
+         |         ROUND(SUM(cu.cv * p.pv), 9) AS pd
+         |  FROM cu JOIN p ON cu.i = p.i GROUP BY p.qid, cu.cid, (cu.i - 1) // $SubDim),
+         |asim AS (
+         |  SELECT l.qid, c.vec_id, ROUND(SUM(l.pd), 9) AS a9
+         |  FROM code c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN lbl b ON b.label = e.label
+         |  JOIN lut l ON l.qid = b.qid AND l.m = c.m AND l.cid = c.cid
+         |  GROUP BY l.qid, c.vec_id),
          |top AS (
          |  SELECT qid, vec_id, a9,
          |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY a9 DESC, vec_id) AS rn
@@ -856,5 +928,5 @@ object StreamingQueries {
     st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
     st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe,
     st_substring_probe, st_minhash_probe, st_pq_probe, st_ivfpq_probe,
-    st_agg_ingest, st_forget)
+    st_filtered_probe, st_agg_ingest, st_forget)
 }
