@@ -67,4 +67,20 @@ object MisraGries {
     override def bufferEncoder: Encoder[Summary] = ExpressionEncoder[Summary]()
     override def outputEncoder: Encoder[Summary] = ExpressionEncoder[Summary]()
   }
+
+  /** Second-order aggregator: merge STORED summaries (e.g. per-batch rollup
+    * partials — [[graft.operators.AggIndex]]) into one summary per group.
+    * Same Agarwal et al. merge as [[MisraGriesAgg.merge]], so the merged
+    * summary obeys the n/(k+1) bound for the union stream — the property
+    * that makes a persisted MG column answerable by merge-on-read.
+    */
+  final class MisraGriesMergeAgg(k: Int) extends Aggregator[Summary, Summary, Summary] {
+    private val inner = new MisraGriesAgg(k)
+    override def zero: Summary = Map.empty
+    override def reduce(b: Summary, in: Summary): Summary = inner.merge(b, in)
+    override def merge(x: Summary, y: Summary): Summary = inner.merge(x, y)
+    override def finish(b: Summary): Summary = b
+    override def bufferEncoder: Encoder[Summary] = ExpressionEncoder[Summary]()
+    override def outputEncoder: Encoder[Summary] = ExpressionEncoder[Summary]()
+  }
 }

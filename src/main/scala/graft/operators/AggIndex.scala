@@ -58,6 +58,11 @@ object AggIndex {
   /** k for the KLL quantile sketches (same fixed-across-batches rule). */
   val KllK = 200
 
+  /** Counters for the Misra-Gries value-bucket summaries (same rule: the
+    * n/(k+1) error bound composes across batches only at one k).
+    */
+  val MgK = 8
+
   /** Mergeable partials for one batch of events: one row per
     * (event_type, day). The ONLY place raw events are scanned in this
     * lifecycle — a corpus-sized map + one map-side-combined shuffle of
@@ -89,7 +94,19 @@ object AggIndex {
         // theta supports INTERSECTION/DIFFERENCE — audience overlap
         // ("users active on day d AND d+1") from stored state
         // ([[overlaps]]); exact below ~4096 users/key, bounded error above
-        expr("theta_sketch_agg(user_id)").as("users_theta"))
+        expr("theta_sketch_agg(user_id)").as("users_theta"),
+        // Misra-Gries heavy-hitters summary of the value DECILE ("modal
+        // latency bucket per service-day"): k counters per (key, batch)
+        // with the deterministic envelope exact - n/(k+1) <= est <= exact
+        // for EVERY bucket — mergeable (Agarwal et al. PODS'12), so
+        // [[topBuckets]] answers from stored state; summary CONTENTS are
+        // partition-order-dependent (any MG's are) but the bound is not,
+        // so the gate hash-checks exact counts and booleans
+        // ([[graft.functions.MisraGries]] scaladoc discipline)
+        mgAgg(expr("CAST(FLOOR(value / 10) AS STRING)")).as("vb_mg"))
+
+  private lazy val mgAgg = udaf(new graft.functions.MisraGries.MisraGriesAgg(MgK))
+  private lazy val mgMerge = udaf(new graft.functions.MisraGries.MisraGriesMergeAgg(MgK))
 
   /** Commit ledger beside the data files (underscore-prefixed, so parquet
     * readers ignore it): the highest batch id whose APPEND COMPLETED.
@@ -215,7 +232,8 @@ object AggIndex {
     max(col("max_v")).as("max_v"),
     hll_union_agg(col("users_hll"), lit(false)).as("users_hll"),
     expr("kll_merge_agg_double(vals_kll)").as("vals_kll"),
-    expr("theta_union_agg(users_theta)").as("users_theta"))
+    expr("theta_union_agg(users_theta)").as("users_theta"),
+    mgMerge(col("vb_mg")).as("vb_mg"))
 
   /** The rollup, entirely from the stored partial table: second-order
     * merge of the per-batch partials. `users` is the HLL estimate of
@@ -253,6 +271,25 @@ object AggIndex {
       .select(col("event_type"), col("day"), col("cnt"),
         expr("kll_sketch_get_quantile_double(k, 0.5)").as("p50"),
         expr("kll_sketch_get_quantile_double(k, 0.95)").as("p95"))
+
+  /** Frequent value-buckets per key, entirely from the stored partial
+    * table — "which latency decile dominates this (service, day)" answered
+    * by merging the per-batch Misra-Gries summaries (Agarwal et al. merge,
+    * same n/(k+1) envelope for the union stream): merge-on-read like
+    * [[merged]], never a log rescan. Returns one row per (key, bucket) in
+    * the merged summary with its estimated count; estimates are
+    * order-dependent (gate them with the bound — e_agg_topbucket), the
+    * PRESENCE guarantee is not: any bucket above n/(k+1) is in the
+    * summary.
+    */
+  def topBuckets(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .dropDuplicates(Keys :+ "batch")
+      .groupBy(Keys.map(col): _*)
+      .agg(mgMerge(col("vb_mg")).as("mg"))
+      .select(col("event_type"), col("day"), explode(col("mg")).as(Seq("vb", "est")))
+      .select(col("event_type"), col("day"),
+        col("vb").cast("long").as("vb"), col("est"))
 
   /** Day-over-day user OVERLAP per event_type, entirely from the stored
     * theta sketches — the set operation HLL structurally cannot answer

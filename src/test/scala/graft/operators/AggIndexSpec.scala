@@ -92,6 +92,46 @@ class AggIndexSpec extends SparkSpec {
       "HLL estimates must survive compaction")
   }
 
+  test("MG bucket summaries obey the envelope across splits and survive compaction") {
+    // the Misra-Gries column's contract: for every bucket the merged
+    // summary reports, exact - n/(k+1) <= est <= exact, and any bucket
+    // whose exact count exceeds n/(k+1) is PRESENT — both must hold for
+    // the merged-across-batches summary (Agarwal merge) and after
+    // compact() collapses history (the mergeCols path)
+    val p = Files.createTempDirectory("graft_aggidx_mg_").toString
+    AggIndex.build(events.filter(col("event_id") % 3 === 0), p)
+    AggIndex.ingest(events.filter(col("event_id") % 3 === 1), p, batch = 1)
+    AggIndex.ingest(events.filter(col("event_id") % 3 === 2), p, batch = 2)
+
+    val exact = events.select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        floor(col("value") / 10).cast("long").as("vb"))
+      .groupBy("event_type", "day", "vb").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val n = exact.toSeq.groupBy { case ((t, d, _), _) => (t, d) }
+      .view.mapValues(_.map(_._2).sum).toMap
+
+    def check(label: String): Unit = {
+      val est = AggIndex.topBuckets(spark, p).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+      est.foreach { case (key @ (t, d, _), e) =>
+        val ex = exact(key) // MG never reports an unobserved item
+        assert(e <= ex && e * 9 >= ex * 9 - n((t, d)),
+          s"$label: est $e outside [exact - n/9, exact] for $key (exact $ex, n ${n((t, d))})")
+      }
+      // presence guarantee for every above-bound bucket (not just the top)
+      exact.foreach { case (key @ (t, d, _), ex) =>
+        if (ex * 9 > n((t, d)))
+          assert(est.contains(key), s"$label: bucket $key above n/(k+1) but absent")
+      }
+      assert(est.nonEmpty)
+    }
+    check("3-batch merge-on-read")
+    AggIndex.compact(spark, p)
+    check("after compact")
+  }
+
   test("a replayed LAST batch after compaction still folds away") {
     // the crash window replay-safety argument: only the latest batch can
     // be uncommitted at a crash, and compact keeps its rows byte-identical
