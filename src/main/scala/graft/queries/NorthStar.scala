@@ -4189,6 +4189,39 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
       .orderBy("doc_id")
   }
 
+  /** LEAKAGE-FREE train/val/test split — the near-dup-aware split every
+    * evaluation pipeline needs: a plain hash split ([[t_sample_split]])
+    * puts two near-duplicate documents in different splits with
+    * probability ~ 2/10 per pair, silently inflating eval scores with
+    * memorized train content. Here the split key is the resolved near-dup
+    * CLUSTER representative ([[d_dup_clusters]]' component-min label;
+    * singleton docs are their own representative), so a whole cluster
+    * lands in one split by construction — near-dup pairs can never
+    * straddle the boundary (LeakFreeSplitSpec pins it against the banded
+    * pair set). Scale shape: labels are pair-graph-sized (kernel-free from
+    * the stored signature index), the corpus takes ONE left hash join to
+    * pick up its representative, and the split decision is a map-side
+    * modulus — no extra shuffle over [[t_sample_split]].
+    */
+  val t_split_leakfree: Query = q("t_split_leakfree", Some(
+    s"""WITH RECURSIVE $simhashClusterCte,
+       |r AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS rep
+       |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+       |SELECT doc_id,
+       |       CASE WHEN rep % 10 < 8 THEN 'train'
+       |            WHEN rep % 10 = 8 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM r ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    val (labels, _) = ConnectedComponents.label(storedSimhashPairs(s, dir))
+    Tables.load(s, dir, "documents").select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("lab")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(pmod(coalesce(col("lab"), col("doc_id")), lit(10)) < 8, "train")
+          .when(pmod(coalesce(col("lab"), col("doc_id")), lit(10)) === 8, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
     d_containment, d_containment_collapse, d_containment_probe,
@@ -4205,7 +4238,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     s_knn_batch,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,
     t_repetition, t_entropy, t_unigram_surprise, t_bigram_surprise,
-    t_fingerprint, t_decontam, t_decontam_bloom, t_decontam_fuzzy, t_sample_split, t_stratified, t_pii, p_clean_corpus,
+    t_fingerprint, t_decontam, t_decontam_bloom, t_decontam_fuzzy, t_sample_split, t_split_leakfree, t_stratified, t_pii, p_clean_corpus,
     p_domain_mix, p_mixture_sample, p_dataset_card, p_shard, p_pack,
     p_pack_exact, p_zorder, p_pipeline_full, p_pipeline_neardup, p_token_budget,
     q23_time_bucket, e_anomaly, w_sliding_window, w_session_window, m_binary_meta)
