@@ -249,7 +249,8 @@ object EventAnalytics {
       |       strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
       |       CAST(COUNT(*) AS BIGINT) AS cnt,
       |       TRUE AS p50_ok, TRUE AS p95_ok
-      |FROM events GROUP BY event_type, day ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+      |FROM events GROUP BY event_type, day ORDER BY event_type, day""".stripMargin,
+    headline = true) { (s, dir) =>
     val est = AggIndex.quantiles(s, aggIndexPath(s, dir))
     Tables.load(s, dir, "events")
       .select(col("event_type"),

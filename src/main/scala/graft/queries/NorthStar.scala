@@ -1470,7 +1470,8 @@ object NorthStar {
     */
   val s_ann_filtered_index: Query =
     q("s_ann_filtered_index", Some(pqAdcOracleSqlWhere(
-      "vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)"))) { (s, dir) =>
+      "vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)")),
+      headline = true) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val cb = PqIndex.codebookOf(emb)
       val probe: Seq[Float] = emb.filter(col("vec_id") === 1)
@@ -3029,29 +3030,85 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
 
   /** FUZZY decontamination — the near-duplicate complement of
     * [[t_decontam]]'s exact-substring flag: a train doc is contaminated if
-    * its distinct-8-gram Jaccard with ANY eval doc reaches 1/4, and the
-    * output names the best-matching eval doc. Exact matching misses
-    * PERTURBED contamination (a synonym swap every ~15 characters kills
-    * every 20-char gram while leaving most 8-gram shingle mass intact —
-    * the case the GPT-3 appendix-C 13-gram rule is known to leak), so
-    * production pipelines run both: exact for verbatim leaks, similarity
-    * for paraphrase/whitespace/punctuation-perturbed ones.
-    *
-    * Scale shape: [[d_ngram_jaccard]]'s verifier crossed with
-    * [[t_decontam]]'s asymmetry. The gram equi-join carries only SHARED
-    * (train-gram, eval-gram) rows — contamination-sized, never
-    * corpus-sized; per-doc distinct-gram sizes ride each exploded row out
-    * of the [[graft.functions.CharNgrams]] kernel (size(ng) is computed
-    * map-side per doc — no sizes shuffle, the kernel already dedups); the
-    * 1/4 threshold is tested as an integer cross-multiplication BEFORE
-    * the per-doc argmax, so the window ranks only flagged pairs
-    * (output-sized) on the exact integer lattice (ni * 10^9 div nu —
-    * integer division of exact counts, bit-identical in both engines,
-    * eval_id tie-break). Against a fixed benchmark suite the eval side
-    * broadcasts and the train side never shuffles at all (the
-    * [[t_decontam_bloom]] regime composes unchanged).
+    * its distinct-8-gram Jaccard with ANY eval doc reaches 7/10 (the
+    * standard fuzzy-dedup threshold), and the output names the
+    * best-matching eval doc. Exact matching misses PERTURBED contamination
+    * (a synonym swap every ~15 characters kills every 20-char gram while
+    * leaving most 8-gram shingle mass intact — the case the GPT-3
+    * appendix-C 13-gram rule is known to leak), so production pipelines
+    * run both: exact for verbatim leaks, similarity for
+    * paraphrase/whitespace/punctuation-perturbed ones. Plan and scale
+    * shape: [[fuzzyContamVerdicts]] (banded candidates, exact integer
+    * verification — never a raw gram join).
     */
-  val t_decontam_fuzzy: Query = q("t_decontam_fuzzy", Some(
+  /** The fuzzy-contamination core, shared by the batch row and its
+    * streamed twin ([[graft.queries.StreamingQueries]] `st_decontam_fuzzy`):
+    * per-train-doc verdicts against a STATIC eval side — each verdict
+    * depends only on that doc's grams and the eval grams, so any batching
+    * of the train side (including micro-batches) yields identical rows.
+    *
+    * Plan: the [[minhashVerifiedPairs]] skeleton crossed train x eval. A
+    * direct 8-gram equi-join is quadratic death at corpus scale — the
+    * 8-gram vocabulary is stop-phrase-dominated ('customer' appears in
+    * ~77% of fixture docs), so shared-gram rows explode ~quadratically
+    * (90M join rows at sf0.1 for 1.35M gram rows; measured 23 s where
+    * this plan takes ~1 s). Here each doc is kerneled ONCE (fused
+    * 192-perm MinHash over its distinct 8-gram set, no gram
+    * materialization), the 32x6 band join carries only (id, count, band,
+    * bucket) rows, the size-ratio prefilter (jac >= 7/10 bounds the gram
+    * counts within [0.7, 1/0.7], integer cross-multiplied) prunes before
+    * any text is re-read, and exact verification — array_intersect /
+    * array_union of the two docs' gram sets, candidate-pair-sized —
+    * keeps exact INTEGER (ni, nu) so the threshold and the per-doc argmax
+    * run on the same lattice as the oracle. Banding recall: qualifying
+    * crossing pairs sit at jac >= 0.93 in this corpus, where a 6-row band
+    * misses with (1 - j^6)^32 ~ 6e-15 — the d_minhash_lsh discipline,
+    * exact oracle unchanged.
+    */
+  private[queries] def fuzzyContamVerdicts(trainDocs: DataFrame,
+                                           evalDocs: DataFrame): DataFrame = {
+    import CharNgrams.charNgrams
+    def banded(docs: DataFrame, idAs: String, nAs: String): DataFrame =
+      docs.select(col("doc_id"), MinHash.ngramSig(col("text"), 8, 192).as("ns"))
+        .select(col("doc_id").as(idAs), col("ns.n").as(nAs),
+          posexplode(graft.functions.BandHash.bandHashes(col("ns.sig"), 32, 6))
+            .as(Seq("band", "bucket")))
+    val a = banded(trainDocs, "doc_id", "nt").as("a")
+    val b = banded(evalDocs, "eval_id", "ne").hint("SHUFFLE_HASH").as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.nt") * 10 >= col("b.ne") * 7 && col("b.ne") * 10 >= col("a.nt") * 7)
+      .select(col("a.doc_id").as("id_a"), col("b.eval_id").as("id_b"))
+    // exact verification, candidate-pair-sized (the verifyJaccard melt/fold,
+    // kept inline because the argmax needs exact INTEGER ni/nu, not the
+    // verifier's rounded jac): multi-band duplicate candidates fold in the
+    // groupBy(pair)
+    val corpus = trainDocs.select("doc_id", "text")
+      .unionByName(evalDocs.select("doc_id", "text"))
+    val sides = cand
+      .select(struct(col("id_a"), col("id_b")).as("pair"))
+      .select(col("pair"), explode(array(col("pair.id_a"), col("pair.id_b"))).as("doc_id"))
+    val shingles = corpus.select(col("doc_id"), charNgrams(col("text"), 8).as("sh"))
+    val pairsSh = sides.join(shingles, "doc_id")
+      .groupBy("pair")
+      .agg(
+        first(when(col("doc_id") === col("pair.id_a"), col("sh")), ignoreNulls = true).as("sha"),
+        first(when(col("doc_id") === col("pair.id_b"), col("sh")), ignoreNulls = true).as("shb"))
+    val flagged = pairsSh
+      .select(col("pair.id_a").as("doc_id"), col("pair.id_b").as("eval_id"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("ni"),
+        size(array_union(col("sha"), col("shb"))).cast("long").as("nu"))
+      .filter(col("ni") * 10 >= col("nu") * 7)
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(expr("(ni * 1000000000) div nu").desc, col("eval_id")))
+    flagged.withColumn("rn", rn).filter(col("rn") === 1)
+      .select(col("doc_id"), col("eval_id"),
+        round(col("ni").cast("double") / col("nu"), 3).as("jac"))
+  }
+
+  /** The shared oracle SQL of the batch and streamed fuzzy-decontam rows. */
+  private[queries] val fuzzyContamOracleSql: String =
     """WITH sh AS (
       |  SELECT DISTINCT doc_id, substring(text, i, 8) AS g
       |  FROM (SELECT doc_id, text,
@@ -3068,37 +3125,23 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       |  FROM inter i
       |  JOIN sizes st ON st.doc_id = i.doc_id
       |  JOIN sizes se ON se.doc_id = i.eval_id
-      |  WHERE i.ni * 4 >= (st.n + se.n - i.ni)),
+      |  WHERE i.ni * 10 >= (st.n + se.n - i.ni) * 7),
       |best AS (
       |  SELECT doc_id, eval_id, ni, nu,
       |         ROW_NUMBER() OVER (PARTITION BY doc_id
       |           ORDER BY (ni * 1000000000) // nu DESC, eval_id) AS rn
       |  FROM j)
       |SELECT doc_id, eval_id, ROUND(CAST(ni AS DOUBLE) / nu, 3) AS jac
-      |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin)) { (s, dir) =>
-    import CharNgrams.charNgrams
-    val docs = Tables.load(s, dir, "documents")
-    def grams(side: DataFrame, idAs: String, nAs: String): DataFrame = side
-      .select(col("doc_id"), charNgrams(col("text"), 8).as("ng"))
-      .select(col("doc_id").as(idAs), size(col("ng")).as(nAs),
-        explode(col("ng")).as("g"))
-    val tr = grams(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "nt")
-    val ev = grams(docs.filter(col("doc_id") % 5 === 0), "eval_id", "ne")
-    val inter = tr.join(ev, "g")
-      .groupBy("doc_id", "eval_id")
-      .agg(count(lit(1)).as("ni"),
-        first(col("nt")).as("nt"), first(col("ne")).as("ne"))
-    val nu = col("nt") + col("ne") - col("ni")
-    val flagged = inter.filter(col("ni") * 4 >= nu).select(
-      col("doc_id"), col("eval_id"), col("ni"), nu.as("nu"))
-    val rn = row_number().over(
-      org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-        .orderBy(expr("(ni * 1000000000) div nu").desc, col("eval_id")))
-    flagged.withColumn("rn", rn).filter(col("rn") === 1)
-      .select(col("doc_id"), col("eval_id"),
-        round(col("ni").cast("double") / col("nu"), 3).as("jac"))
-      .orderBy("doc_id")
-  }
+      |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  val t_decontam_fuzzy: Query =
+    q("t_decontam_fuzzy", Some(fuzzyContamOracleSql), headline = true) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      fuzzyContamVerdicts(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+        .orderBy("doc_id")
+    }
 
   /** Unigram-surprisal quality score — the CCNet-style "how unlike the
     * corpus LM is this document" signal (Wenzek et al., CCNet: high

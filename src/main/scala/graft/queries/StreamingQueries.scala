@@ -849,6 +849,50 @@ object StreamingQueries {
          |ORDER BY qid, ROUND(a9, 4) DESC, vec_id""".stripMargin
     })
 
+  /** Streamed fuzzy decontamination — ingest-time contamination screening,
+    * the production shape of [[graft.queries.NorthStar]] `t_decontam_fuzzy`
+    * (a crawl STREAMS in; each arriving document must be screened against
+    * the fixed benchmark suite before it enters the training corpus, not
+    * in a nightly batch): the train side arrives as three mtime-ordered
+    * micro-batches and each trigger's docs run the shared
+    * [[graft.queries.NorthStar.fuzzyContamVerdicts]] core against the
+    * STATIC eval side, flagged rows appended the moment the batch fires.
+    * Per-doc verdicts depend only on that doc's grams and the eval grams
+    * (no train-side cross-doc state), so the union of per-trigger outputs
+    * is byte-identical to the one-shot batch row — the oracle is
+    * t_decontam_fuzzy's SQL verbatim. At-least-once replays append
+    * byte-identical verdict rows (the core is deterministic), removed by
+    * the contract dropDuplicates. At 100 TB the eval gram set is a fixed
+    * benchmark (MBs): broadcast once — or its bloom bits
+    * (t_decontam_bloom's regime) — and each trigger's cost is
+    * batch-grams-sized, never corpus-sized.
+    */
+  val st_decontam_fuzzy: Query = Query(
+    "st_decontam_fuzzy",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_fdec_").toString
+      val docs = graft.tables.Tables.load(s, dir, "documents")
+      val ev = docs.filter(col("doc_id") % 5 === 0)
+      for (sl <- 0 to 2)
+        oneFile(docs.filter(col("doc_id") % 5 =!= 0 && pmod(col("doc_id"), lit(3)) === sl),
+          s"$base/src/d$sl.parquet", 1000000000000L + sl * 60000L)
+      val streamed = s.readStream
+        .schema(s.read.parquet(s"$base/src").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = streamed.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.queries.NorthStar.fuzzyContamVerdicts(df, ev)
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .dropDuplicates("doc_id", "eval_id")
+        .orderBy("doc_id")
+    },
+    Some(graft.queries.NorthStar.fuzzyContamOracleSql))
+
   /** Streamed ingest into the incremental-rollup partial table — the
     * AggIndex cell of the streamed-ingest matrix as an ORACLED row: the
     * event log arrives as three mtime-ordered micro-batches, each
@@ -928,5 +972,5 @@ object StreamingQueries {
     st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
     st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe,
     st_substring_probe, st_minhash_probe, st_pq_probe, st_ivfpq_probe,
-    st_filtered_probe, st_agg_ingest, st_forget)
+    st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget)
 }
