@@ -19,6 +19,8 @@ import graft.functions._
   *   pg_bool(s)                      't'/'f'/'' Postgres bool parse
   *   unload_split(line, delim, n)    UNLOAD ESCAPE field split
   *   unload_escape(s, delim)         UNLOAD ESCAPE writer-side escape
+  *   band_hashes(sig, b, r)          LSH band bucket hashes
+  *   rolling_window_hash(text, w)    Rabin-Karp w-token window hashes
   *
   * Enable with `spark.sql.extensions=graft.engine.GraftExtensions` (set by
   * [[Sessions.builder]]).
@@ -90,6 +92,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     register(ext, "l2_sq", "l2_sq(a, b) - squared L2 distance of float vectors") {
       args => L2Sq(args(0), args(1))
+    }
+    register(ext, "band_hashes",
+      "band_hashes(sig, nBands, rowsPerBand) - LSH band bucket hashes of a MinHash signature") {
+      args => BandHash(args(0), intArg(args(1), "band_hashes", 1),
+        intArg(args(2), "band_hashes", 2))
+    }
+    register(ext, "rolling_window_hash",
+      "rolling_window_hash(text, w) - O(n) Rabin-Karp hashes of every w-TOKEN window") {
+      args => RollingWindowHash(args(0), intArg(args(1), "rolling_window_hash", 1))
     }
   }
 }

@@ -54,6 +54,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(fused == un)
   }
 
+  test("band_hashes / rolling_window_hash from SQL agree with the Column kernels") {
+    import org.apache.spark.sql.functions._
+    val viaSql = spark.sql(
+      "SELECT band_hashes(min_hash_ngram_sig('the quick brown fox', 5, 192).sig, 32, 6) AS b")
+      .collect().head.getSeq[Long](0)
+    val viaCol = spark.range(1).select(
+        graft.functions.BandHash.bandHashes(
+          graft.functions.MinHash.ngramSig(lit("the quick brown fox"), 5, 192)
+            .getField("sig"), 32, 6).as("b"))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.length == 32)
+
+    val rh = spark.sql("SELECT rolling_window_hash('a b c a b c', 3) AS h")
+      .collect().head.getSeq[Long](0)
+    // 4 token windows of width 3; equal windows hash equal ('a b c' at 0 and 3)
+    assert(rh.length == 4 && rh(0) == rh(3) && rh(0) != rh(1))
+  }
+
   test("non-literal config args are rejected with a clear error") {
     val e = intercept[Exception](spark.sql("SELECT char_ngrams('x', length('ab'))").collect())
     assert(e.getMessage.contains("integer literal") ||
