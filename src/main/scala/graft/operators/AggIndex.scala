@@ -241,12 +241,28 @@ object AggIndex {
     * touched.
     */
   def merged(spark: SparkSession, path: String): DataFrame =
+    mergedAsOf(spark, path, upToBatch = Int.MaxValue)
+
+  /** The rollup AS OF a batch id — time travel over the partial table,
+    * completing the history semantics the other artifacts already have
+    * ([[SignatureIndex]] probes accept `batch = N`): because every batch's
+    * partials are immutable once committed, "the dashboard as of ingest N"
+    * is a FILTER on the stored rows, no recomputation and no log access —
+    * merge-on-read over the `batch <= N` subset is exactly what [[merged]]
+    * returned when N was the newest batch (split-invariance applied to a
+    * prefix). Caveat: [[compact]] collapses history below max(batch) into
+    * one synthetic batch, and [[forgetUsers]] rewrites affected keys under
+    * a fresh id — as-of reads are exact between those maintenance events
+    * (the same contract as a compacted index's probe history).
+    */
+  def mergedAsOf(spark: SparkSession, path: String, upToBatch: Int): DataFrame =
     spark.read.parquet(path)
       // replayed streamed micro-batches append value-identical partial
       // rows; (keys, batch) identifies a partial uniquely, so this
       // SUBSET dedup restores exactly-once before the
       // non-duplicate-insensitive sums (subset-keyed: a replayed row
       // whose sketch BYTES differ still folds)
+      .filter(col("batch") <= upToBatch)
       .dropDuplicates(Keys :+ "batch")
       .groupBy(Keys.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)

@@ -205,8 +205,9 @@ object EventAnalytics {
     */
   private[queries] def mergedWithGate(s: org.apache.spark.sql.SparkSession,
                                       dir: String, path: String,
-                                      evFilter: Column = lit(true)): DataFrame = {
-    val m = AggIndex.merged(s, path)
+                                      evFilter: Column = lit(true),
+                                      upToBatch: Int = Int.MaxValue): DataFrame = {
+    val m = AggIndex.mergedAsOf(s, path, upToBatch)
     val exact = Tables.load(s, dir, "events").filter(evFilter)
       .groupBy(col("event_type"),
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
@@ -314,6 +315,31 @@ object EventAnalytics {
         (abs(col("overlap_est") - col("exact_overlap")) <=
           greatest(lit(5.0), col("exact_overlap") * 0.15)).as("within_tol"))
       .orderBy("event_type", "day")
+  }
+
+  /** The rollup AS OF an earlier ingest — time travel over the partial
+    * table ([[graft.operators.AggIndex.mergedAsOf]]): "the dashboard as it
+    * stood after batch 1" is a batch <= 1 FILTER on the immutable stored
+    * partials (base + first delta here; the batch-2 delta must vanish),
+    * no recomputation, no log access — what the audit/debug workflow
+    * ("did Tuesday's numbers change because of data or because of the
+    * Wednesday ingest?") needs from an append-only rollup. Oracle = the
+    * one-shot aggregate of exactly the events the first two batches
+    * covered (event_id % 10 <> 9); the HLL estimate rides the same gate
+    * as e_agg_maintain against THAT slice's exact distinct.
+    */
+  val e_agg_asof: Query = q("e_agg_asof",
+    """SELECT event_type,
+      |       strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+      |       CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_v,
+      |       MIN(value) AS min_v, MAX(value) AS max_v,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       TRUE AS within_5pct
+      |FROM events WHERE event_id % 10 <> 9
+      |GROUP BY event_type, day ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    mergedWithGate(s, dir, aggIndexPath(s, dir),
+      evFilter = col("event_id") % 10 =!= 9, upToBatch = 1)
   }
 
   /** Modal value-bucket per key from the stored rollup — the Misra-Gries
@@ -458,5 +484,5 @@ object EventAnalytics {
 
   val all: Seq[Query] =
     Seq(e_funnel, e_retention, w_range_frame, e_gapfill, e_locf, e_agg_maintain,
-      e_agg_quantile, e_agg_overlap, e_agg_topbucket, e_agg_forget)
+      e_agg_quantile, e_agg_overlap, e_agg_topbucket, e_agg_asof, e_agg_forget)
 }

@@ -92,6 +92,28 @@ class AggIndexSpec extends SparkSpec {
       "HLL estimates must survive compaction")
   }
 
+  test("mergedAsOf(N) equals a rollup that never ingested later batches") {
+    // time travel = a batch filter on immutable partials: as-of batch 1
+    // must equal the two-batch twin byte-for-byte (exact columns), and
+    // as-of the newest batch is merged() itself
+    val p = Files.createTempDirectory("graft_aggidx_asof_").toString
+    AggIndex.build(events.filter(col("event_id") % 3 === 0), p)
+    AggIndex.ingest(events.filter(col("event_id") % 3 === 1), p, batch = 1)
+    AggIndex.ingest(events.filter(col("event_id") % 3 === 2), p, batch = 2)
+
+    val twin = Files.createTempDirectory("graft_aggidx_asof_twin_").toString
+    AggIndex.build(events.filter(col("event_id") % 3 === 0), twin)
+    AggIndex.ingest(events.filter(col("event_id") % 3 === 1), twin, batch = 1)
+
+    assert(rows(AggIndex.mergedAsOf(spark, p, upToBatch = 1)) ==
+      rows(AggIndex.merged(spark, twin)))
+    assert(rows(AggIndex.mergedAsOf(spark, p, upToBatch = 2)) ==
+      rows(AggIndex.merged(spark, p)))
+    // and the as-of view is genuinely narrower than the full rollup
+    assert(AggIndex.mergedAsOf(spark, p, upToBatch = 0).count() <=
+      AggIndex.merged(spark, p).count())
+  }
+
   test("MG bucket summaries obey the envelope across splits and survive compaction") {
     // the Misra-Gries column's contract: for every bucket the merged
     // summary reports, exact - n/(k+1) <= est <= exact, and any bucket
