@@ -69,6 +69,40 @@ object IvfPqIndex {
     codeTable(emb, cents, cb)
       .write.partitionBy("list").mode("append").parquet(path)
 
+  /** The TWO-LEVEL filtered layout — `partCol=` (user metadata, e.g.
+    * `label=`) outer, `list=` (coarse quantizer) inner: the full
+    * production vector-store directory structure for METADATA-FILTERED
+    * approximate search. A "nearest WHERE label = X" query prunes on BOTH
+    * levels at planning time ([[queryWhere]]): unmatched labels are never
+    * listed, and within the label only the probe's nProbe list directories
+    * are read — per-query bytes ~ nProbe/K of ONE label's share of an
+    * M-bytes-a-vector table. The coarse quantizer stays GLOBAL (the
+    * centroids are corpus-frozen), so a label's candidates are its vectors
+    * in the probe's global lists — the FAISS-with-metadata-filter
+    * semantics, and what makes ingest label-agnostic: a delta row lands in
+    * `label=/list=/` by the same frozen assignment regardless of which
+    * labels exist.
+    */
+  def buildFiltered(emb: DataFrame, cents: Array[(Long, Seq[Float])],
+                    cb: Array[Seq[Float]], path: String, partCol: String): Unit =
+    emb.withColumn("list", coarseList(cents))
+      .select(col("vec_id") +: col(partCol) +: col("list") +: PqIndex.codeColumns(cb): _*)
+      .write.partitionBy(partCol, "list").mode("overwrite").parquet(path)
+
+  /** [[query]] over a [[buildFiltered]] table with a metadata predicate:
+    * both the predicate and the nProbe list restriction land in
+    * PartitionFilters (IvfPqIndexSpec pins <= nProbe partitions scanned of
+    * the label's K and both columns in the filter), then ADC ranks the
+    * surviving codes — same lattice, same tie-break as every PQ lifecycle.
+    */
+  def queryWhere(spark: SparkSession, path: String, probe: Seq[Float],
+                 cents: Array[(Long, Seq[Float])], cb: Array[Seq[Float]],
+                 topN: Int, pred: Column): DataFrame =
+    PqIndex.adcRank(
+      PqIndex.readCodes(spark, path)
+        .filter(pred && col("list").isin(probeLists(probe, cents): _*)),
+      PqIndex.adcLut(probe, cb), topN)
+
   /** Forget vectors from the partitioned code table — [[PqIndex.forget]]'s
     * semantics (shared [[Tombstones]] machinery on `vec_id`; the query
     * path already reads the live view via [[PqIndex.readCodes]]).

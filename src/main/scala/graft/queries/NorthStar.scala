@@ -3730,7 +3730,14 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     * codes are recomputed per query or read partition-pruned from the
     * stored IVF-PQ table.
     */
-  private val ivfpqOracleSql: String = {
+  private val ivfpqOracleSql: String = ivfpqOracleSqlWhere("TRUE")
+
+  /** [[ivfpqOracleSql]] with a candidate predicate (`a` = the assign row):
+    * the filtered stored lifecycle restricts candidates to a label's
+    * vectors; ADC scores are per-vector independent, so prune-then-rank
+    * equals rank-then-filter and the oracle is the same SQL narrowed.
+    */
+  private def ivfpqOracleSqlWhere(pred: String): String = {
     val KCoarse = 16; val NProbe = 2
     val M = 4; val SubDim = 16; val KC = 8; val TopN = 5
     s"""WITH cent AS (SELECT vec_id AS ccid, embedding FROM embeddings
@@ -3752,7 +3759,8 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
          |  SELECT ccid FROM (
          |    SELECT ccid, ROW_NUMBER() OVER (ORDER BY sim DESC, ccid) AS rn
          |    FROM sims WHERE vec_id = 1) r WHERE rn <= $NProbe),
-         |cand AS (SELECT a.vec_id FROM assign a JOIN probe_c p ON a.ccid = p.ccid),
+         |cand AS (SELECT a.vec_id FROM assign a JOIN probe_c p ON a.ccid = p.ccid
+         |         WHERE $pred),
          |cb AS (SELECT vec_id AS cid, embedding FROM embeddings
          |       WHERE vec_id BETWEEN 1 AND $KC),
          |cbu AS (SELECT cid, CAST(UNNEST(embedding) AS DOUBLE) AS cv,
@@ -3824,6 +3832,37 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
         p
       })
       IvfPqIndex.query(s, path, probe, cents, cb, topN = 5)
+    }
+
+  /** Filtered approximate search over the TWO-LEVEL stored layout
+    * ([[graft.operators.IvfPqIndex.buildFiltered]]: `label=` outer,
+    * `list=` inner) — the composition `s_ann_filtered_index` (filter =
+    * pruning, exact within the label) x `s_ann_ivfpq_index` (nProbe
+    * pruning, approximate): "nearest WHERE label = 3" prunes BOTH levels
+    * at planning time, reading only the probe's nProbe list directories
+    * INSIDE the label= directory — per-query bytes ~ nProbe/K of one
+    * label's share of the code table, the full production vector-store
+    * shape (a metadata-filtered FAISS IndexIVFPQ). The coarse quantizer
+    * stays global (corpus-frozen centroids), so the label's candidates are
+    * its vectors in the probe's global lists; ADC is per-vector
+    * independent, so the oracle is the IVF-PQ SQL with candidates narrowed
+    * to the label. Plan-pinned in IvfPqIndexSpec: PartitionFilters carry
+    * BOTH columns, <= nProbe partitions scanned.
+    */
+  val s_ann_ivfpq_filtered: Query =
+    q("s_ann_ivfpq_filtered", Some(ivfpqOracleSqlWhere(
+      "a.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)"))) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = IvfPqIndex.centroidsOf(emb)
+      val cb = PqIndex.codebookOf(emb)
+      val probe: Seq[Float] = cents.find(_._1 == 1L).get._2
+      val path = ivfpqIndexCache.computeIfAbsent(s"$dir#label", _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_ivfpqidx_lbl_").toString + "/idx"
+        IvfPqIndex.buildFiltered(emb, cents, cb, p, partCol = "label")
+        p
+      })
+      IvfPqIndex.queryWhere(s, path, probe, cents, cb, topN = 5,
+        pred = col("label") === 3)
     }
 
   /** IVF-PQ over a 2-BATCH stored list-partitioned code table — vector
@@ -4276,7 +4315,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_ivf_trained, s_ann_pq, s_ann_pq_index, s_ann_pq_ingest, s_ann_pq_forget,
     s_ann_pq_rerank,
-    s_ann_ivfpq, s_ann_ivfpq_index, s_ann_ivfpq_ingest, s_ann_ivfpq_trained,
+    s_ann_ivfpq, s_ann_ivfpq_index, s_ann_ivfpq_filtered, s_ann_ivfpq_ingest, s_ann_ivfpq_trained,
     s_label_centroid, d_semdedup,
     s_knn_batch,
     q22_text_stats, t_langid, t_quality, t_tokens, t_vocab, t_heavy_hitters,

@@ -159,6 +159,37 @@ class IvfPqIndexSpec extends SparkSpec {
       s"expected 1..${IvfPqIndex.NProbe} scanned list partitions of $allLists, got $scanned")
   }
 
+  test("two-level filtered layout prunes BOTH label and list; equals the label-only twin") {
+    // the full filtered-vector-store shape: label= outer, list= inner —
+    // a "nearest WHERE label = 3" query must prune on both levels at
+    // planning time and read <= NProbe directories of ONE label
+    val path = Files.createTempDirectory("graft_ivfpq_2lvl_").toString + "/idx"
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = IvfPqIndex.centroidsOf(emb)
+    val cb = PqIndex.codebookOf(emb)
+    IvfPqIndex.buildFiltered(emb, cents, cb, path, partCol = "label")
+    val probe = cents.find(_._1 == 1L).get._2
+
+    val df = IvfPqIndex.queryWhere(spark, path, probe, cents, cb, topN = 5,
+      pred = col("label") === 3)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [") &&
+      planStr.contains("label") && planStr.contains("list"),
+      s"label+list did not both become partition filters:\n$planStr")
+    assert(!planStr.contains("embedding"))
+    val scanned = fileScans(df).map(_.selectedPartitions.partitionCount).sum
+    assert(scanned >= 1 && scanned <= IvfPqIndex.NProbe,
+      s"expected 1..${IvfPqIndex.NProbe} (label, list) partitions, got $scanned")
+
+    // global centroids make the label's candidates exactly its vectors in
+    // the probe's global lists — so a one-level build over ONLY the
+    // label's vectors (same frozen quantizers) answers byte-identically
+    val twin = Files.createTempDirectory("graft_ivfpq_2lvl_twin_").toString
+    IvfPqIndex.build(emb.filter(col("label") === 3), cents, cb, twin)
+    assert(df.collect().toSeq ==
+      IvfPqIndex.query(spark, twin, probe, cents, cb, topN = 5).collect().toSeq)
+  }
+
   test("forget equals never-ingested on the partitioned layout; pruning survives compact") {
     import org.apache.hadoop.fs.Path
     val emb = Tables.load(spark, sfDir, "embeddings")
