@@ -245,9 +245,32 @@ object IndexMaintenance {
     require(fs.rename(p, trash), s"failed to move $path aside for the swap")
     require(fs.rename(tmp, p), s"failed to swap compacted index into $path")
     rescueUnappliedTombstones(fs, trash, p, tombSnapshot)
+    rescueSidecars(fs, trash, p)
     fs.delete(trash, true)
     (before.size, dataFiles(fs, p).size)
   }
+
+  /** Preserve hidden sidecar entries the rewrite did not produce — e.g.
+    * [[SqIndex]]'s `_scale` quantizer table. Compaction's contract is "same
+    * rows, fewer files"; metadata it does not understand must ride the
+    * swap, not die with the trash. `_tombstones` is excluded (its applied /
+    * unapplied split has dedicated semantics above), and entries the
+    * rewrite produced in the new live dir (e.g. `_SUCCESS`, the batch
+    * marker) win over their trash counterparts.
+    */
+  private def rescueSidecars(fs: org.apache.hadoop.fs.FileSystem,
+                             trash: Path, live: Path): Unit =
+    fs.listStatus(trash).iterator
+      .filter { f =>
+        val n = f.getPath.getName
+        (n.startsWith("_") || n.startsWith(".")) && n != "_tombstones"
+      }
+      .foreach { f =>
+        val dest = new Path(live, f.getPath.getName)
+        if (!fs.exists(dest))
+          require(fs.rename(f.getPath, dest),
+            s"failed to preserve sidecar ${f.getPath} across the compaction swap")
+      }
 
   /** Re-home tombstone files that were appended AFTER a compaction's
     * snapshot read (they rode live->trash with the old directory) into the

@@ -3716,6 +3716,78 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       .limit(5)
   }
 
+  /** Scalar-quantization (SQ8) ANN — the accuracy end of the stored
+    * compression family ([[graft.operators.SqIndex]]): every dimension
+    * keeps its own signed 8-bit code against ONE frozen per-corpus scale
+    * (max |component|, an order-independent reduction), and a probe's
+    * score is an exact BIGINT dot product of code vectors — NO float
+    * surface at all in the ranking, a determinism contract even stronger
+    * than the PQ family's 9-dp lattice. 4x smaller than float32 at
+    * per-dimension resolution, vs PQ's 64x at codebook resolution — the
+    * first rung of the FAISS quantizer ladder (IndexScalarQuantizer
+    * QT_8bit; per-tensor symmetric int8 as in quantized inference). The
+    * encode-time floor(v / scale * 127) is the identical IEEE-754
+    * binary64 expression on both engines (floor, not round: half-way
+    * modes differ across engines, floor of an identical double cannot).
+    * Shared by s_ann_sq8 (inline encode) and s_ann_sq8_index (stored
+    * code table).
+    */
+  private def sq8OracleSqlWhere(pred: String): String =
+    s"""WITH u AS (
+       |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |s AS (SELECT MAX(ABS(v)) AS sc FROM u),
+       |c AS (
+       |  SELECT vec_id, i,
+       |         CAST(LEAST(127.0, GREATEST(-127.0,
+       |              FLOOR(v / (SELECT sc FROM s) * 127.0))) AS BIGINT) AS c
+       |  FROM u),
+       |p AS (SELECT i, c AS pc FROM c WHERE vec_id = 1),
+       |sco AS (
+       |  SELECT c.vec_id, CAST(SUM(c.c * p.pc) AS BIGINT) AS score
+       |  FROM c JOIN p ON c.i = p.i GROUP BY c.vec_id)
+       |SELECT vec_id, score FROM sco WHERE $pred
+       |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+
+  private val sq8OracleSql: String = sq8OracleSqlWhere("TRUE")
+
+  val s_ann_sq8: Query = q("s_ann_sq8", Some(sq8OracleSql)) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val scale = graft.operators.SqIndex.train(emb)
+    val probe: Seq[Float] = emb.filter(col("vec_id") === 1)
+      .select("embedding").collect().head.getSeq[Float](0)
+    graft.operators.SqIndex.rank(
+      graft.operators.SqIndex.encode(emb, scale),
+      graft.operators.SqIndex.encodeVec(probe, scale), topN = 5)
+  }
+
+  /** SQ8 ANN against the PERSISTED code table — train once (frozen scale,
+    * persisted as the `_scale` sidecar), encode once, WRITE, and the query
+    * plan scans ONLY dim-bytes-a-row parquet: no embedding column, no
+    * float math (SqIndexSpec pins the encoder-free plan). Ingest appends
+    * deltas encoded against the frozen scale (O(delta) per crawl — clamp
+    * covers range drift); forget rides the shared vec_id delete vectors;
+    * the `_scale` sidecar survives compaction (IndexMaintenance's sidecar
+    * rescue). Same oracle, identical output to s_ann_sq8. Build memoized
+    * per (JVM, sfDir) like every stored index: the recurring cost the gate
+    * times is the code-table scan.
+    */
+  private val sqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val s_ann_sq8_index: Query =
+    q("s_ann_sq8_index", Some(sq8OracleSql)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val probe: Seq[Float] = emb.filter(col("vec_id") === 1)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val path = sqIndexCache.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_sqidx_").toString
+        graft.operators.SqIndex.build(emb, graft.operators.SqIndex.train(emb), p)
+        p
+      })
+      graft.operators.SqIndex.query(s, path, probe, topN = 5)
+    }
+
   /** Composed IVF-PQ — the production vector-index architecture (FAISS
     * IVFPQ): the coarse quantizer restricts the search to nProbe=2 of 16
     * inverted lists (s_ann_ivf's mechanism), then candidates are scored by
@@ -4314,7 +4386,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     q24_cosine_topk, s_ann_filtered, s_ann_filtered_index, d_embed_neardup,
     d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_ivf_trained, s_ann_pq, s_ann_pq_index, s_ann_pq_ingest, s_ann_pq_forget,
-    s_ann_pq_rerank,
+    s_ann_pq_rerank, s_ann_sq8, s_ann_sq8_index,
     s_ann_ivfpq, s_ann_ivfpq_index, s_ann_ivfpq_filtered, s_ann_ivfpq_ingest, s_ann_ivfpq_trained,
     s_label_centroid, d_semdedup,
     s_knn_batch,

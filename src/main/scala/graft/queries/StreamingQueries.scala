@@ -968,9 +968,82 @@ object StreamingQueries {
     },
     Some(NorthStar.forgetOracleSql))
 
+  /** Streamed SCD type-2 dimension maintenance — q38_scd2_merge's batch
+    * upsert run CONTINUOUSLY ([[graft.operators.Scd2Dim]]): the customer
+    * dimension is seeded once, then every event is treated as a
+    * segment-change update for its user and merged per micro-batch (three
+    * deterministic md5 slices of the event log, each its own trigger) into
+    * the persisted `kb=`-bucketed dimension — close the open row, append
+    * the new version, rewrite ONLY the touched buckets (dynamic partition
+    * overwrite). The merge rebuilds affected keys' timelines from the
+    * stored rows + the batch, so batch application is COMMUTATIVE (late /
+    * out-of-order updates splice exactly — Scd2DimSpec shuffles the slice
+    * order and pins equality) and at-least-once replay collapses. Oracle:
+    * the full-history SCD2 derivation (base snapshot + all updates, one
+    * LEAD window) — the streamed, incrementally-merged table must equal
+    * the from-scratch batch timeline row for row.
+    */
+  val st_scd2: Query = Query(
+    "st_scd2",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_scd2_").toString
+      val dim = s"$base/dim"
+      val dim0 = graft.tables.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      graft.operators.Scd2Dim.seed(dim0, "1992-01-01 00:00:00", dim)
+      val ev = graft.tables.Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type").as("segment"))
+      val sliceCol = {
+        val h = substring(md5(concat(col("event_id").cast("string"), lit(":scd2"))), 1, 1)
+        when(h <= "4", 0).when(h <= "9", 1).otherwise(2)
+      }
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+      val updSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, segment STRING")
+      val streamed = s.readStream.schema(updSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.Scd2Dim.upsertStream(streamed, dim, s"$base/cp")
+      try {
+        for (sl <- 0 to 2) {
+          oneFile(ev.filter(sliceCol === sl), s"$base/src/s$sl.parquet",
+            1000000000000L + sl * 60000L)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      graft.operators.Scd2Dim.read(s, dim)
+        .select(col("user_id"), col("segment"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from")
+    },
+    Some("""WITH upd AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS vf, event_type AS segment,
+           |         event_id AS eid
+           |  FROM events),
+           |base AS (
+           |  SELECT c_custkey AS user_id, TIMESTAMP '1992-01-01' AS vf,
+           |         c_mktsegment AS segment, CAST(-1 AS BIGINT) AS eid
+           |  FROM customer),
+           |t AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+           |d AS (
+           |  SELECT * FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, vf ORDER BY eid DESC) AS rn
+           |    FROM t) r WHERE rn = 1),
+           |x AS (
+           |  SELECT user_id, segment, vf,
+           |         LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf) AS vt
+           |  FROM d)
+           |SELECT user_id, segment,
+           |       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           |       strftime(COALESCE(vt, TIMESTAMP '9999-12-31'), '%Y-%m-%d %H:%M:%S') AS valid_to,
+           |       vt IS NULL AS is_current
+           |FROM x ORDER BY user_id, valid_from""".stripMargin))
+
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
     st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
     st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe,
     st_substring_probe, st_minhash_probe, st_pq_probe, st_ivfpq_probe,
-    st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget)
+    st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget, st_scd2)
 }
