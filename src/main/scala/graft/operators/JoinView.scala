@@ -1,0 +1,306 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized JOIN view — the join-IVM complement of
+  * [[AggIndex]] (aggregate IVM): a persisted equi-join view `V = A ⋈ B`
+  * kept current under batch appends to EITHER side by the classic delta
+  * rule (Blakeley et al., SIGMOD'86; every incremental-view-maintenance
+  * engine since):
+  *
+  * {{{ ΔV  =  ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB }}}
+  *
+  * Every (a, b) key-match appears exactly once — at the batch where its
+  * LATER side arrived (the ΔA⋈ΔB term covers same-batch arrivals) — so
+  * the accumulated view equals the from-scratch join of everything
+  * ingested, under ANY slicing of either side and ANY interleaving
+  * (JoinViewSpec shuffles slice order and pins equality). This is the
+  * "maintained enriched fact table" every lakehouse pipeline re-derives
+  * nightly; here the refresh is delta-sized.
+  *
+  * Storage at 100 TB: THREE sibling tables under one root — the
+  * accumulated inputs `a/` and `b/` (the view alone cannot produce
+  * `old ⋈ Δ` terms) and the materialized `view/` — all partitioned by
+  * `kb=` (hash bucket of the join key) and `batch=`. The bucketing is
+  * what makes a delta ingest delta-sized: each of the two `old ⋈ Δ`
+  * joins prunes the STORED side to the delta's key buckets at planning
+  * time (PartitionFilters, spec-pinned), so a batch touching few keys
+  * reads a sliver of history, never the table; deltas are typically
+  * batch-sized so AQE broadcasts them against the pruned scan. The view
+  * is append-only — no rewrite, compaction-friendly.
+  *
+  * Crash discipline = [[AggIndex]]'s ledger: a batch's three appends
+  * (a, b, view) publish under `batch=N` partitions and only then does the
+  * `_graft_committed_batch` marker advance (atomic OVERWRITE rename).
+  * Every read — merged(), and the `old` sides inside ingest — filters
+  * `batch <= committed`, so a writer that died mid-batch leaves only
+  * invisible orphans; the next ingest deletes any `batch > committed`
+  * directories before re-appending under the same id, so a retry can
+  * never double-materialize a pair. mergedAsOf(N) is time travel for
+  * free: the view as it stood after batch N is a prefix filter on the
+  * immutable batch column.
+  *
+  * Contract: `key` names the join column present in both inputs; the two
+  * sides' payload columns are otherwise disjoint. Batch ingest under a
+  * single-writer contract (the [[IndexMaintenance]] discipline).
+  */
+object JoinView {
+
+  /** Key-bucket count — fixture-sized; a production view picks thousands
+    * so a delta's pruned read is a sliver of history.
+    */
+  val NB = 8
+
+  private def kb(k: Column): Column = pmod(xxhash64(k), lit(NB)).cast("int")
+
+  private def commitMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_committed_batch")
+
+  private def keyMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_join_key")
+
+  private def writeKeyMarker(spark: SparkSession, path: String, key: String): Unit = {
+    val mp = keyMarkerPath(path)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The join-key column name, persisted at build time so key-dependent
+    * reads (tombstone anti-joins) need no out-of-band metadata.
+    */
+  def joinKey(spark: SparkSession, path: String): String = {
+    val mp = keyMarkerPath(path)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(mp), s"no join-key marker at $path — not a JoinView root")
+    val in = fs.open(mp)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  private def markCommitted(spark: SparkSession, path: String, batch: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val mp = commitMarkerPath(path)
+    val fs = mp.getFileSystem(conf)
+    // write-temp-then-OVERWRITE-rename (AggIndex's rationale): never
+    // half-written, never absent once first written
+    val tmp = new org.apache.hadoop.fs.Path(path, "_graft_committed_batch.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(mp),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def committedBatch(spark: SparkSession, path: String): Int = {
+    val mp = commitMarkerPath(path)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(mp),
+      s"no commit ledger at $path — not a JoinView-managed root (build first)")
+    val in = fs.open(mp)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+    try raw.toInt catch {
+      case _: NumberFormatException => throw new IllegalStateException(
+        s"corrupt commit ledger at $mp (contents: '$raw')")
+    }
+  }
+
+  private def append(df: DataFrame, key: String, sub: String, batch: Int): Unit =
+    df.withColumn("kb", kb(col(key))).withColumn("batch", lit(batch))
+      .write.partitionBy("kb", "batch").mode("append").parquet(sub)
+
+  /** Persist each subtable's schema as an underscore-prefixed sidecar
+    * (one empty parquet file; invisible to the partitioned reads below):
+    * an EMPTY side or view — a batch with no appends for one side, a seed
+    * join with no matches — writes only partition metadata, and a later
+    * schema-INFERRED read of it would fail. Every read goes through the
+    * sidecar schema instead, so emptiness is a value, not an error.
+    */
+  private def writeSchemaSidecar(df: DataFrame, key: String, sub: String): Unit =
+    df.withColumn("kb", kb(col(key))).withColumn("batch", lit(0))
+      .limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$sub/_schema")
+
+  private def readSub(spark: SparkSession, sub: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sub/_schema").schema
+    spark.read.schema(schema).parquet(sub)
+  }
+
+  /** Anti-join a subtable's own `_tombstones` delete vectors out (the
+    * shared [[Tombstones]] layout, per subtable so
+    * [[IndexMaintenance.compact]] can reclaim each independently).
+    */
+  private def live(df: DataFrame, spark: SparkSession, sub: String, key: String): DataFrame = {
+    val td = new org.apache.hadoop.fs.Path(Tombstones.dir(sub))
+    val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(td)) df
+    else df.join(spark.read.parquet(td.toString).select(key).distinct(),
+      Seq(key), "left_anti")
+  }
+
+  /** A stored side, committed rows only, PRUNED to the given key buckets —
+    * the read whose PartitionFilters make ingest delta-sized. Tombstoned
+    * keys are anti-joined out so a later delta cannot resurrect pairs
+    * with a forgotten counterpart.
+    */
+  private def storedPruned(spark: SparkSession, sub: String, committed: Int,
+                           buckets: Array[Int], key: String): DataFrame =
+    live(readSub(spark, sub)
+      .filter(col("batch") <= committed && col("kb").isin(buckets.map(Int.box): _*))
+      .drop("kb", "batch"), spark, sub, key)
+
+  /** Bounded collect: at most NB bucket ids present in a delta. */
+  private def bucketsOf(delta: DataFrame, key: String): Array[Int] =
+    delta.select(kb(col(key)).as("kb")).distinct().collect().map(_.getInt(0))
+
+  /** Delete `batch > committed` partition directories — orphans of a
+    * writer that died between its appends and its commit. Run before
+    * re-appending under the same id so a retry cannot double-materialize.
+    * One listing per ingest (batch cadence, not per-trigger).
+    */
+  private def cleanupOrphans(spark: SparkSession, path: String, committed: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    for (sub <- Seq("a", "b", "view")) {
+      val glob = new org.apache.hadoop.fs.Path(s"$path/$sub/kb=*/batch=*")
+      val fs = glob.getFileSystem(conf)
+      val hits = fs.globStatus(glob)
+      if (hits != null) hits.foreach { st =>
+        val id = st.getPath.getName.stripPrefix("batch=").toInt
+        if (id > committed) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** The delta-rule view increment for one batch, as a (lazy) DataFrame —
+    * factored out so JoinViewSpec can plan-assert the pruned stored reads.
+    */
+  def deltaView(spark: SparkSession, path: String, da: DataFrame, db: DataFrame,
+                key: String): DataFrame = {
+    val c = committedBatch(spark, path)
+    val aOld = storedPruned(spark, s"$path/a", c, bucketsOf(db, key), key)
+    val bOld = storedPruned(spark, s"$path/b", c, bucketsOf(da, key), key)
+    da.join(bOld, Seq(key))
+      .unionByName(aOld.join(db, Seq(key)))
+      .unionByName(da.join(db, Seq(key)))
+  }
+
+  /** Seed the view: batch 0 = the base join. */
+  def build(a0: DataFrame, b0: DataFrame, key: String, path: String): Unit = {
+    val spark = a0.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val v0 = a0.join(b0, Seq(key))
+    writeSchemaSidecar(a0, key, s"$path/a")
+    writeSchemaSidecar(b0, key, s"$path/b")
+    writeSchemaSidecar(v0, key, s"$path/view")
+    append(a0, key, s"$path/a", 0)
+    append(b0, key, s"$path/b", 0)
+    append(v0, key, s"$path/view", 0)
+    writeKeyMarker(spark, path, key)
+    markCommitted(spark, path, 0)
+  }
+
+  /** Apply one batch of appends (either side may be empty): materialize
+    * ΔV by the delta rule, append all three tables, advance the ledger.
+    * Returns the applied batch id.
+    *
+    * `batch` defaults to the next free id; an EXPLICIT id makes the call
+    * replay-idempotent for streamed wiring ([[ingestStream]]): an id at
+    * or below the ledger was fully applied before — the whole call
+    * no-ops (a foreachBatch replay after a crash between ledger advance
+    * and checkpoint commit must not double-materialize) — and an id
+    * beyond the next free one fails loudly (a gap means a foreign
+    * writer).
+    */
+  def ingest(da: DataFrame, db: DataFrame, key: String, path: String,
+             batch: Int = -1): Int = {
+    val spark = da.sparkSession
+    val c = committedBatch(spark, path)
+    val b = if (batch >= 0) batch else c + 1
+    if (b <= c) return b // fully-committed replay: exactly-once by no-op
+    require(b == c + 1,
+      s"batch $b skips ahead of ledger $c at $path — a foreign writer is interleaving")
+    cleanupOrphans(spark, path, c)
+    val dv = deltaView(spark, path, da, db, key)
+    append(da, key, s"$path/a", b)
+    append(db, key, s"$path/b", b)
+    append(dv, key, s"$path/view", b)
+    markCommitted(spark, path, b)
+    b
+  }
+
+  /** Stream one side's appends into the view (the enriched-fact-table
+    * production shape: facts stream, the dimension side grows by batch
+    * ingests between stream runs). Each micro-batch applies the delta
+    * rule under a REAL pinned batch id (base + foreachBatch id, the
+    * [[IndexStream.pinnedBase]] discipline), so crash-replay lands on
+    * [[ingest]]'s no-op path and the view is exactly-once. Single-writer
+    * contract: while this checkpoint is live, nothing else ingests.
+    */
+  def ingestStream(da: DataFrame, key: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    da.writeStream
+      .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
+        val spark = batchDf.sparkSession
+        val base = IndexStream.pinnedBase(batchDf,
+          committedBatch(spark, path) + 1, checkpoint)
+        val db = readSub(spark, s"$path/b").drop("kb", "batch").limit(0)
+        ingest(batchDf, db, key, path, batch = base + batchId.toInt)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Right-to-be-forgotten on the JOIN KEY (a user and every enriched
+    * row derived from them): O(deletes) — append the ids to each
+    * subtable's `_tombstones` delete vectors; every read ([[merged]] and
+    * the `old` sides inside [[ingest]]) anti-joins them out, so the
+    * forgotten keys' pairs vanish AND cannot be re-derived by later
+    * deltas joining stored history. Physical reclamation rides
+    * [[compact]]. Serialize with ingest under the single-writer contract.
+    * Contract (family-wide, same as the text/vector indexes): the delete
+    * vector hides the KEY, so rows for a forgotten key re-ingested
+    * BEFORE the next compact stay hidden and are reclaimed with it —
+    * a legitimately returning key (re-registration) must land after the
+    * tombstone retires.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val key = joinKey(spark, path)
+    for (sub <- Seq("a", "b", "view"))
+      Tombstones.forget(spark, s"$path/$sub", ids, idCol = key)
+  }
+
+  /** Compact each subtable in place ([[IndexMaintenance.compact]], kb/batch
+    * layout preserved): merges fragment files AND physically reclaims
+    * tombstoned rows, retiring the applied delete vectors with the swap.
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    for (sub <- Seq("a", "b", "view")) {
+      val glob = new org.apache.hadoop.fs.Path(s"$path/$sub/kb=*/batch=*")
+      val fs = glob.getFileSystem(spark.sessionState.newHadoopConf())
+      val hits = fs.globStatus(glob)
+      // a never-populated side has only the _schema sidecar — nothing to do
+      if (hits != null && hits.nonEmpty)
+        IndexMaintenance.compact(spark, s"$path/$sub", partitionCols = Seq("kb", "batch"))
+    }
+
+  /** The maintained view — committed batches only. */
+  def merged(spark: SparkSession, path: String): DataFrame =
+    mergedAsOf(spark, path, Int.MaxValue)
+
+  /** The view as it stood after `upToBatch` — time travel by prefix
+    * filter on the immutable batch column ([[AggIndex.mergedAsOf]]'s
+    * contract: exact between maintenance events).
+    */
+  def mergedAsOf(spark: SparkSession, path: String, upToBatch: Int): DataFrame = {
+    val c = committedBatch(spark, path)
+    live(readSub(spark, s"$path/view")
+      .filter(col("batch") <= math.min(c, upToBatch))
+      .drop("kb", "batch"), spark, s"$path/view", joinKey(spark, path))
+  }
+}

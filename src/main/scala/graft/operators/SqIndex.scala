@@ -111,6 +111,28 @@ object SqIndex {
     encode(emb, scale).write.mode("append").parquet(path)
   }
 
+  /** Streamed ingest — [[PqIndex.ingestStream]]'s discipline for the SQ8
+    * table: embeddings stream in, every micro-batch encodes against the
+    * FROZEN scale (trained batch-side before the stream starts — the
+    * frozen-quantizer contract: stream-time codes mean what build-time
+    * codes meant; out-of-range values clamp) and appends. The `_scale`
+    * sidecar is published BEFORE the stream starts so readers can query
+    * the growing table mid-stream.
+    */
+  def ingestStream(emb: DataFrame, scale: Double, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq(scale).toDF("scale").coalesce(1)
+      .write.mode("overwrite").parquet(scaleDir(path))
+    encode(emb, scale).writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode("append").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Forget vectors — the shared [[Tombstones]] delete-vector lifecycle on
     * `vec_id` (see [[PqIndex.forget]]); physical reclamation rides the
     * tombstone-aware [[IndexMaintenance.compact]].
@@ -129,13 +151,17 @@ object SqIndex {
     * (score desc, vec_id) order. THE single copy of the SQ ranking so the
     * inline and stored lifecycles cannot drift.
     */
-  def rank(codes: DataFrame, probeCodes: Seq[Int], topN: Int): DataFrame = {
-    val score = expr(
-      s"aggregate(zip_with(codes, ${qcSql(probeCodes)}, (a, b) -> CAST(a AS BIGINT) * b), 0L, (acc, x) -> acc + x)")
-    codes.select(col("vec_id"), score.as("score"))
+  def rank(codes: DataFrame, probeCodes: Seq[Int], topN: Int): DataFrame =
+    codes.select(col("vec_id"), scoreCol(probeCodes).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(topN)
-  }
+
+  /** The exact BIGINT code dot product against one quantized probe — THE
+    * single scoring expression every SQ8 consumer ([[rank]], the streamed
+    * ingest contract) goes through.
+    */
+  def scoreCol(probeCodes: Seq[Int]): Column = expr(
+    s"aggregate(zip_with(codes, ${qcSql(probeCodes)}, (a, b) -> CAST(a AS BIGINT) * b), 0L, (acc, x) -> acc + x)")
 
   private def qcSql(probeCodes: Seq[Int]): String =
     probeCodes.mkString("array(", ", ", ")")

@@ -482,7 +482,108 @@ object EventAnalytics {
       .orderBy("user_id", "event_id")
   }
 
+  /** Per-JVM memo of the maintained join view for an sf dir: the enriched
+    * fact table events ⋈ customer, seeded with a base slice of BOTH sides
+    * and grown by two batches that append to both — so every delta-rule
+    * term (ΔA⋈B_old, A_old⋈ΔB, ΔA⋈ΔB) materializes pairs across batch
+    * boundaries, not just the seed join.
+    */
+  private val joinViewCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def joinViewPath(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    joinViewCache.computeIfAbsent(dir, _ => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val p = java.nio.file.Files.createTempDirectory("graft_joinview_").toString
+      graft.operators.JoinView.build(
+        ev.filter(col("event_id") % 5 =!= 4),
+        cust.filter(col("user_id") % 5 =!= 4), "user_id", p)
+      graft.operators.JoinView.ingest(
+        ev.filter(col("event_id") % 10 === 4),
+        cust.filter(col("user_id") % 10 === 4), "user_id", p)
+      graft.operators.JoinView.ingest(
+        ev.filter(col("event_id") % 10 === 9),
+        cust.filter(col("user_id") % 10 === 9), "user_id", p)
+      p
+    })
+
+  /** Incrementally maintained JOIN view ([[graft.operators.JoinView]]) —
+    * the enriched fact table (events ⋈ customer profile) kept current by
+    * the delta rule as BOTH sides grow, answered from the STORED view:
+    * per market segment, event count and the exact money sum. The oracle
+    * joins the whole of both tables in one shot — the maintained view
+    * must reproduce it exactly, which is precisely the IVM correctness
+    * claim (every cross-batch pair found, none found twice). Money is
+    * integer-cents (FLOAT_AUDIT discipline: order-independent 64-bit
+    * algebra, one float division at the end).
+    */
+  private[queries] val joinMaintainOracleSql: String =
+    """SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY segment ORDER BY segment""".stripMargin
+
+  /** The maintained view's presentation agg — shared by the batch
+    * (e_join_maintain), streamed (st_join_ingest) and forget
+    * (e_join_forget) rows so all three hash against one shape.
+    */
+  private[queries] def joinViewAgg(s: org.apache.spark.sql.SparkSession,
+                                   path: String): DataFrame =
+    graft.operators.JoinView.merged(s, path)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sv"))
+      .orderBy("segment")
+
+  val e_join_maintain: Query = q("e_join_maintain", joinMaintainOracleSql,
+    headline = true) { (s, dir) =>
+    joinViewAgg(s, joinViewPath(s, dir))
+  }
+
+  /** Right-to-be-forgotten for the JOIN view ([[graft.operators.JoinView
+    * .forget]]): a user set is tombstoned on the join key — O(deletes)
+    * delete-vector appends on all three subtables, every read anti-joins
+    * them out, compact physically reclaims and retires — and the oracle
+    * is the one-shot join over tables that NEVER CONTAINED the users
+    * (forget-equals-never-ingested parity: dropping a key from either
+    * join input drops exactly that key's pairs). The delta ingested
+    * AFTER the forget proves stored history cannot resurrect the
+    * forgotten keys' enriched rows.
+    */
+  val e_join_forget: Query = q("e_join_forget",
+    """SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE e.user_id % 37 <> 0
+      |GROUP BY segment ORDER BY segment""".stripMargin) { (s, dir) =>
+    val path = joinViewCache.computeIfAbsent(s"$dir#forget", _ => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val p = java.nio.file.Files.createTempDirectory("graft_joinview_fgt_").toString
+      graft.operators.JoinView.build(
+        ev.filter(col("event_id") % 5 =!= 4), cust, "user_id", p)
+      graft.operators.JoinView.ingest(
+        ev.filter(col("event_id") % 10 === 4), cust.limit(0), "user_id", p)
+      graft.operators.JoinView.forget(s, p,
+        ev.filter(col("user_id") % 37 === 0).select("user_id")
+          .unionByName(cust.filter(col("user_id") % 37 === 0).select("user_id")))
+      graft.operators.JoinView.compact(s, p)
+      // post-forget delta: its forgotten-key rows must stay invisible in
+      // every old⋈Δ term (the keys are gone from stored history)
+      graft.operators.JoinView.ingest(
+        ev.filter(col("event_id") % 10 === 9 && col("user_id") % 37 =!= 0),
+        cust.limit(0), "user_id", p)
+      p
+    })
+    joinViewAgg(s, path)
+  }
+
   val all: Seq[Query] =
     Seq(e_funnel, e_retention, w_range_frame, e_gapfill, e_locf, e_agg_maintain,
-      e_agg_quantile, e_agg_overlap, e_agg_topbucket, e_agg_asof, e_agg_forget)
+      e_agg_quantile, e_agg_overlap, e_agg_topbucket, e_agg_asof, e_agg_forget,
+      e_join_maintain, e_join_forget)
 }

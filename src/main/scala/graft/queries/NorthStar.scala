@@ -3732,18 +3732,25 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
     * Shared by s_ann_sq8 (inline encode) and s_ann_sq8_index (stored
     * code table).
     */
+  /** Shared DuckDB CTE chain deriving per-(vec_id, i) SQ8 codes (`c`) and
+    * vec-1 probe codes (`p`) — the one copy the inline, stored, and
+    * streamed-ingest SQ8 oracles all build on.
+    */
+  private[queries] val sq8CodesCte: String =
+    """u AS (
+      |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |s AS (SELECT MAX(ABS(v)) AS sc FROM u),
+      |c AS (
+      |  SELECT vec_id, i,
+      |         CAST(LEAST(127.0, GREATEST(-127.0,
+      |              FLOOR(v / (SELECT sc FROM s) * 127.0))) AS BIGINT) AS c
+      |  FROM u),
+      |p AS (SELECT i, c AS pc FROM c WHERE vec_id = 1)""".stripMargin
+
   private def sq8OracleSqlWhere(pred: String): String =
-    s"""WITH u AS (
-       |  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
-       |         generate_subscripts(embedding, 1) AS i
-       |  FROM embeddings),
-       |s AS (SELECT MAX(ABS(v)) AS sc FROM u),
-       |c AS (
-       |  SELECT vec_id, i,
-       |         CAST(LEAST(127.0, GREATEST(-127.0,
-       |              FLOOR(v / (SELECT sc FROM s) * 127.0))) AS BIGINT) AS c
-       |  FROM u),
-       |p AS (SELECT i, c AS pc FROM c WHERE vec_id = 1),
+    s"""WITH $sq8CodesCte,
        |sco AS (
        |  SELECT c.vec_id, CAST(SUM(c.c * p.pc) AS BIGINT) AS score
        |  FROM c JOIN p ON c.i = p.i GROUP BY c.vec_id)

@@ -1099,9 +1099,74 @@ object Relational {
         |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   }
 
+  /** Point-in-time dimensional lookup — the QUERY side of the SCD2 pair
+    * (q38_scd2_merge maintains the versioned dimension; this consumes it):
+    * every order joins the dimension row that was valid ON ITS ORDER DATE
+    * (custkey equality + valid_from <= d < valid_to), so a %7 customer's
+    * orders split across its segment versions at the 1995-01-01 effective
+    * date — "revenue by the segment the customer was in WHEN THEY
+    * ORDERED", the question SCD2 exists to answer (and the one a
+    * current-state join silently gets wrong by back-attributing old
+    * revenue to new segments).
+    *
+    * Plan shape at 100 TB: this is NOT a range join — custkey is an
+    * equality, so it runs as one hash join on the fact's natural shuffle
+    * key with the date range as a cheap residual (each order meets <= 2
+    * version rows pre-filter, exactly 1 post). Dimensions are small
+    * relative to facts; AQE broadcasts the dim side here, and a truly
+    * huge dim falls back to the same single key shuffle. The revenue
+    * reduction is DECIMAL-exact (order-independent at any parallelism —
+    * FLOAT_AUDIT discipline).
+    */
+  val q43_scd2_lookup: Query = q("q43_scd2_lookup",
+    """WITH upd AS (
+      |  SELECT c_custkey, c_mktsegment || '-V2' AS seg
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |dim AS (
+      |  SELECT d.c_custkey, d.c_mktsegment AS segment,
+      |         DATE '1992-01-01' AS vf,
+      |         CASE WHEN u.c_custkey IS NOT NULL THEN DATE '1995-01-01'
+      |              ELSE DATE '9999-12-31' END AS vt
+      |  FROM customer d LEFT JOIN upd u ON d.c_custkey = u.c_custkey
+      |  UNION ALL
+      |  SELECT c_custkey, seg, DATE '1995-01-01', DATE '9999-12-31' FROM upd)
+      |SELECT dim.segment, COUNT(*) AS n_orders,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
+      |FROM orders o JOIN dim ON o.o_custkey = dim.c_custkey
+      | AND CAST(o.o_orderdate AS DATE) >= dim.vf
+      | AND CAST(o.o_orderdate AS DATE) < dim.vt
+      |GROUP BY dim.segment ORDER BY dim.segment""".stripMargin) { (s, dir) =>
+    def t(n: String): DataFrame = Tables.load(s, dir, n)
+    val cust = t("customer").select(col("c_custkey"), col("c_mktsegment"))
+    val upd = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), concat(col("c_mktsegment"), lit("-V2")).as("seg"))
+    val from0 = lit("1992-01-01").cast("date")
+    val eff = lit("1995-01-01").cast("date")
+    val openEnd = lit("9999-12-31").cast("date")
+    def ver(seg: Column, vf: Column, vt: Column) =
+      struct(seg.as("segment"), vf.as("vf"), vt.as("vt"))
+    // q38's one-left-join row expansion: matched keys explode to (closed
+    // old, open new), unmatched to their single open row
+    val dim = cust.join(upd, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), explode(when(col("seg").isNotNull,
+          array(ver(col("c_mktsegment"), from0, eff),
+            ver(col("seg"), eff, openEnd)))
+        .otherwise(array(ver(col("c_mktsegment"), from0, openEnd)))).as("v"))
+      .select(col("c_custkey"), col("v.segment").as("segment"),
+        col("v.vf").as("vf"), col("v.vt").as("vt"))
+    val od = col("o_orderdate").cast("date")
+    t("orders").join(dim,
+        col("o_custkey") === dim("c_custkey") && od >= dim("vf") && od < dim("vt"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("rev"))
+      .orderBy("segment")
+  }
+
   val all: Seq[Query] = Seq(
     q37_dq_report, q38_scd2_merge, q39_bucket_join, q40_lateral, q41_multi_exists,
-    q42_recursive_cte,
+    q42_recursive_cte, q43_scd2_lookup,
     q1_scan_project, q2_filter, q3_cast_null, q4_date_range, q5_agg,
     q6_partition_key, q7_join, q8_join3_agg, q8b_region_rev, q9_left_join, q9b_full_join,
     q10_semi_join, q11_anti_join, q12_count_distinct, q13_rollup, q13_cube, q13_gsets,

@@ -968,6 +968,82 @@ object StreamingQueries {
     },
     Some(NorthStar.forgetOracleSql))
 
+  /** Streaming SQ8-code ingest — the scalar-quantized member of the
+    * streamed-ingest matrix ([[st_pq_ingest]]'s per-dimension twin): the
+    * scale is trained batch-side and FROZEN, embeddings stream in, every
+    * micro-batch encodes int8 codes against that scale and appends
+    * ([[graft.operators.SqIndex.ingestStream]]). Contract: per-vector
+    * EXACT integers — the code sum and the BIGINT dot product against the
+    * vec-1 probe (the single [[graft.operators.SqIndex.scoreCol]]
+    * expression) for EVERY vector, so a single drifted code anywhere in
+    * the streamed table fails the hash. Encoding is deterministic, so
+    * at-least-once replays are byte-identical (set semantics restored by
+    * dropDuplicates, as in every ingest entry).
+    */
+  val st_sq8_ingest: Query = Query(
+    "st_sq8_ingest",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_sqidx_")
+      val embBatch = graft.tables.Tables.load(s, dir, "embeddings")
+      val scale = graft.operators.SqIndex.train(embBatch)
+      val probe: Seq[Float] = embBatch.filter(col("vec_id") === 1)
+        .select("embedding").collect().head.getSeq[Float](0)
+      val pc = graft.operators.SqIndex.encodeVec(probe, scale)
+      val embSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      val emb = s.readStream
+        .schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+      val q = graft.operators.SqIndex.ingestStream(emb, scale, s"$base/idx", s"$base/cp")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/idx")
+        .dropDuplicates("vec_id")
+        .select(col("vec_id"),
+          expr("aggregate(codes, 0L, (acc, x) -> acc + x)").as("csum"),
+          graft.operators.SqIndex.scoreCol(pc).as("score"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH ${NorthStar.sq8CodesCte},
+            |agg AS (
+            |  SELECT c.vec_id, CAST(SUM(c.c) AS BIGINT) AS csum,
+            |         CAST(SUM(c.c * p.pc) AS BIGINT) AS score
+            |  FROM c JOIN p ON c.i = p.i GROUP BY c.vec_id)
+            |SELECT vec_id, csum, score FROM agg ORDER BY vec_id""".stripMargin))
+
+  /** Streamed JOIN-view maintenance — e_join_maintain's fact side run as
+    * a STREAM ([[graft.operators.JoinView.ingestStream]]): the customer
+    * dimension seeds the view, events arrive as micro-batches (three
+    * mtime-ordered slices), and each trigger applies the delta rule
+    * under a REAL pinned batch id, so the persisted enriched-fact view
+    * grows exactly-once (crash replay lands on ingest's committed-id
+    * no-op). Same oracle as the batch row: the streamed, incrementally
+    * maintained view must reproduce the one-shot whole-table join.
+    */
+  val st_join_ingest: Query = Query(
+    "st_join_ingest",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_jv_").toString
+      val ev = graft.tables.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val cust = graft.tables.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.JoinView.build(ev.limit(0), cust, "user_id", s"$base/view")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+      for (sl <- 0 to 2)
+        oneFile(ev.filter(pmod(col("event_id"), lit(3)) === sl),
+          s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+      val evSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_id BIGINT, event_type STRING, value DOUBLE")
+      val streamed = s.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.JoinView.ingestStream(
+        streamed, "user_id", s"$base/view", s"$base/cp")
+      try q.processAllAvailable() finally q.stop()
+      EventAnalytics.joinViewAgg(s, s"$base/view")
+    },
+    Some(EventAnalytics.joinMaintainOracleSql))
+
   /** Streamed SCD type-2 dimension maintenance — q38_scd2_merge's batch
     * upsert run CONTINUOUSLY ([[graft.operators.Scd2Dim]]): the customer
     * dimension is seeded once, then every event is treated as a
@@ -1045,5 +1121,6 @@ object StreamingQueries {
     st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
     st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe,
     st_substring_probe, st_minhash_probe, st_pq_probe, st_ivfpq_probe,
-    st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget, st_scd2)
+    st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget, st_scd2,
+    st_sq8_ingest, st_join_ingest)
 }

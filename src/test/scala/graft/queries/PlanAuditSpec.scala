@@ -112,6 +112,19 @@ class PlanAuditSpec extends SparkSpec {
       s"nested-loop fallback in q41 plan:\n$plan")
   }
 
+  test("q43_scd2_lookup plans the temporal lookup as an equi hash join") {
+    // custkey equality is the join key; the valid_from <= d < valid_to
+    // bounds must ride as a residual condition on that hash join — the
+    // point-in-time lookup is NOT a range join and must never fall back
+    // to a nested-loop over the version rows
+    val plan = SparkEntry.queries("q43_scd2_lookup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin"), s"no hash join in q43 plan:\n$plan")
+    val joinLine = plan.linesIterator.find(_.contains("HashJoin")).get
+    assert(joinLine.contains(">=") && joinLine.contains("<"),
+      s"date bounds not a residual on the hash join:\n$joinLine")
+  }
+
   test("d_ngram_jaccard does not broadcast the per-doc sizes side") {
     // sizes is one row per document — a broadcast hint on it is a driver OOM
     // at scale. AQE may still *choose* to broadcast at this sf; the guard is
