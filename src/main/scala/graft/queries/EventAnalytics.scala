@@ -530,8 +530,9 @@ object EventAnalytics {
     * (e_join_forget) rows so all three hash against one shape.
     */
   private[queries] def joinViewAgg(s: org.apache.spark.sql.SparkSession,
-                                   path: String): DataFrame =
-    graft.operators.JoinView.merged(s, path)
+                                   path: String,
+                                   upToBatch: Int = Int.MaxValue): DataFrame =
+    graft.operators.JoinView.mergedAsOf(s, path, upToBatch)
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n_events"),
         (sum(round(col("value") * 100).cast("long")) / 100.0).as("sv"))
@@ -540,6 +541,24 @@ object EventAnalytics {
   val e_join_maintain: Query = q("e_join_maintain", joinMaintainOracleSql,
     headline = true) { (s, dir) =>
     joinViewAgg(s, joinViewPath(s, dir))
+  }
+
+  /** Time travel for the JOIN view ([[graft.operators.JoinView
+    * .mergedAsOf]]): the enriched table as it stood after batch 1 — a
+    * prefix filter on the immutable batch column, no recomputation, no
+    * input rescans (e_agg_asof's contract applied to the join family).
+    * A view-as-of-batch-N contains exactly the pairs whose BOTH sides
+    * arrived by N, so the oracle is the one-shot join of the first two
+    * slices of each input.
+    */
+  val e_join_asof: Query = q("e_join_asof",
+    """SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE (e.event_id % 5 <> 4 OR e.event_id % 10 = 4)
+      |  AND (c.c_custkey % 5 <> 4 OR c.c_custkey % 10 = 4)
+      |GROUP BY segment ORDER BY segment""".stripMargin) { (s, dir) =>
+    joinViewAgg(s, joinViewPath(s, dir), upToBatch = 1)
   }
 
   /** Right-to-be-forgotten for the JOIN view ([[graft.operators.JoinView
@@ -585,5 +604,5 @@ object EventAnalytics {
   val all: Seq[Query] =
     Seq(e_funnel, e_retention, w_range_frame, e_gapfill, e_locf, e_agg_maintain,
       e_agg_quantile, e_agg_overlap, e_agg_topbucket, e_agg_asof, e_agg_forget,
-      e_join_maintain, e_join_forget)
+      e_join_maintain, e_join_forget, e_join_asof)
 }

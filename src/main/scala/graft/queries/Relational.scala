@@ -1118,7 +1118,52 @@ object Relational {
     * reduction is DECIMAL-exact (order-independent at any parallelism —
     * FLOAT_AUDIT discipline).
     */
-  val q43_scd2_lookup: Query = q("q43_scd2_lookup",
+  /** The q38-derivation SCD2 dimension as a relation `(c_custkey, segment,
+    * vf, vt)` — shared by the batch lookup (q43) and the streamed
+    * enrichment (StreamingQueries.st_scd2_lookup) so the two cannot
+    * drift.
+    */
+  private[queries] def scd2Dim(cust: DataFrame): DataFrame = {
+    val upd = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), concat(col("c_mktsegment"), lit("-V2")).as("seg"))
+    val from0 = lit("1992-01-01").cast("date")
+    val eff = lit("1995-01-01").cast("date")
+    val openEnd = lit("9999-12-31").cast("date")
+    def ver(seg: Column, vf: Column, vt: Column) =
+      struct(seg.as("segment"), vf.as("vf"), vt.as("vt"))
+    // q38's one-left-join row expansion: matched keys explode to (closed
+    // old, open new), unmatched to their single open row
+    cust.join(upd, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), explode(when(col("seg").isNotNull,
+          array(ver(col("c_mktsegment"), from0, eff),
+            ver(col("seg"), eff, openEnd)))
+        .otherwise(array(ver(col("c_mktsegment"), from0, openEnd)))).as("v"))
+      .select(col("c_custkey"), col("v.segment").as("segment"),
+        col("v.vf").as("vf"), col("v.vt").as("vt"))
+  }
+
+  /** The point-in-time enrichment join — each order picks the dim version
+    * valid on its order date. The single copy behind q43 and its streamed
+    * twin (StreamingQueries.st_scd2_lookup).
+    */
+  private[queries] def scd2Enrich(orders: DataFrame, dim: DataFrame): DataFrame = {
+    val od = col("o_orderdate").cast("date")
+    orders.join(dim,
+      col("o_custkey") === dim("c_custkey") && od >= dim("vf") && od < dim("vt"))
+  }
+
+  /** Presentation agg over enriched order rows (shared shape). */
+  private[queries] def scd2EnrichedAgg(rows: DataFrame): DataFrame =
+    rows.groupBy("segment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("rev"))
+      .orderBy("segment")
+
+  private[queries] def scd2LookupAgg(orders: DataFrame, dim: DataFrame): DataFrame =
+    scd2EnrichedAgg(scd2Enrich(orders, dim))
+
+  private[queries] val scd2LookupOracleSql: String =
     """WITH upd AS (
       |  SELECT c_custkey, c_mktsegment || '-V2' AS seg
       |  FROM customer WHERE c_custkey % 7 = 0),
@@ -1135,33 +1180,12 @@ object Relational {
       |FROM orders o JOIN dim ON o.o_custkey = dim.c_custkey
       | AND CAST(o.o_orderdate AS DATE) >= dim.vf
       | AND CAST(o.o_orderdate AS DATE) < dim.vt
-      |GROUP BY dim.segment ORDER BY dim.segment""".stripMargin) { (s, dir) =>
+      |GROUP BY dim.segment ORDER BY dim.segment""".stripMargin
+
+  val q43_scd2_lookup: Query = q("q43_scd2_lookup", scd2LookupOracleSql) { (s, dir) =>
     def t(n: String): DataFrame = Tables.load(s, dir, n)
-    val cust = t("customer").select(col("c_custkey"), col("c_mktsegment"))
-    val upd = cust.filter(col("c_custkey") % 7 === 0)
-      .select(col("c_custkey"), concat(col("c_mktsegment"), lit("-V2")).as("seg"))
-    val from0 = lit("1992-01-01").cast("date")
-    val eff = lit("1995-01-01").cast("date")
-    val openEnd = lit("9999-12-31").cast("date")
-    def ver(seg: Column, vf: Column, vt: Column) =
-      struct(seg.as("segment"), vf.as("vf"), vt.as("vt"))
-    // q38's one-left-join row expansion: matched keys explode to (closed
-    // old, open new), unmatched to their single open row
-    val dim = cust.join(upd, Seq("c_custkey"), "left")
-      .select(col("c_custkey"), explode(when(col("seg").isNotNull,
-          array(ver(col("c_mktsegment"), from0, eff),
-            ver(col("seg"), eff, openEnd)))
-        .otherwise(array(ver(col("c_mktsegment"), from0, openEnd)))).as("v"))
-      .select(col("c_custkey"), col("v.segment").as("segment"),
-        col("v.vf").as("vf"), col("v.vt").as("vt"))
-    val od = col("o_orderdate").cast("date")
-    t("orders").join(dim,
-        col("o_custkey") === dim("c_custkey") && od >= dim("vf") && od < dim("vt"))
-      .groupBy("segment")
-      .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
-          .cast("double").as("rev"))
-      .orderBy("segment")
+    scd2LookupAgg(t("orders"),
+      scd2Dim(t("customer").select(col("c_custkey"), col("c_mktsegment"))))
   }
 
   val all: Seq[Query] = Seq(

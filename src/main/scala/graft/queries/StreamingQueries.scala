@@ -1011,6 +1011,46 @@ object StreamingQueries {
             |  FROM c JOIN p ON c.i = p.i GROUP BY c.vec_id)
             |SELECT vec_id, csum, score FROM agg ORDER BY vec_id""".stripMargin))
 
+  /** Streamed point-in-time enrichment — q43_scd2_lookup's serving twin:
+    * orders arrive as micro-batches (three mtime-ordered slices) and each
+    * trigger joins the batch against the STATIC versioned dimension
+    * (Relational.scd2Dim — the q38 derivation), picking the segment each
+    * order's customer was in ON ITS ORDER DATE; enriched rows land as
+    * they fire and the final relation must equal the batch lookup
+    * (q43's oracle verbatim). Per-trigger cost is batch x broadcast dim —
+    * the dimension never rescans, facts never wait for a nightly join.
+    * Set semantics restored on the unique order key (each order meets
+    * exactly one dim version, so an at-least-once replay collapses).
+    */
+  val st_scd2_lookup: Query = Query(
+    "st_scd2_lookup",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_scd2lk_").toString
+      val orders = graft.tables.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      val dim = Relational.scd2Dim(graft.tables.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      for (sl <- 0 to 2)
+        oneFile(orders.filter(pmod(col("o_orderkey"), lit(3)) === sl),
+          s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+      val oSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderdate TIMESTAMP, o_totalprice DOUBLE")
+      val streamed = s.readStream.schema(oSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = streamed.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          Relational.scd2Enrich(b, dim)
+            .select(col("o_orderkey"), col("segment"), col("o_totalprice"))
+            .write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Relational.scd2EnrichedAgg(
+        s.read.parquet(s"$base/out").dropDuplicates("o_orderkey"))
+    },
+    Some(Relational.scd2LookupOracleSql))
+
   /** Streamed JOIN-view maintenance — e_join_maintain's fact side run as
     * a STREAM ([[graft.operators.JoinView.ingestStream]]): the customer
     * dimension seeds the view, events arrive as micro-batches (three
@@ -1122,5 +1162,5 @@ object StreamingQueries {
     st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe,
     st_substring_probe, st_minhash_probe, st_pq_probe, st_ivfpq_probe,
     st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget, st_scd2,
-    st_sq8_ingest, st_join_ingest)
+    st_sq8_ingest, st_join_ingest, st_scd2_lookup)
 }

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *     ingest never scans event history at all.
   *
   *  2. SqIndex — the compression claim: the stored int8 code-table scan
-  *     vs the raw float exact scan at 10x corpus, plus on-disk bytes.
+  *     vs the raw float exact scan over a synthetic 1M x 64-dim corpus
+  *     (big enough that scan bytes, not job overheads, are the cost),
+  *     plus on-disk bytes.
   *
   *  3. Scd2Dim — the bucket-rewrite claim: a 1-key merge rewrites 1/NB of
   *     the dimension, so its cost tracks BUCKET size, not batch size.
@@ -42,14 +44,20 @@ object JoinScaleRun {
       go(new java.io.File(p))
     }
 
+    // SPARK_GRAFT_SCALE_PARTS: comma-set of {jv,sq8,scd2} to re-measure
+    // one section without paying the others
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "jv,sq8,scd2")
+      .split(',').toSet
+
     // ---------- 1. JoinView: delta-flat vs recompute-linear ----------
+    if (parts("jv")) {
     val ev = graft.tables.Tables.load(spark, base, "events")
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
     val cust = graft.tables.Tables.load(spark, base, "customer")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
     val delta = ev.filter(col("event_id") % 100 === 7) // ~1% of sf0.1 facts
       .withColumn("event_id", col("event_id") + lit(990000000000L))
-    for (copies <- Seq(1, 10)) {
+    for (copies <- Seq(1, 10, 100)) {
       val evN =
         if (copies == 1) ev
         else (0 until copies)
@@ -63,39 +71,63 @@ object JoinScaleRun {
       time(s"jv ${copies}x: ~1%-of-1x fact delta ingest") {
         graft.operators.JoinView.ingest(delta, cust.limit(0), "user_id", p)
       }
-      time(s"jv ${copies}x: from-scratch re-join twin") {
-        evN.unionByName(delta).join(cust, Seq("user_id")).count()
+      // the FAIR twin: a maintained view is a STORED table, so the
+      // refresh it replaces re-joins AND rewrites the whole view
+      time(s"jv ${copies}x: from-scratch re-join + rewrite twin") {
+        rmrf(s"$p.twin")
+        evN.unionByName(delta).join(cust, Seq("user_id"))
+          .write.parquet(s"$p.twin")
       }
+      println(s"[scale] jv ${copies}x bytes: view=${duBytes(s"$p/view")} twin=${duBytes(s"$p.twin")}")
+    }
     }
 
-    // ---------- 2. SqIndex: stored int8 scan vs raw float scan at 10x ----------
-    val emb = graft.tables.Tables.load(spark, base, "embeddings")
-    val emb10 = (0 until 10)
-      .map(k => emb.withColumn("vec_id", col("vec_id") + lit(k * 10000000L)))
-      .reduce(_ unionByName _)
+    if (parts("sq8")) {
+    // ---------- 2. SqIndex: stored int8 scan vs raw float scan ----------
+    // the sf0.1 embeddings table is KB-scale where fixed overheads (job
+    // setup, the set-semantics dedup shuffle) drown the bytes story — so
+    // the corpus here is a SYNTHETIC 1M x 64-dim table (deterministic
+    // hash-derived components, ~N(0,1)-ish spread), large enough that
+    // scan bytes are the cost being measured
+    val dim = 64
     val embDir = "/tmp/graft_scale_sq8_raw"
-    rmrf(embDir)
-    emb10.repartition(32).write.parquet(embDir)
+    if (!new java.io.File(s"$embDir/_SUCCESS").exists) {
+      rmrf(embDir)
+      val comps = (0 until dim).map(i =>
+        ((pmod(xxhash64(col("id"), lit(i)), lit(2000001L)) - 1000000L).cast("float")
+          / 1000000.0f).as(s"c$i"))
+      spark.range(1000000L).select((col("id") + 1).as("vec_id"),
+          array(comps: _*).cast("array<float>").as("embedding"))
+        .repartition(32).write.parquet(embDir)
+    }
     val emb10s = spark.read.parquet(embDir)
-    val probe: Seq[Float] = emb.filter(col("vec_id") === 1)
+    val probe: Seq[Float] = emb10s.filter(col("vec_id") === 1)
       .select("embedding").collect().head.getSeq[Float](0)
     val scale = graft.operators.SqIndex.train(emb10s)
     val idx = "/tmp/graft_scale_sq8_idx"
     rmrf(idx)
-    time("sq8 10x: build (train + encode + write)") {
+    time("sq8 1M x 64d: build (train + encode + write)") {
       graft.operators.SqIndex.build(emb10s, scale, idx)
     }
-    println(s"[scale] sq8 10x bytes: raw=${duBytes(embDir)} codes=${duBytes(idx)}")
-    for (i <- 1 to 3) time(s"sq8 10x stored int8 top-5 scan (run $i)") {
+    println(s"[scale] sq8 1M x 64d bytes: raw=${duBytes(embDir)} codes=${duBytes(idx)}")
+    for (i <- 1 to 3) time(s"sq8 1M x 64d stored int8 top-5 scan (run $i)") {
       graft.operators.SqIndex.query(spark, idx, probe, topN = 5).collect()
     }
-    for (i <- 1 to 3) time(s"sq8 10x raw float exact cosine top-5 (run $i)") {
+    // the same ranking WITHOUT the set-semantics dedup — isolates the
+    // at-least-once replay tax (a full-table shuffle) from the scan itself
+    for (i <- 1 to 3) time(s"sq8 1M x 64d stored int8 scan, no dedup (run $i)") {
+      graft.operators.SqIndex.rank(spark.read.parquet(idx),
+        graft.operators.SqIndex.encodeVec(probe, scale), topN = 5).collect()
+    }
+    for (i <- 1 to 3) time(s"sq8 1M x 64d raw float exact cosine top-5 (run $i)") {
       val pLit = probe.mkString("array(", "F, ", "F)")
       emb10s.select(col("vec_id"),
           expr(s"aggregate(zip_with(embedding, $pLit, (a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, x) -> acc + x)").as("sim"))
         .orderBy(col("sim").desc, col("vec_id")).limit(5).collect()
     }
+    }
 
+    if (parts("scd2")) {
     // ---------- 3. Scd2Dim: 1-key merge cost tracks bucket size ----------
     import spark.implicits._
     for (dimKeys <- Seq(15000L, 150000L)) {
@@ -111,6 +143,7 @@ object JoinScaleRun {
       time(s"scd2 dim=$dimKeys keys: 1-key merge (rewrites 1/${graft.operators.Scd2Dim.NB})") {
         graft.operators.Scd2Dim.upsertBatch(spark, upd, p)
       }
+    }
     }
 
     spark.stop()
