@@ -87,13 +87,20 @@ object SqIndex {
 
   private def scaleDir(path: String): String = path + "/_scale"
 
-  /** Encode the corpus once; write the code table + the `_scale` sidecar. */
-  def build(emb: DataFrame, scale: Double, path: String): Unit = {
-    val spark = emb.sparkSession
+  /** Publish the frozen scale as the `_scale` sidecar (shared with
+    * [[IvfSqIndex]], which stores SQ codes under a `list=` layout).
+    */
+  private[operators] def writeScale(spark: SparkSession, scale: Double,
+                                    path: String): Unit = {
     import spark.implicits._
-    encode(emb, scale).write.mode("overwrite").parquet(path)
     Seq(scale).toDF("scale").coalesce(1)
       .write.mode("overwrite").parquet(scaleDir(path))
+  }
+
+  /** Encode the corpus once; write the code table + the `_scale` sidecar. */
+  def build(emb: DataFrame, scale: Double, path: String): Unit = {
+    encode(emb, scale).write.mode("overwrite").parquet(path)
+    writeScale(emb.sparkSession, scale, path)
   }
 
   /** Read the frozen scale back from the sidecar. */
@@ -121,10 +128,7 @@ object SqIndex {
     */
   def ingestStream(emb: DataFrame, scale: Double, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    Seq(scale).toDF("scale").coalesce(1)
-      .write.mode("overwrite").parquet(scaleDir(path))
+    writeScale(emb.sparkSession, scale, path)
     encode(emb, scale).writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         df.write.mode("append").parquet(path)

@@ -601,8 +601,72 @@ object EventAnalytics {
     joinViewAgg(s, path)
   }
 
+  /** The COMPOSED incremental pipeline — enrich THEN roll up, both
+    * maintained: events and customers arrive in batches, each batch's
+    * delta flows facts -> [[graft.operators.JoinView]] (the enriched
+    * fact table, delta rule) -> [[graft.operators.AggIndex]] (the
+    * dashboard rollup, mergeable partials) — the full
+    * bronze-silver-gold lakehouse pipeline with NO full recomputation at
+    * any stage: per batch, the join work is delta-rule-sized and the
+    * rollup work is one partials pass over exactly that batch's NEW
+    * enriched rows (the view's immutable `batch=` column IS the change
+    * feed — no diffing, no CDC machinery). The rollup keys on the
+    * ENRICHMENT attribute (market segment — AggIndex's generic key
+    * column, aliased at the seam), which is the point: you cannot roll
+    * up by segment without the join, and neither stage rescans history.
+    * Oracle: the one-shot join + rollup over the whole of both tables;
+    * HLL distinct under the family's 5% gate, exact columns hash-checked.
+    */
+  val e_pipeline_ivm: Query = q("e_pipeline_ivm",
+    """SELECT c.c_mktsegment AS segment,
+      |       strftime(date_trunc('day', CAST(e.ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+      |       CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_v,
+      |       MIN(e.value) AS min_v, MAX(e.value) AS max_v,
+      |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users,
+      |       TRUE AS within_5pct
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY segment, day ORDER BY segment, day""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val root = joinViewCache.computeIfAbsent(s"$dir#pipeline", _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_jvivm_").toString
+      def evS(p: Column) = ev.filter(p); def cuS(p: Column) = cust.filter(p)
+      // the view's batch=N partition holds exactly batch N's NEW enriched
+      // rows — the change feed the rollup stage consumes
+      def viewBatch(n: Int) = s.read.parquet(s"$r/jv/view")
+        .filter(col("batch") === n)
+        .select(col("c_mktsegment").as("event_type"), col("ts"),
+          col("value"), col("user_id"))
+      graft.operators.JoinView.build(
+        evS(col("event_id") % 5 =!= 4), cuS(col("user_id") % 5 =!= 4), "user_id", s"$r/jv")
+      AggIndex.build(viewBatch(0), s"$r/agg")
+      for ((em, cm, n) <- Seq((4, 4, 1), (9, 9, 2))) {
+        graft.operators.JoinView.ingest(
+          evS(col("event_id") % 10 === em), cuS(col("user_id") % 10 === cm),
+          "user_id", s"$r/jv")
+        AggIndex.ingest(viewBatch(n), s"$r/agg", batch = n)
+      }
+      r
+    })
+    val m = AggIndex.merged(s, s"$root/agg")
+    val exact = ev.join(cust, Seq("user_id"))
+      .groupBy(col("c_mktsegment").as("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    m.join(exact, Seq("event_type", "day"))
+      .select(col("event_type").as("segment"), col("day"), col("cnt"),
+        round(col("sum_v"), 2).cast("double").as("sum_v"),
+        col("min_v"), col("max_v"), col("exact_users"),
+        (abs(col("users") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") * 0.05).as("within_5pct"))
+      .orderBy("segment", "day")
+  }
+
   val all: Seq[Query] =
     Seq(e_funnel, e_retention, w_range_frame, e_gapfill, e_locf, e_agg_maintain,
       e_agg_quantile, e_agg_overlap, e_agg_topbucket, e_agg_asof, e_agg_forget,
-      e_join_maintain, e_join_forget, e_join_asof)
+      e_join_maintain, e_join_forget, e_join_asof, e_pipeline_ivm)
 }

@@ -3795,6 +3795,76 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
       graft.operators.SqIndex.query(s, path, probe, topN = 5)
     }
 
+  /** IVF-SQ oracle: the IVF-PQ coarse-assignment CTEs (9-dp cosine
+    * argmax, probe's top-nProbe lists) composed with the SQ8 quantize +
+    * exact-BIGINT-dot CTEs, candidates restricted to the probe's lists.
+    */
+  private val ivfsqOracleSql: String = {
+    val KCoarse = graft.operators.IvfPqIndex.KCoarse
+    val NProbe = graft.operators.IvfPqIndex.NProbe
+    s"""WITH cent AS (SELECT vec_id AS ccid, embedding FROM embeddings
+       |              WHERE vec_id <= $KCoarse),
+       |u AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+       |             generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |cu AS (SELECT ccid, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+       |              generate_subscripts(embedding, 1) AS i FROM cent),
+       |sims AS (
+       |  SELECT u.vec_id, cu.ccid,
+       |         ROUND(SUM(u.v * cu.v) / (SQRT(SUM(u.v * u.v)) * SQRT(SUM(cu.v * cu.v))), 9) AS sim
+       |  FROM u JOIN cu ON u.i = cu.i GROUP BY u.vec_id, cu.ccid),
+       |assign AS (
+       |  SELECT vec_id, ccid FROM (
+       |    SELECT vec_id, ccid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, ccid) AS rn
+       |    FROM sims) r WHERE rn = 1),
+       |probe_c AS (
+       |  SELECT ccid FROM (
+       |    SELECT ccid, ROW_NUMBER() OVER (ORDER BY sim DESC, ccid) AS rn
+       |    FROM sims WHERE vec_id = 1) r WHERE rn <= $NProbe),
+       |cand AS (SELECT a.vec_id FROM assign a JOIN probe_c p ON a.ccid = p.ccid),
+       |s AS (SELECT MAX(ABS(v)) AS sc FROM u),
+       |c AS (
+       |  SELECT vec_id, i,
+       |         CAST(LEAST(127.0, GREATEST(-127.0,
+       |              FLOOR(v / (SELECT sc FROM s) * 127.0))) AS BIGINT) AS c
+       |  FROM u),
+       |p AS (SELECT i, c AS pc FROM c WHERE vec_id = 1),
+       |sco AS (
+       |  SELECT c.vec_id, CAST(SUM(c.c * p.pc) AS BIGINT) AS score
+       |  FROM c JOIN p ON c.i = p.i
+       |  WHERE c.vec_id IN (SELECT vec_id FROM cand)
+       |  GROUP BY c.vec_id)
+       |SELECT vec_id, score FROM sco
+       |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+  }
+
+  /** IVF-SQ against the STORED list-partitioned table
+    * ([[graft.operators.IvfSqIndex]]) — the remaining quantizer-matrix
+    * cell (FAISS `IVF16,SQ8`): IVF's partition-pruned probe (nProbe=2 of
+    * 16 `list=` directories become tasks, ~nProbe/K of the bytes) over
+    * SQ8's per-dimension int8 codes and ZERO-float BIGINT ranking —
+    * sub-linear probe cost at per-dimension resolution, where IVF-PQ
+    * trades resolution for 16x more compression. Strict composition
+    * reuse: assignment/list-pick from IvfPqIndex, encode/scale/rank from
+    * SqIndex (neither lattice forked). Pruning, inline-stored parity,
+    * frozen-scale ingest parity, and forget spec-pinned (IvfSqIndexSpec).
+    */
+  private val ivfsqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val s_ann_ivfsq_index: Query =
+    q("s_ann_ivfsq_index", Some(ivfsqOracleSql)) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = IvfPqIndex.centroidsOf(emb)
+      val probe: Seq[Float] = cents.find(_._1 == 1L).get._2
+      val path = ivfsqIndexCache.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_ivfsqidx_").toString
+        graft.operators.IvfSqIndex.build(emb, cents,
+          graft.operators.SqIndex.train(emb), p)
+        p
+      })
+      graft.operators.IvfSqIndex.query(s, path, probe, cents, topN = 5)
+    }
+
   /** Composed IVF-PQ — the production vector-index architecture (FAISS
     * IVFPQ): the coarse quantizer restricts the search to nProbe=2 of 16
     * inverted lists (s_ann_ivf's mechanism), then candidates are scored by
@@ -4393,7 +4463,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     q24_cosine_topk, s_ann_filtered, s_ann_filtered_index, d_embed_neardup,
     d_embed_neardup_lsh, s_ann_lsh, s_ann_ivf,
     s_ann_ivf_trained, s_ann_pq, s_ann_pq_index, s_ann_pq_ingest, s_ann_pq_forget,
-    s_ann_pq_rerank, s_ann_sq8, s_ann_sq8_index,
+    s_ann_pq_rerank, s_ann_sq8, s_ann_sq8_index, s_ann_ivfsq_index,
     s_ann_ivfpq, s_ann_ivfpq_index, s_ann_ivfpq_filtered, s_ann_ivfpq_ingest, s_ann_ivfpq_trained,
     s_label_centroid, d_semdedup,
     s_knn_batch,

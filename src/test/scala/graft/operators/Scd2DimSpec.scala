@@ -74,6 +74,57 @@ class Scd2DimSpec extends SparkSpec {
     assert(snapshot(path) == once)
   }
 
+  test("recover heals every crash window of the bucket swap") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(spark.sessionState.newHadoopConf())
+    def seeded(): String = {
+      val p = java.nio.file.Files.createTempDirectory("graft_scd2_crash_").toString
+      Scd2Dim.seed(mkDim0((0L to 31L).map(_ -> "BASE")), "1992-01-01 00:00:00", p)
+      p
+    }
+    def bucketOf(p: String): String =
+      new java.io.File(p).listFiles().filter(_.getName.startsWith("kb="))
+        .head.getName
+
+    // window A: rewrite complete in .merge_tmp, live bucket moved to
+    // trash, tmp->live rename NOT yet done -> recover rolls FORWARD
+    val pa = seeded()
+    val ba = bucketOf(pa)
+    fs.mkdirs(new Path(pa + ".merge_trash"))
+    require(fs.rename(new Path(pa, ba), new Path(pa + ".merge_trash", ba)))
+    fs.mkdirs(new Path(pa + ".merge_tmp/" + ba))
+    // tmp holds a rewritten (here: empty-marker) bucket; roll-forward must
+    // prefer tmp over trash
+    fs.create(new Path(pa + s".merge_tmp/$ba/part-r.marker"), true).close()
+    Scd2Dim.recover(spark, pa)
+    assert(fs.exists(new Path(pa, ba)), "bucket must be restored")
+    assert(new java.io.File(pa + s"/$ba/part-r.marker").exists,
+      "roll-forward must install the tmp rewrite, not the trash copy")
+    assert(!fs.exists(new Path(pa + ".merge_tmp")) && !fs.exists(new Path(pa + ".merge_trash")))
+
+    // window B: live moved to trash, NO tmp rewrite for it -> roll BACK
+    val pb = seeded()
+    val bb = bucketOf(pb)
+    val rowsBefore = Scd2Dim.read(spark, pb).count()
+    fs.mkdirs(new Path(pb + ".merge_trash"))
+    require(fs.rename(new Path(pb, bb), new Path(pb + ".merge_trash", bb)))
+    Scd2Dim.recover(spark, pb)
+    assert(Scd2Dim.read(spark, pb).count() == rowsBefore,
+      "roll-back must restore the trash copy")
+
+    // window C: stale tmp/trash leftovers with live intact -> cleared,
+    // dim untouched, and the next merge runs clean
+    val pc = seeded()
+    fs.mkdirs(new Path(pc + ".merge_tmp/kb=0"))
+    fs.mkdirs(new Path(pc + ".merge_trash"))
+    val before = snapshot(pc)
+    Scd2Dim.upsertBatch(spark,
+      mkUpdates(Seq((3L, "2024-06-01 00:00:00", "NEW", 50L))), pc)
+    val after = snapshot(pc)
+    assert(after.size == before.size + 1)
+    assert(!fs.exists(new Path(pc + ".merge_tmp")) && !fs.exists(new Path(pc + ".merge_trash")))
+  }
+
   test("a merge rewrites only the touched kb= buckets") {
     val path = Files.createTempDirectory("graft_scd2_prune_").toString
     Scd2Dim.seed(mkDim0((0L to 63L).map(_ -> "BASE")), "1992-01-01 00:00:00", path)
