@@ -617,7 +617,7 @@ object EventAnalytics {
     * Oracle: the one-shot join + rollup over the whole of both tables;
     * HLL distinct under the family's 5% gate, exact columns hash-checked.
     */
-  val e_pipeline_ivm: Query = q("e_pipeline_ivm",
+  private[queries] val pipelineIvmOracleSql: String =
     """SELECT c.c_mktsegment AS segment,
       |       strftime(date_trunc('day', CAST(e.ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
       |       CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -626,7 +626,9 @@ object EventAnalytics {
       |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users,
       |       TRUE AS within_5pct
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-      |GROUP BY segment, day ORDER BY segment, day""".stripMargin) { (s, dir) =>
+      |GROUP BY segment, day ORDER BY segment, day""".stripMargin
+
+  val e_pipeline_ivm: Query = q("e_pipeline_ivm", pipelineIvmOracleSql) { (s, dir) =>
     val ev = Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
     val cust = Tables.load(s, dir, "customer")

@@ -1084,6 +1084,70 @@ object StreamingQueries {
     },
     Some(EventAnalytics.joinMaintainOracleSql))
 
+  /** The composed incremental pipeline STREAMED — e_pipeline_ivm's
+    * production shape: facts arrive as micro-batches and ONE trigger
+    * advances BOTH maintained stages under the SAME pinned batch id —
+    * the delta joins into the persisted enriched view
+    * ([[graft.operators.JoinView.ingest]], explicit id), then exactly
+    * that batch's new enriched rows (the view's `batch=` partition — the
+    * change feed) roll into the stored partial table
+    * ([[graft.operators.AggIndex.ingest]]). Crash replay is safe at both
+    * stages: JoinView no-ops on a committed id, and AggIndex's
+    * merged-dedup folds a re-appended identical partial. The dashboard
+    * (segment x day rollup) is correct the moment each trigger commits —
+    * no nightly join, no nightly rollup. Oracle: the one-shot join +
+    * rollup over everything (e_pipeline_ivm's SQL verbatim).
+    */
+  val st_pipeline_ivm: Query = Query(
+    "st_pipeline_ivm",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_ivm_").toString
+      val ev = graft.tables.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      val cust = graft.tables.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      def viewBatch(n: Int) = s.read.parquet(s"$base/jv/view")
+        .filter(col("batch") === n)
+        .select(col("c_mktsegment").as("event_type"), col("ts"),
+          col("value"), col("user_id"))
+      // seed: the dimension plus the first fact slice, rolled up as batch 0
+      graft.operators.JoinView.build(
+        ev.filter(pmod(col("event_id"), lit(3)) === 0), cust, "user_id", s"$base/jv")
+      graft.operators.AggIndex.build(viewBatch(0), s"$base/agg")
+      for (sl <- 1 to 2)
+        oneFile(ev.filter(pmod(col("event_id"), lit(3)) === sl),
+          s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+      val evSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE")
+      val streamed = s.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = streamed.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val sp = b.sparkSession
+          val db = cust.limit(0)
+          val n = (batchId + 1).toInt // seed holds batch 0
+          graft.operators.JoinView.ingest(b, db, "user_id", s"$base/jv", batch = n)
+          graft.operators.AggIndex.ingest(viewBatch(n), s"$base/agg", batch = n)
+          ()
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val m = graft.operators.AggIndex.merged(s, s"$base/agg")
+      val exact = ev.join(cust, Seq("user_id"))
+        .groupBy(col("c_mktsegment").as("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      m.join(exact, Seq("event_type", "day"))
+        .select(col("event_type").as("segment"), col("day"), col("cnt"),
+          round(col("sum_v"), 2).cast("double").as("sum_v"),
+          col("min_v"), col("max_v"), col("exact_users"),
+          (abs(col("users") - col("exact_users")).cast("double") <=
+            col("exact_users").cast("double") * 0.05).as("within_5pct"))
+        .orderBy("segment", "day")
+    },
+    Some(EventAnalytics.pipelineIvmOracleSql))
+
   /** Streamed SCD type-2 dimension maintenance — q38_scd2_merge's batch
     * upsert run CONTINUOUSLY ([[graft.operators.Scd2Dim]]): the customer
     * dimension is seeded once, then every event is treated as a
@@ -1162,5 +1226,5 @@ object StreamingQueries {
     st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe,
     st_substring_probe, st_minhash_probe, st_pq_probe, st_ivfpq_probe,
     st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget, st_scd2,
-    st_sq8_ingest, st_join_ingest, st_scd2_lookup)
+    st_sq8_ingest, st_join_ingest, st_scd2_lookup, st_pipeline_ivm)
 }

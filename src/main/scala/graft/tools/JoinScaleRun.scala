@@ -127,6 +127,33 @@ object JoinScaleRun {
     }
     }
 
+    if (parts("ivfsq")) {
+    // ---------- 2b. IvfSq: nProbe/K pruning vs the SQ8 full scan ----------
+    // same 1M x 64-dim corpus; the probe should read ~nProbe/K = 1/8 of
+    // the code bytes via list= partition pruning
+    val embDir = "/tmp/graft_scale_sq8_raw"
+    require(new java.io.File(s"$embDir/_SUCCESS").exists,
+      "run the sq8 part first to synthesize the corpus")
+    val emb1m = spark.read.parquet(embDir)
+    val cents = graft.operators.IvfPqIndex.centroidsOf(emb1m)
+    val scale = graft.operators.SqIndex.train(emb1m)
+    val probe: Seq[Float] = cents.find(_._1 == 1L).get._2
+    val idx = "/tmp/graft_scale_ivfsq_idx"
+    rmrf(idx)
+    time("ivfsq 1M x 64d: build (assign + encode + write)") {
+      graft.operators.IvfSqIndex.build(emb1m, cents, scale, idx)
+    }
+    val sqIdx = "/tmp/graft_scale_sq8_idx"
+    if (!new java.io.File(sqIdx).exists)
+      graft.operators.SqIndex.build(emb1m, scale, sqIdx)
+    for (i <- 1 to 3) time(s"ivfsq 1M x 64d pruned top-5 probe (run $i)") {
+      graft.operators.IvfSqIndex.query(spark, idx, probe, cents, topN = 5).collect()
+    }
+    for (i <- 1 to 3) time(s"sq8 1M x 64d full-scan top-5 probe (run $i)") {
+      graft.operators.SqIndex.query(spark, sqIdx, probe, topN = 5).collect()
+    }
+    }
+
     if (parts("scd2")) {
     // ---------- 3. Scd2Dim: 1-key merge cost tracks bucket size ----------
     import spark.implicits._
