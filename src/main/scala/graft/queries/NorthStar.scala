@@ -172,6 +172,64 @@ object NorthStar {
         .orderBy("id_a", "id_b")
     }
 
+  /** Entity-resolution fuzzy match — the EDIT-DISTANCE member of the
+    * near-dup family (MinHash/Jaccard sees token overlap; typo'd entity
+    * names need character distance): all pairs of customer names within
+    * edit distance 1 at equal length (= Hamming <= 1: any
+    * insert+delete script on equal-length strings costs >= 2, so one
+    * substitution is the only reachable edit — the typo-dedupe shape of
+    * every record-linkage pipeline).
+    *
+    * Scale plan — PARITY PIGEONHOLE blocking, not an all-pairs join: a
+    * single substitution lives in exactly one parity class of positions,
+    * so a Hamming<=1 pair agrees EXACTLY on the other parity's character
+    * string — block on (parity-0 chars) and (parity-1 chars) and the
+    * candidate set provably contains every answer (the SimHash
+    * pigeonhole argument applied to character positions; prefix/suffix
+    * halves would be the textbook split, but a shared prefix like
+    * 'Customer#' degenerates the first-half block to the whole table —
+    * interleaved parity spreads entropy across both blocks). Two
+    * equi-join shuffles carrying (key, name); in-block work is
+    * sum-of-block^2; exact levenshtein verification restores precision.
+    * Generalization beyond equal lengths (insertions shift positions) is
+    * the PassJoin position-aware segment scheme — same skeleton, offset
+    * windows on the segment match (Li et al., VLDB'11).
+    */
+  val d_entity_match: Query = q("d_entity_match", Some(
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey AND length(a.c_name) = length(b.c_name)
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY a_key, b_key""".stripMargin)) { (s, dir) =>
+    val c = Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    def parityStr(rem: Int) = expr(
+      s"""concat_ws('', filter(transform(split(c_name, ''),
+         |  (ch, i) -> CASE WHEN i % 2 = $rem THEN ch END), x -> x IS NOT NULL))""".stripMargin)
+    // one row per (parity class, block value); the join key carries the
+    // parity tag so a pair matches within ONE class per join row
+    val parts = c.select(col("c_custkey"), col("c_name"),
+        length(col("c_name")).as("len"),
+        explode(array(
+          struct(lit(0).as("part"), parityStr(0).as("v")),
+          struct(lit(1).as("part"), parityStr(1).as("v")))).as("p"))
+      .select(col("c_custkey"), col("c_name"), col("len"),
+        col("p.part").as("part"), col("p.v").as("v"))
+    val a = parts.as("a"); val b = parts.as("b")
+    val cands = a.join(b,
+        col("a.part") === col("b.part") && col("a.v") === col("b.v") &&
+          col("a.len") === col("b.len") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("a_key"), col("b.c_custkey").as("b_key"),
+        col("a.c_name").as("a_name"), col("b.c_name").as("b_name"))
+      .dropDuplicates("a_key", "b_key") // a pair can agree on BOTH parities
+    cands
+      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select(col("a_key"), col("b_key"),
+        levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
+      .orderBy("a_key", "b_key")
+  }
+
   val d_ngram_jaccard: Query = q("d_ngram_jaccard", Some(
     """WITH sh AS (
       |  SELECT DISTINCT doc_id, substring(text, i, 8) AS sh
@@ -4455,6 +4513,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
 
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
+    d_entity_match,
     d_containment, d_containment_collapse, d_containment_probe,
     d_minhash_lsh, d_minhash_collapse, d_minhash_index, d_simhash, d_dedup_incremental,
     d_dedup_index, d_index_compact, d_forget, d_substring_dedup, d_substring_index, p_cut_spans,
