@@ -73,12 +73,7 @@ object IvfSqIndex {
     // optimizer courtesy
     val pruned = spark.read.parquet(path)
       .filter(col("list").isin(IvfPqIndex.probeLists(probe, cents): _*))
-    val td = new org.apache.hadoop.fs.Path(Tombstones.dir(path))
-    val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
-    val live =
-      if (!fs.exists(td)) pruned
-      else pruned.join(spark.read.parquet(td.toString).select("vec_id").distinct(),
-        Seq("vec_id"), "left_anti")
+    val live = Tombstones.applyTo(pruned, spark, path, idCol = "vec_id")
     SqIndex.rank(live.dropDuplicates().drop("list"),
       SqIndex.encodeVec(probe, scale), topN)
   }

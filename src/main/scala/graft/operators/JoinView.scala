@@ -48,11 +48,12 @@ import org.apache.spark.sql.functions._
 object JoinView {
 
   /** Key-bucket count — fixture-sized; a production view picks thousands
-    * so a delta's pruned read is a sliver of history.
+    * so a delta's pruned read is a sliver of history. Persisted per table
+    * and validated at every writer entry ([[KeyBuckets]]).
     */
-  val NB = 8
+  val NB = KeyBuckets.NB
 
-  private def kb(k: Column): Column = pmod(xxhash64(k), lit(NB)).cast("int")
+  private def kb(k: Column): Column = KeyBuckets.kb(k)
 
   private def commitMarkerPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_committed_batch")
@@ -80,7 +81,14 @@ object JoinView {
     finally in.close()
   }
 
-  private def markCommitted(spark: SparkSession, path: String, batch: Int): Unit = {
+  /** Ledger format: "<batch>\n<writer>" — the writer line lets a resumed
+    * stream distinguish its own crash window (batch committed by THIS
+    * checkpoint, applied-marker write lost) from a foreign writer having
+    * taken its id space (which must fail loudly, not no-op — the no-op
+    * would silently drop the new micro-batch's data).
+    */
+  private def markCommitted(spark: SparkSession, path: String, batch: Int,
+                            writer: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val mp = commitMarkerPath(path)
     val fs = mp.getFileSystem(conf)
@@ -88,25 +96,34 @@ object JoinView {
     // half-written, never absent once first written
     val tmp = new org.apache.hadoop.fs.Path(path, "_graft_committed_batch.tmp")
     val out = fs.create(tmp, true)
-    try out.write(batch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(s"$batch\n$writer".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(mp),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  private def committedBatch(spark: SparkSession, path: String): Int = {
+  private def ledgerLines(spark: SparkSession, path: String): Array[String] = {
     val mp = commitMarkerPath(path)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(mp),
       s"no commit ledger at $path — not a JoinView-managed root (build first)")
     val in = fs.open(mp)
-    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-              finally in.close()
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split('\n')
+    finally in.close()
+  }
+
+  private def committedBatch(spark: SparkSession, path: String): Int = {
+    val raw = ledgerLines(spark, path)(0).trim
     try raw.toInt catch {
       case _: NumberFormatException => throw new IllegalStateException(
-        s"corrupt commit ledger at $mp (contents: '$raw')")
+        s"corrupt commit ledger at $path (contents: '$raw')")
     }
+  }
+
+  private def committedWriter(spark: SparkSession, path: String): Option[String] = {
+    val lines = ledgerLines(spark, path)
+    if (lines.length < 2) None else Some(lines(1).trim)
   }
 
   private def append(df: DataFrame, key: String, sub: String, batch: Int): Unit =
@@ -134,13 +151,8 @@ object JoinView {
     * shared [[Tombstones]] layout, per subtable so
     * [[IndexMaintenance.compact]] can reclaim each independently).
     */
-  private def live(df: DataFrame, spark: SparkSession, sub: String, key: String): DataFrame = {
-    val td = new org.apache.hadoop.fs.Path(Tombstones.dir(sub))
-    val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(td)) df
-    else df.join(spark.read.parquet(td.toString).select(key).distinct(),
-      Seq(key), "left_anti")
-  }
+  private def live(df: DataFrame, spark: SparkSession, sub: String, key: String): DataFrame =
+    Tombstones.applyTo(df, spark, sub, key)
 
   /** A stored side, committed rows only, PRUNED to the given key buckets —
     * the read whose PartitionFilters make ingest delta-sized. Tombstoned
@@ -178,15 +190,18 @@ object JoinView {
   /** The delta-rule view increment for one batch, as a (lazy) DataFrame —
     * factored out so JoinViewSpec can plan-assert the pruned stored reads.
     */
-  def deltaView(spark: SparkSession, path: String, da: DataFrame, db: DataFrame,
-                key: String): DataFrame = {
-    val c = committedBatch(spark, path)
-    val aOld = storedPruned(spark, s"$path/a", c, bucketsOf(db, key), key)
-    val bOld = storedPruned(spark, s"$path/b", c, bucketsOf(da, key), key)
+  private def deltaTerms(spark: SparkSession, path: String, da: DataFrame,
+                         db: DataFrame, key: String, committed: Int): DataFrame = {
+    val aOld = storedPruned(spark, s"$path/a", committed, bucketsOf(db, key), key)
+    val bOld = storedPruned(spark, s"$path/b", committed, bucketsOf(da, key), key)
     da.join(bOld, Seq(key))
       .unionByName(aOld.join(db, Seq(key)))
       .unionByName(da.join(db, Seq(key)))
   }
+
+  def deltaView(spark: SparkSession, path: String, da: DataFrame, db: DataFrame,
+                key: String): DataFrame =
+    deltaTerms(spark, path, da, db, key, committedBatch(spark, path))
 
   /** Seed the view: batch 0 = the base join. */
   def build(a0: DataFrame, b0: DataFrame, key: String, path: String): Unit = {
@@ -202,7 +217,8 @@ object JoinView {
     append(b0, key, s"$path/b", 0)
     append(v0, key, s"$path/view", 0)
     writeKeyMarker(spark, path, key)
-    markCommitted(spark, path, 0)
+    KeyBuckets.publish(spark, path)
+    markCommitted(spark, path, 0, writer = "build")
   }
 
   /** Apply one batch of appends (either side may be empty): materialize
@@ -218,29 +234,72 @@ object JoinView {
     * writer).
     */
   def ingest(da: DataFrame, db: DataFrame, key: String, path: String,
-             batch: Int = -1): Int = {
+             batch: Int = -1, writer: String = "batch"): Int = {
     val spark = da.sparkSession
+    KeyBuckets.validate(spark, path) // an NB mismatch would prune wrong buckets
     val c = committedBatch(spark, path)
     val b = if (batch >= 0) batch else c + 1
     if (b <= c) return b // fully-committed replay: exactly-once by no-op
     require(b == c + 1,
       s"batch $b skips ahead of ledger $c at $path — a foreign writer is interleaving")
     cleanupOrphans(spark, path, c)
-    val dv = deltaView(spark, path, da, db, key)
+    // SINGLE evaluation of each caller-supplied delta: append it first,
+    // then derive the delta-rule terms from the just-written batch=b
+    // partitions — a non-deterministic or expensive input is computed
+    // once, and the rows joined into the view are byte-identical to the
+    // rows recorded in a/ and b/ by construction
     append(da, key, s"$path/a", b)
     append(db, key, s"$path/b", b)
+    def justWritten(sub: String) =
+      readSub(spark, sub).filter(col("batch") === b).drop("kb", "batch")
+    val dv = deltaTerms(spark, path,
+      justWritten(s"$path/a"), justWritten(s"$path/b"), key, c)
     append(dv, key, s"$path/view", b)
-    markCommitted(spark, path, b)
+    markCommitted(spark, path, b, writer)
     b
+  }
+
+  private def appliedMarkerPath(checkpoint: String) =
+    new org.apache.hadoop.fs.Path(checkpoint, "graft_applied_batchid")
+
+  private def readApplied(spark: SparkSession, checkpoint: String): Long = {
+    val mp = appliedMarkerPath(checkpoint)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) -1L
+    else {
+      val in = fs.open(mp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeApplied(spark: SparkSession, checkpoint: String, batchId: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val mp = appliedMarkerPath(checkpoint)
+    val fs = mp.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(checkpoint, "graft_applied_batchid.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(mp),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Stream one side's appends into the view (the enriched-fact-table
     * production shape: facts stream, the dimension side grows by batch
     * ingests between stream runs). Each micro-batch applies the delta
     * rule under a REAL pinned batch id (base + foreachBatch id, the
-    * [[IndexStream.pinnedBase]] discipline), so crash-replay lands on
-    * [[ingest]]'s no-op path and the view is exactly-once. Single-writer
-    * contract: while this checkpoint is live, nothing else ingests.
+    * [[IndexStream.pinnedBase]] discipline). Exactly-once is carried by
+    * TWO markers, because view rows are not duplicate-insensitive:
+    *  - the checkpoint-local applied marker (highest foreachBatch id
+    *    this checkpoint committed) makes replays definite no-ops;
+    *  - the ledger's writer line closes the crash window between
+    *    markCommitted and the applied-marker write (batch committed by
+    *    THIS checkpoint -> no-op; committed by anyone else -> the id
+    *    space was taken while the stream was stopped, and silently
+    *    no-opping would DROP this micro-batch's data — fail loudly and
+    *    direct the operator to a fresh checkpoint instead).
     */
   def ingestStream(da: DataFrame, key: String, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -249,8 +308,25 @@ object JoinView {
         val spark = batchDf.sparkSession
         val base = IndexStream.pinnedBase(batchDf,
           committedBatch(spark, path) + 1, checkpoint)
-        val db = readSub(spark, s"$path/b").drop("kb", "batch").limit(0)
-        ingest(batchDf, db, key, path, batch = base + batchId.toInt)
+        if (batchId > readApplied(spark, checkpoint)) {
+          val b = base + batchId.toInt
+          val c = committedBatch(spark, path)
+          if (b == c + 1) {
+            val db = readSub(spark, s"$path/b").drop("kb", "batch").limit(0)
+            ingest(batchDf, db, key, path, batch = b, writer = checkpoint)
+            writeApplied(spark, checkpoint, batchId)
+          } else if (b == c && committedWriter(spark, path).contains(checkpoint)) {
+            // crash window: we committed b, lost the applied-marker write
+            writeApplied(spark, checkpoint, batchId)
+          } else {
+            throw new IllegalStateException(
+              s"view ledger at $c (writer ${committedWriter(spark, path).getOrElse("?")}) " +
+                s"but this checkpoint's pinned id space expects batch $b — the view " +
+                "was advanced outside this checkpoint while it was stopped; a silent " +
+                "no-op would drop this micro-batch. Restart with a FRESH checkpoint " +
+                "(the view data itself is intact).")
+          }
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

@@ -46,28 +46,28 @@ import org.apache.spark.sql.functions._
 object Scd2Dim {
 
   /** Bucket count — sized for the fixture; a production dim picks
-    * thousands so a batch's rewrite is a sliver of the table.
+    * thousands so a batch's rewrite is a sliver of the table. Persisted
+    * per table and validated at every writer entry ([[KeyBuckets]]).
     */
-  val NB = 8
+  val NB = KeyBuckets.NB
 
   val OpenEnd = "9999-12-31 00:00:00"
 
-  // int, matching what partition-column inference reads back from `kb=N`
-  // directory names — keeps the pass-through and rebuilt sides' types
-  // identical with no set-operation widening
-  private def kb(c: org.apache.spark.sql.Column) =
-    pmod(xxhash64(c), lit(NB)).cast("int")
+  private def kb(c: org.apache.spark.sql.Column) = KeyBuckets.kb(c)
 
   /** Seed the dimension from an initial snapshot `(user_id, segment)`,
     * open-ended from `asOf`.
     */
-  def seed(dim0: DataFrame, asOf: String, path: String): Unit =
+  def seed(dim0: DataFrame, asOf: String, path: String): Unit = {
     dim0.select(col("user_id"), col("segment"),
         lit(asOf).cast("timestamp").as("valid_from"),
         lit(OpenEnd).cast("timestamp").as("valid_to"),
         lit(true).as("is_current"), lit(-1L).as("eid"),
         kb(col("user_id")).as("kb"))
       .write.partitionBy("kb").mode("overwrite").parquet(path)
+    // AFTER the write: overwrite mode clears the directory first
+    KeyBuckets.publish(dim0.sparkSession, path)
+  }
 
   /** Merge one batch of updates `(user_id, ts, segment, event_id)` into the
     * stored dimension. Reads ONLY the affected `kb=` buckets (partition
@@ -76,6 +76,7 @@ object Scd2Dim {
     * buckets.
     */
   def upsertBatch(spark: SparkSession, updates: DataFrame, path: String): Unit = {
+    KeyBuckets.validate(spark, path) // NB mismatch would prune wrong buckets
     recover(spark, path) // writer entry point: heal any crashed swap first
     val upd = updates.select(col("user_id"),
         col("ts").cast("timestamp").as("valid_from"),

@@ -128,7 +128,18 @@ object SqIndex {
     */
   def ingestStream(emb: DataFrame, scale: Double, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    writeScale(emb.sparkSession, scale, path)
+    val spark = emb.sparkSession
+    // frozen-quantizer guard: a pre-existing code table's rows were
+    // encoded against ITS scale — silently republishing a retrained one
+    // would rank old and new codes on different lattices. Batch ingest()
+    // reads the stored scale for the same reason.
+    val sd = new org.apache.hadoop.fs.Path(scaleDir(path))
+    if (sd.getFileSystem(spark.sessionState.newHadoopConf()).exists(sd)) {
+      val stored = readScale(spark, path)
+      require(stored == scale,
+        s"scale $scale does not match the frozen _scale $stored at $path — " +
+          "rebuild the index to retrain, never re-scale in place")
+    } else writeScale(spark, scale, path)
     encode(emb, scale).writeStream
       .foreachBatch { (df: DataFrame, _: Long) =>
         df.write.mode("append").parquet(path)

@@ -29,13 +29,21 @@ private[graft] object Tombstones {
     ids.select(col(idCol)).distinct()
       .write.mode("append").parquet(dir(path))
 
-  /** The live view: stored rows minus tombstoned ids. */
-  def live(spark: SparkSession, path: String, idCol: String = "doc_id"): DataFrame = {
-    val base = spark.read.parquet(path)
+  /** Anti-join an ALREADY-READ relation against `path`'s tombstones —
+    * the one copy of the delete-vector read, shared by callers whose base
+    * read is pre-filtered (partition-pruned, schema-sidecar'd) and by
+    * [[live]].
+    */
+  def applyTo(df: DataFrame, spark: SparkSession, path: String,
+              idCol: String): DataFrame = {
     val td = new org.apache.hadoop.fs.Path(dir(path))
     val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(td)) base
-    else base.join(spark.read.parquet(dir(path)).select(idCol).distinct(),
+    if (!fs.exists(td)) df
+    else df.join(spark.read.parquet(dir(path)).select(idCol).distinct(),
       Seq(idCol), "left_anti")
   }
+
+  /** The live view: stored rows minus tombstoned ids. */
+  def live(spark: SparkSession, path: String, idCol: String = "doc_id"): DataFrame =
+    applyTo(spark.read.parquet(path), spark, path, idCol)
 }

@@ -628,32 +628,31 @@ object EventAnalytics {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY segment, day ORDER BY segment, day""".stripMargin
 
-  val e_pipeline_ivm: Query = q("e_pipeline_ivm", pipelineIvmOracleSql) { (s, dir) =>
+  /** The pipeline's change-feed read: batch N's partition of the view IS
+    * exactly batch N's NEW enriched rows, presented in AggIndex's input
+    * shape (the rollup keys on the enrichment attribute — AggIndex's
+    * generic key column, aliased at the seam). Shared with the streamed
+    * twin (StreamingQueries.st_pipeline_ivm) so the two cannot drift.
+    */
+  private[queries] def pipelineViewBatch(s: org.apache.spark.sql.SparkSession,
+                                         jvPath: String, n: Int): DataFrame =
+    s.read.parquet(s"$jvPath/view")
+      .filter(col("batch") === n)
+      .select(col("c_mktsegment").as("event_type"), col("ts"),
+        col("value"), col("user_id"))
+
+  /** The pipeline's presentation + gate: the merged rollup joined to the
+    * exact distinct recomputed from the one-shot join (differential-gate
+    * audit only — the production query ships the estimate). One copy for
+    * the batch and streamed rows.
+    */
+  private[queries] def pipelineIvmGate(s: org.apache.spark.sql.SparkSession,
+                                       dir: String, aggPath: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .select(col("user_id"), col("ts"), col("value"))
     val cust = Tables.load(s, dir, "customer")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
-    val root = joinViewCache.computeIfAbsent(s"$dir#pipeline", _ => {
-      val r = java.nio.file.Files.createTempDirectory("graft_jvivm_").toString
-      def evS(p: Column) = ev.filter(p); def cuS(p: Column) = cust.filter(p)
-      // the view's batch=N partition holds exactly batch N's NEW enriched
-      // rows — the change feed the rollup stage consumes
-      def viewBatch(n: Int) = s.read.parquet(s"$r/jv/view")
-        .filter(col("batch") === n)
-        .select(col("c_mktsegment").as("event_type"), col("ts"),
-          col("value"), col("user_id"))
-      graft.operators.JoinView.build(
-        evS(col("event_id") % 5 =!= 4), cuS(col("user_id") % 5 =!= 4), "user_id", s"$r/jv")
-      AggIndex.build(viewBatch(0), s"$r/agg")
-      for ((em, cm, n) <- Seq((4, 4, 1), (9, 9, 2))) {
-        graft.operators.JoinView.ingest(
-          evS(col("event_id") % 10 === em), cuS(col("user_id") % 10 === cm),
-          "user_id", s"$r/jv")
-        AggIndex.ingest(viewBatch(n), s"$r/agg", batch = n)
-      }
-      r
-    })
-    val m = AggIndex.merged(s, s"$root/agg")
+    val m = AggIndex.merged(s, aggPath)
     val exact = ev.join(cust, Seq("user_id"))
       .groupBy(col("c_mktsegment").as("event_type"),
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
@@ -665,6 +664,28 @@ object EventAnalytics {
         (abs(col("users") - col("exact_users")).cast("double") <=
           col("exact_users").cast("double") * 0.05).as("within_5pct"))
       .orderBy("segment", "day")
+  }
+
+  val e_pipeline_ivm: Query = q("e_pipeline_ivm", pipelineIvmOracleSql) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val root = joinViewCache.computeIfAbsent(s"$dir#pipeline", _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_jvivm_").toString
+      def evS(p: Column) = ev.filter(p); def cuS(p: Column) = cust.filter(p)
+      graft.operators.JoinView.build(
+        evS(col("event_id") % 5 =!= 4), cuS(col("user_id") % 5 =!= 4), "user_id", s"$r/jv")
+      AggIndex.build(pipelineViewBatch(s, s"$r/jv", 0), s"$r/agg")
+      for ((em, cm, n) <- Seq((4, 4, 1), (9, 9, 2))) {
+        graft.operators.JoinView.ingest(
+          evS(col("event_id") % 10 === em), cuS(col("user_id") % 10 === cm),
+          "user_id", s"$r/jv")
+        AggIndex.ingest(pipelineViewBatch(s, s"$r/jv", n), s"$r/agg", batch = n)
+      }
+      r
+    })
+    pipelineIvmGate(s, dir, s"$root/agg")
   }
 
   val all: Seq[Query] =

@@ -224,9 +224,11 @@ object NorthStar {
         col("a.c_name").as("a_name"), col("b.c_name").as("b_name"))
       .dropDuplicates("a_key", "b_key") // a pair can agree on BOTH parities
     cands
-      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
-      .select(col("a_key"), col("b_key"),
-        levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
+      // compute the O(len^2) distance ONCE; filter on the column (the
+      // Filter and Project would otherwise each evaluate it)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("a_key"), col("b_key"), col("dist"))
       .orderBy("a_key", "b_key")
   }
 

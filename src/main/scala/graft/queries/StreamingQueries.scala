@@ -1106,14 +1106,11 @@ object StreamingQueries {
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
       val cust = graft.tables.Tables.load(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
-      def viewBatch(n: Int) = s.read.parquet(s"$base/jv/view")
-        .filter(col("batch") === n)
-        .select(col("c_mktsegment").as("event_type"), col("ts"),
-          col("value"), col("user_id"))
       // seed: the dimension plus the first fact slice, rolled up as batch 0
       graft.operators.JoinView.build(
         ev.filter(pmod(col("event_id"), lit(3)) === 0), cust, "user_id", s"$base/jv")
-      graft.operators.AggIndex.build(viewBatch(0), s"$base/agg")
+      graft.operators.AggIndex.build(
+        EventAnalytics.pipelineViewBatch(s, s"$base/jv", 0), s"$base/agg")
       for (sl <- 1 to 2)
         oneFile(ev.filter(pmod(col("event_id"), lit(3)) === sl),
           s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
@@ -1123,28 +1120,18 @@ object StreamingQueries {
         .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
       val q = streamed.writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          val sp = b.sparkSession
           val db = cust.limit(0)
           val n = (batchId + 1).toInt // seed holds batch 0
           graft.operators.JoinView.ingest(b, db, "user_id", s"$base/jv", batch = n)
-          graft.operators.AggIndex.ingest(viewBatch(n), s"$base/agg", batch = n)
+          graft.operators.AggIndex.ingest(
+            EventAnalytics.pipelineViewBatch(b.sparkSession, s"$base/jv", n),
+            s"$base/agg", batch = n)
           ()
         }
         .option("checkpointLocation", s"$base/cp")
         .start()
       try q.processAllAvailable() finally q.stop()
-      val m = graft.operators.AggIndex.merged(s, s"$base/agg")
-      val exact = ev.join(cust, Seq("user_id"))
-        .groupBy(col("c_mktsegment").as("event_type"),
-          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
-        .agg(countDistinct(col("user_id")).as("exact_users"))
-      m.join(exact, Seq("event_type", "day"))
-        .select(col("event_type").as("segment"), col("day"), col("cnt"),
-          round(col("sum_v"), 2).cast("double").as("sum_v"),
-          col("min_v"), col("max_v"), col("exact_users"),
-          (abs(col("users") - col("exact_users")).cast("double") <=
-            col("exact_users").cast("double") * 0.05).as("within_5pct"))
-        .orderBy("segment", "day")
+      EventAnalytics.pipelineIvmGate(s, dir, s"$base/agg")
     },
     Some(EventAnalytics.pipelineIvmOracleSql))
 

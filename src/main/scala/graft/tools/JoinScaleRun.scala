@@ -44,9 +44,10 @@ object JoinScaleRun {
       go(new java.io.File(p))
     }
 
-    // SPARK_GRAFT_SCALE_PARTS: comma-set of {jv,sq8,scd2} to re-measure
-    // one section without paying the others
-    val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "jv,sq8,scd2")
+    // SPARK_GRAFT_SCALE_PARTS: comma-set of {jv,sq8,ivfsq,scd2} to
+    // re-measure one section without paying the others (ivfsq reuses
+    // sq8's synthetic corpus, so sq8 must run first or have run before)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "jv,sq8,ivfsq,scd2")
       .split(',').toSet
 
     // ---------- 1. JoinView: delta-flat vs recompute-linear ----------

@@ -149,6 +149,45 @@ class JoinViewSpec extends SparkSpec {
     assert(viewSet(path).count(_._1 == 3L) == 1, "old history leaked back")
   }
 
+  test("a restarted checkpoint whose id space was taken fails loudly, not silently") {
+    val path = Files.createTempDirectory("graft_jv_taken_").toString
+    val src = Files.createTempDirectory("graft_jv_taken_src_").toString
+    val cp = Files.createTempDirectory("graft_jv_taken_cp_").toString
+    JoinView.build(mkA(Nil), mkB(B), "k", path)
+    val schema = mkA(Nil).schema
+    mkA(A.take(14)).coalesce(1).write.parquet(s"$src/f0")
+    val s1 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/f*")
+    val q1 = JoinView.ingestStream(s1, "k", path, cp)
+    try q1.processAllAvailable() finally q1.stop()
+    // a batch-API write while the stream is stopped takes the next id
+    JoinView.ingest(mkA(A.slice(14, 28)), mkB(Nil), "k", path)
+    // restart with new data: the stale pinned base must NOT silently no-op
+    mkA(A.drop(28)).coalesce(1).write.parquet(s"$src/f1")
+    val s2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/f*")
+    val q2 = JoinView.ingestStream(s2, "k", path, cp)
+    val e = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("FRESH checkpoint")),
+      s"expected the loud id-space guard, got: ${messages(e).mkString(" | ")}")
+    // and no data was silently dropped or duplicated up to the guard
+    assert(viewSet(path) == joinSet(A.take(28), B))
+  }
+
+  test("a mismatched persisted bucket count fails loudly at the writer") {
+    val path = Files.createTempDirectory("graft_jv_nb_").toString
+    JoinView.build(mkA(A.take(14)), mkB(B.take(10)), "k", path)
+    KeyBuckets.publish(spark, path, nb = 16)
+    val e = intercept[IllegalArgumentException] {
+      JoinView.ingest(mkA(A.slice(14, 28)), mkB(Nil), "k", path)
+    }
+    assert(e.getMessage.contains("_graft_buckets"))
+  }
+
   test("streamed one-sided ingest equals the batch-built view") {
     val path = Files.createTempDirectory("graft_jv_stream_").toString
     val src = Files.createTempDirectory("graft_jv_stream_src_").toString

@@ -74,6 +74,17 @@ class Scd2DimSpec extends SparkSpec {
     assert(snapshot(path) == once)
   }
 
+  test("a mismatched persisted bucket count fails loudly at the writer") {
+    val path = Files.createTempDirectory("graft_scd2_nb_").toString
+    Scd2Dim.seed(mkDim0(Seq(1L -> "A")), "1992-01-01 00:00:00", path)
+    KeyBuckets.publish(spark, path, nb = 16)
+    val e = intercept[IllegalArgumentException] {
+      Scd2Dim.upsertBatch(spark,
+        mkUpdates(Seq((1L, "2024-01-01 00:00:00", "B", 1L))), path)
+    }
+    assert(e.getMessage.contains("_graft_buckets"))
+  }
+
   test("recover heals every crash window of the bucket swap") {
     import org.apache.hadoop.fs.Path
     val fs = new Path("/tmp").getFileSystem(spark.sessionState.newHadoopConf())

@@ -78,6 +78,22 @@ class SqIndexSpec extends SparkSpec {
       "tombstoned code rows must be physically reclaimed")
   }
 
+  test("ingestStream refuses to re-scale an existing code table") {
+    val path = Files.createTempDirectory("graft_sqidx_rescale_").toString
+    val scale = SqIndex.train(emb)
+    SqIndex.build(emb, scale, path)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"))
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+    val e = intercept[IllegalArgumentException] {
+      SqIndex.ingestStream(stream, scale * 2, path,
+        Files.createTempDirectory("graft_sqidx_rescale_cp_").toString)
+    }
+    assert(e.getMessage.contains("_scale"))
+    assert(SqIndex.readScale(spark, path) == scale, "stored scale must be untouched")
+  }
+
   test("an exact duplicate of the probe ties the probe's own score") {
     val scale = SqIndex.train(emb)
     val dup = emb.filter(col("vec_id") === 1)
