@@ -195,26 +195,47 @@ object NorthStar {
     * the PassJoin position-aware segment scheme — same skeleton, offset
     * windows on the segment match (Li et al., VLDB'11).
     */
-  val d_entity_match: Query = q("d_entity_match", Some(
-    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
-      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-      |FROM customer a JOIN customer b
-      |  ON a.c_custkey < b.c_custkey AND length(a.c_name) = length(b.c_name)
-      |WHERE levenshtein(a.c_name, b.c_name) <= 1
-      |ORDER BY a_key, b_key""".stripMargin)) { (s, dir) =>
-    val c = Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+  /** One row per (parity class, block value) for a `(c_custkey, c_name)`
+    * relation — the blocking side of the parity pigeonhole, shared by the
+    * batch all-pairs match and the streamed screen.
+    */
+  private[queries] def parityParts(c: DataFrame): DataFrame = {
     def parityStr(rem: Int) = expr(
       s"""concat_ws('', filter(transform(split(c_name, ''),
          |  (ch, i) -> CASE WHEN i % 2 = $rem THEN ch END), x -> x IS NOT NULL))""".stripMargin)
-    // one row per (parity class, block value); the join key carries the
-    // parity tag so a pair matches within ONE class per join row
-    val parts = c.select(col("c_custkey"), col("c_name"),
+    c.select(col("c_custkey"), col("c_name"),
         length(col("c_name")).as("len"),
         explode(array(
           struct(lit(0).as("part"), parityStr(0).as("v")),
           struct(lit(1).as("part"), parityStr(1).as("v")))).as("p"))
       .select(col("c_custkey"), col("c_name"), col("len"),
         col("p.part").as("part"), col("p.v").as("v"))
+  }
+
+  /** Exact verification tail over candidate pairs `(a_key, b_key, a_name,
+    * b_name)`: dedup (a pair can agree on BOTH parities), ONE levenshtein
+    * per pair (the Filter and Project would otherwise each evaluate the
+    * O(len^2) distance), threshold, present. THE single copy of the
+    * match lattice.
+    */
+  private[queries] def typoVerify(cands: DataFrame): DataFrame =
+    cands
+      .dropDuplicates("a_key", "b_key")
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("a_key"), col("b_key"), col("dist"))
+
+  private[queries] val entityMatchOracleSql: String =
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey AND length(a.c_name) = length(b.c_name)
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY a_key, b_key""".stripMargin
+
+  val d_entity_match: Query = q("d_entity_match", Some(entityMatchOracleSql)) { (s, dir) =>
+    val parts = parityParts(
+      Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_name")))
     val a = parts.as("a"); val b = parts.as("b")
     val cands = a.join(b,
         col("a.part") === col("b.part") && col("a.v") === col("b.v") &&
@@ -222,14 +243,7 @@ object NorthStar {
           col("a.c_custkey") < col("b.c_custkey"))
       .select(col("a.c_custkey").as("a_key"), col("b.c_custkey").as("b_key"),
         col("a.c_name").as("a_name"), col("b.c_name").as("b_name"))
-      .dropDuplicates("a_key", "b_key") // a pair can agree on BOTH parities
-    cands
-      // compute the O(len^2) distance ONCE; filter on the column (the
-      // Filter and Project would otherwise each evaluate it)
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
-      .filter(col("dist") <= 1)
-      .select(col("a_key"), col("b_key"), col("dist"))
-      .orderBy("a_key", "b_key")
+    typoVerify(cands).orderBy("a_key", "b_key")
   }
 
   val d_ngram_jaccard: Query = q("d_ngram_jaccard", Some(

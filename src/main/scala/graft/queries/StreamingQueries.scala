@@ -1084,6 +1084,68 @@ object StreamingQueries {
     },
     Some(EventAnalytics.joinMaintainOracleSql))
 
+  /** Streamed entity screening — d_entity_match's production shape (the
+    * real-time record-linkage gate: every NEW record is screened against
+    * the accumulated master list the moment it arrives, not in a nightly
+    * all-pairs batch): customers stream in three micro-batches; each
+    * trigger parity-blocks the BATCH against the master-so-far PLUS
+    * itself (so both old-new and new-new typo pairs surface), verifies
+    * with the shared exact-levenshtein lattice
+    * ([[NorthStar.typoVerify]] — the batch row and the screen cannot
+    * drift), appends the matches, and appends the batch's names to the
+    * master. Every qualifying pair is found exactly when its LATER
+    * member arrives, so the accumulated matches equal the one-shot
+    * all-pairs run — d_entity_match's oracle verbatim. Pairs are
+    * normalized (smaller key first) and the final read restores set
+    * semantics on the pair key (at-least-once contract).
+    *
+    * Per-trigger cost: batch-parts x matching master blocks — the
+    * delta-rule shape on the parity-block key, never master x master.
+    */
+  val st_entity_screen: Query = Query(
+    "st_entity_screen",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_entity_").toString
+      val cust = graft.tables.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      for (sl <- 0 to 2)
+        oneFile(cust.filter(pmod(col("c_custkey"), lit(3)) === sl),
+          s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+      // seed the master empty but schema-bearing
+      cust.limit(0).write.parquet(s"$base/master")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey BIGINT, c_name STRING")
+      val streamed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = streamed.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val sp = b.sparkSession
+          val master = sp.read.parquet(s"$base/master")
+          val pa = NorthStar.parityParts(b).as("a")
+          val pb = NorthStar.parityParts(master.unionByName(b)).as("b")
+          val first = col("a.c_custkey") < col("b.c_custkey")
+          val cands = pa.join(pb,
+              col("a.part") === col("b.part") && col("a.v") === col("b.v") &&
+                col("a.len") === col("b.len") &&
+                col("a.c_custkey") =!= col("b.c_custkey"))
+            .select(
+              when(first, col("a.c_custkey")).otherwise(col("b.c_custkey")).as("a_key"),
+              when(first, col("b.c_custkey")).otherwise(col("a.c_custkey")).as("b_key"),
+              when(first, col("a.c_name")).otherwise(col("b.c_name")).as("a_name"),
+              when(first, col("b.c_name")).otherwise(col("a.c_name")).as("b_name"))
+          NorthStar.typoVerify(cands)
+            .write.mode("append").parquet(s"$base/matches")
+          b.write.mode("append").parquet(s"$base/master")
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/matches")
+        .dropDuplicates("a_key", "b_key")
+        .orderBy("a_key", "b_key")
+    },
+    Some(NorthStar.entityMatchOracleSql))
+
   /** The composed incremental pipeline STREAMED — e_pipeline_ivm's
     * production shape: facts arrive as micro-batches and ONE trigger
     * advances BOTH maintained stages under the SAME pinned batch id —
@@ -1213,5 +1275,6 @@ object StreamingQueries {
     st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe,
     st_substring_probe, st_minhash_probe, st_pq_probe, st_ivfpq_probe,
     st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget, st_scd2,
-    st_sq8_ingest, st_join_ingest, st_scd2_lookup, st_pipeline_ivm)
+    st_sq8_ingest, st_join_ingest, st_scd2_lookup, st_pipeline_ivm,
+    st_entity_screen)
 }
