@@ -628,6 +628,35 @@ object EventAnalytics {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY segment, day ORDER BY segment, day""".stripMargin
 
+  /** Compaction mid-lifecycle under the ORACLED gate (the d_index_compact
+    * discipline applied to the join view): the same seed + two ingests as
+    * e_join_maintain, but with [[graft.operators.JoinView.compact]] run
+    * between them — the file-merging rewrite of all three subtables
+    * (kb/batch layout preserved) must not change a single answer, proven
+    * against the one-shot oracle rather than only in JoinViewSpec.
+    */
+  val e_join_compact: Query = q("e_join_compact", joinMaintainOracleSql) { (s, dir) =>
+    val path = joinViewCache.computeIfAbsent(s"$dir#compact", _ => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val p = java.nio.file.Files.createTempDirectory("graft_joinview_cpt_").toString
+      graft.operators.JoinView.build(
+        ev.filter(col("event_id") % 5 =!= 4),
+        cust.filter(col("user_id") % 5 =!= 4), "user_id", p)
+      graft.operators.JoinView.ingest(
+        ev.filter(col("event_id") % 10 === 4),
+        cust.filter(col("user_id") % 10 === 4), "user_id", p)
+      graft.operators.JoinView.compact(s, p)
+      graft.operators.JoinView.ingest(
+        ev.filter(col("event_id") % 10 === 9),
+        cust.filter(col("user_id") % 10 === 9), "user_id", p)
+      p
+    })
+    joinViewAgg(s, path)
+  }
+
   /** The pipeline's change-feed read: batch N's partition of the view IS
     * exactly batch N's NEW enriched rows, presented in AggIndex's input
     * shape (the rollup keys on the enrichment attribute — AggIndex's
@@ -691,5 +720,5 @@ object EventAnalytics {
   val all: Seq[Query] =
     Seq(e_funnel, e_retention, w_range_frame, e_gapfill, e_locf, e_agg_maintain,
       e_agg_quantile, e_agg_overlap, e_agg_topbucket, e_agg_asof, e_agg_forget,
-      e_join_maintain, e_join_forget, e_join_asof, e_pipeline_ivm)
+      e_join_maintain, e_join_forget, e_join_asof, e_join_compact, e_pipeline_ivm)
 }
