@@ -13,14 +13,36 @@ object Bench {
     // driver-side materialization.
     def exec(q: queries.Query): Unit =
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-    // Untimed warmup pass over EVERY headline query: absorbs Janino codegen
-    // compilation, session setup, and FS-cache warmup that would otherwise
-    // land in the timed slots, making round-over-round deltas on unchanged
-    // queries pure noise (r4/r5 verdicts observed +-30% drift on
-    // byte-identical code). Timed runs below measure steady-state plans.
-    SparkEntry.headlineQueries.foreach { q =>
-      try exec(q)
-      catch { case e: Throwable => System.err.println(s"[bench-warm] ${q.name}: $e") }
+    // CONVERGENCE warmup, per slot, immediately before its timed runs
+    // (r11 verdict task 1): a single warmup pass under-warms JIT/
+    // codegen-heavy slots — the r11 record showed q5_agg at 1.37 s where
+    // the steady state (reached only after ~6 executions) is ~0.5 s, so
+    // the published medians depended on where in the warmup curve the
+    // timed runs landed. Warm each slot until two CONSECUTIVE warm runs
+    // agree within 10% (capped at 5 passes — a slot that hasn't converged
+    // by then is measured as-is rather than stalling the harness), THEN
+    // take the timed median: the timed runs sample the steady-state
+    // plateau, not the JIT ramp. Warm-run times go to stderr so the ramp
+    // stays inspectable.
+    def warmConverged(q: queries.Query): Unit = {
+      val maxWarm = 5
+      var prev = -1.0
+      var i = 0
+      var converged = false
+      while (i < maxWarm && !converged) {
+        val t0 = System.nanoTime()
+        try {
+          exec(q)
+          val t = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench-warm] ${q.name} pass ${i + 1}: $t%.2f")
+          if (prev > 0 && math.abs(t - prev) <= 0.10 * math.min(t, prev))
+            converged = true
+          prev = t
+        } catch {
+          case e: Throwable => System.err.println(s"[bench-warm] ${q.name}: $e")
+        }
+        i += 1
+      }
     }
     // Median of 5 timed runs per query (3 until r11): single-shot slots let
     // one-off environmental outliers (GC pause, page-cache miss, a straggler
@@ -34,6 +56,7 @@ object Bench {
     // stderr so spread stays inspectable.
     val timedRuns = 5
     val results = SparkEntry.headlineQueries.map { query =>
+      warmConverged(query)
       val times = (1 to timedRuns).flatMap { _ =>
         val t0 = System.nanoTime()
         try { exec(query); Some((System.nanoTime() - t0) / 1e9) }

@@ -164,7 +164,27 @@ object IndexMaintenance {
       }
     }
     if (fs.exists(trash)) {
-      if (fs.exists(p)) fs.delete(trash, true) // swap done, cleanup died
+      if (fs.exists(p)) {
+        // swap done, cleanup died. The trash dir may still carry state the
+        // swap was about to rescue when it crashed: tombstone files appended
+        // after the rewrite's snapshot read, and sidecars the rewrite did
+        // not produce (SqIndex's _scale, JoinView's _schema) — deleting
+        // trash unrescued would permanently destroy them (ADVICE r11: the
+        // index becomes unreadable until rebuilt). The applied-snapshot set
+        // is lost with the crashed process, so rescue conservatively: any
+        // trash tombstone file whose NAME is not already live is re-homed
+        // still-pending — re-applying an already-applied delete vector is
+        // an anti-join no-op, so over-rescue is harmless while under-rescue
+        // resurrects forgotten docs.
+        val liveTomb = new Path(p, "_tombstones")
+        val alreadyLive: Set[String] =
+          if (!fs.exists(liveTomb)) Set.empty
+          else fs.listStatus(liveTomb).iterator.filter(_.isFile)
+            .map(_.getPath.getName).toSet
+        rescueUnappliedTombstones(fs, trash, p, applied = alreadyLive)
+        rescueSidecars(fs, trash, p)
+        fs.delete(trash, true)
+      }
       else require(fs.rename(trash, p), // tmp also gone: restore the original
         s"recovery failed: cannot rename $trash back to $path")
     }

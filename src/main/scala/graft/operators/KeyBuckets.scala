@@ -24,8 +24,19 @@ private[operators] object KeyBuckets {
 
   // int, matching what partition-column inference reads back from `kb=N`
   // directory names — keeps pass-through and rebuilt sides' types
-  // identical with no set-operation widening
-  def kb(c: Column, nb: Int = NB): Column = pmod(xxhash64(c), lit(nb)).cast("int")
+  // identical with no set-operation widening.
+  //
+  // The key is CANONICALIZED to its string rendering before hashing:
+  // xxhash64 hashes INT and BIGINT of the same value differently, so a
+  // delta presenting the join/merge key at a different integer width than
+  // the stored table was written with (INT events vs BIGINT history)
+  // would otherwise address the WRONG kb= directories and silently drop
+  // matches (ADVICE r11) — the NB marker validates the count but cannot
+  // see the hashed type. The string form is width-invariant ("5" for
+  // both), and the cast's per-row cost is noise next to the shuffle the
+  // bucket addressing exists to avoid.
+  def kb(c: Column, nb: Int = NB): Column =
+    pmod(xxhash64(c.cast("string")), lit(nb)).cast("int")
 
   private def markerPath(root: String) =
     new org.apache.hadoop.fs.Path(root, "_graft_buckets")

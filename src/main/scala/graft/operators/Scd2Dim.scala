@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,19 +30,30 @@ import org.apache.spark.sql.functions._
   * Storage at 100 TB: the dimension is hash-bucketed on the key into
   * `kb=` partitions, and a merge rewrites ONLY the buckets its updates
   * touch — per-batch cost is O(affected buckets), never O(dimension).
-  * Untouched buckets are never read, scanned, or written (the read side
-  * is partition-pruned on the same column). With realistic bucket counts
-  * (thousands) and skewed update streams this is the difference between
-  * a merge and a nightly rewrite. The rewrite lands in a `.merge_tmp`
-  * sibling and swaps per bucket through a `.merge_trash` holding dir
-  * ([[IndexMaintenance.compact]]'s discipline, bucket-grained — Spark
-  * refuses to overwrite a path it is reading, and the swap gives each
-  * bucket a complete copy at every instant; [[recover]] heals a crashed
-  * swap forward or back per bucket). Honest caveat: bucket swaps are
-  * individually atomic but not jointly — a crash can leave some buckets
-  * merged and others not (each still internally consistent); the
-  * transactional upgrade is a table format with an atomic commit log
-  * (Delta/Iceberg), which changes the commit, not this merge plan.
+  * Untouched buckets are never read, scanned, or written. Each rewrite of
+  * a bucket lands as a NEW VERSION directory `kb=B/v=N/` (N = the merge's
+  * ledger id) appended beside the old one, and visibility is gated by the
+  * root `_graft_committed_batch` ledger ([[JoinView]]'s marker,
+  * atomic-rename publish): readers resolve, per bucket, the HIGHEST
+  * version at or below the committed id. The multi-bucket commit is
+  * therefore JOINTLY atomic — one ledger rename flips every touched
+  * bucket from its old version to its new one at the same instant
+  * (r11 verdict task 4 retired the per-bucket rename swap, which was
+  * individually but not jointly atomic: a crash mid-swap could expose
+  * some buckets merged and others not). A writer that dies before the
+  * ledger advance leaves only invisible orphan `v=` directories, deleted
+  * at the next writer entry; superseded versions are garbage-collected
+  * after each commit (a crash between commit and GC leaves stale — but
+  * invisible — history, reclaimed when its bucket is next touched or by
+  * [[recover]]).
+  *
+  * Single-evaluation ingest (ADVICE r11): the caller-supplied updates
+  * frame is materialized ONCE into a `.merge_stage` staging table and
+  * every downstream read (emptiness, bucket list, timeline rebuild) goes
+  * through the staged bytes — a non-deterministic or re-evaluated-
+  * expensive delta can no longer yield a bucket list inconsistent with
+  * the rows actually merged ([[JoinView.ingest]]'s append-then-read-back
+  * discipline).
   */
 object Scd2Dim {
 
@@ -55,37 +67,148 @@ object Scd2Dim {
 
   private def kb(c: org.apache.spark.sql.Column) = KeyBuckets.kb(c)
 
+  private def stagePath(path: String) = new Path(path + ".merge_stage")
+
+  private def commitMarkerPath(path: String) =
+    new Path(path, "_graft_committed_batch")
+
+  private def markCommitted(spark: SparkSession, path: String, v: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val mp = commitMarkerPath(path)
+    val fs = mp.getFileSystem(conf)
+    // write-temp-then-OVERWRITE-rename (AggIndex's rationale): never
+    // half-written, never absent once first written — THIS rename is the
+    // jointly-atomic commit of every bucket the merge touched
+    val tmp = new Path(path, "_graft_committed_batch.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(mp),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def committedVersion(spark: SparkSession, path: String): Int = {
+    val mp = commitMarkerPath(path)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(mp),
+      s"no commit ledger at $path — not an Scd2Dim-managed root (seed first)")
+    val in = fs.open(mp)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+    try raw.toInt catch {
+      case _: NumberFormatException => throw new IllegalStateException(
+        s"corrupt commit ledger at $path (contents: '$raw')")
+    }
+  }
+
+  /** The committed version directory of every bucket (or of `onlyBuckets`):
+    * per bucket, the highest `v=` at or below the ledger. One recursive
+    * listing, driver-bounded by buckets x retained versions (GC keeps the
+    * latter at ~1).
+    */
+  private def committedDirs(spark: SparkSession, path: String,
+                            onlyBuckets: Option[Set[Int]]): Seq[String] = {
+    val c = committedVersion(spark, path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).iterator
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("kb="))
+      .filter(d => onlyBuckets.forall(
+        _.contains(d.getPath.getName.stripPrefix("kb=").toInt)))
+      .flatMap { d =>
+        fs.listStatus(d.getPath).iterator
+          .filter(v => v.isDirectory && v.getPath.getName.startsWith("v="))
+          .map(v => (v.getPath, v.getPath.getName.stripPrefix("v=").toInt))
+          .filter(_._2 <= c)
+          .reduceOption((x, y) => if (x._2 >= y._2) x else y)
+          .map(_._1.toString)
+      }
+      .toSeq
+  }
+
+  /** The committed dimension rows, optionally restricted (file-list
+    * pruned, stronger than partition pruning: other buckets never enter
+    * the scan's file index at all) to a set of buckets.
+    */
+  private def committedRows(spark: SparkSession, path: String,
+                            onlyBuckets: Option[Set[Int]]): DataFrame = {
+    val dirs = committedDirs(spark, path, onlyBuckets)
+    if (dirs.isEmpty)
+      // a merge may touch a bucket no stored key hashes into — an empty
+      // stored side with the presentation schema keeps the union total
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, segment STRING, valid_from TIMESTAMP, " +
+            "valid_to TIMESTAMP, is_current BOOLEAN, eid BIGINT, kb INT"))
+    else
+      spark.read.option("basePath", path).parquet(dirs: _*).drop("v")
+  }
+
   /** Seed the dimension from an initial snapshot `(user_id, segment)`,
-    * open-ended from `asOf`.
+    * open-ended from `asOf`; every seeded bucket publishes as version 0.
     */
   def seed(dim0: DataFrame, asOf: String, path: String): Unit = {
-    dim0.select(col("user_id"), col("segment"),
+    val spark = dim0.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(root, true)
+    fs.delete(stagePath(path), true)
+    dim0.select(col("user_id").cast("bigint").as("user_id"), col("segment"),
         lit(asOf).cast("timestamp").as("valid_from"),
         lit(OpenEnd).cast("timestamp").as("valid_to"),
         lit(true).as("is_current"), lit(-1L).as("eid"),
-        kb(col("user_id")).as("kb"))
-      .write.partitionBy("kb").mode("overwrite").parquet(path)
+        kb(col("user_id")).as("kb"), lit(0).as("v"))
+      .write.partitionBy("kb", "v").mode("overwrite").parquet(path)
     // AFTER the write: overwrite mode clears the directory first
-    KeyBuckets.publish(dim0.sparkSession, path)
+    KeyBuckets.publish(spark, path)
+    markCommitted(spark, path, 0)
   }
 
   /** Merge one batch of updates `(user_id, ts, segment, event_id)` into the
-    * stored dimension. Reads ONLY the affected `kb=` buckets (partition
-    * pruning), rebuilds ONLY the affected keys' timelines, passes the
-    * buckets' other keys through, and dynamic-overwrites exactly those
-    * buckets.
+    * stored dimension: [[mergeUncommitted]] then the atomic ledger advance
+    * then GC of the superseded versions. Returns the committed version id
+    * (the prior one if the batch was empty).
     */
-  def upsertBatch(spark: SparkSession, updates: DataFrame, path: String): Unit = {
+  def upsertBatch(spark: SparkSession, updates: DataFrame, path: String): Int = {
+    mergeUncommitted(spark, updates, path) match {
+      case None => committedVersion(spark, path)
+      case Some((v, buckets)) =>
+        markCommitted(spark, path, v)
+        gcSuperseded(spark, path, buckets, keep = v)
+        v
+    }
+  }
+
+  /** The merge WITHOUT the commit — everything up to (but excluding) the
+    * ledger advance, package-visible so Scd2DimSpec can hold the
+    * dimension in the crash window and assert readers still see the
+    * pre-merge state. Returns None for an empty batch, else the written
+    * (uncommitted) version id and the touched buckets.
+    */
+  private[operators] def mergeUncommitted(spark: SparkSession, updates: DataFrame,
+                                          path: String): Option[(Int, Set[Int])] = {
     KeyBuckets.validate(spark, path) // NB mismatch would prune wrong buckets
-    recover(spark, path) // writer entry point: heal any crashed swap first
-    val upd = updates.select(col("user_id"),
+    recover(spark, path) // writer entry point: clear orphans of a crashed merge
+    val c = committedVersion(spark, path)
+    val v = c + 1
+    // SINGLE evaluation of the caller's frame (ADVICE r11): stage it,
+    // then derive emptiness, buckets, and the rebuilt timelines from the
+    // staged bytes — never from a re-evaluation
+    val stage = stagePath(path)
+    updates.select(col("user_id").cast("bigint").as("user_id"),
         col("ts").cast("timestamp").as("valid_from"),
-        col("segment"), col("event_id").as("eid"))
+        col("segment"), col("event_id").cast("bigint").as("eid"))
       .withColumn("kb", kb(col("user_id")))
-    if (upd.isEmpty) return
+      .write.mode("overwrite").parquet(stage.toString)
+    val upd = spark.read.parquet(stage.toString)
+    if (upd.isEmpty) {
+      stage.getFileSystem(spark.sessionState.newHadoopConf()).delete(stage, true)
+      return None
+    }
     // bounded collect: at most NB bucket ids
-    val buckets = upd.select("kb").distinct().collect().map(_.getInt(0))
-    val cur = spark.read.parquet(path).filter(col("kb").isin(buckets: _*))
+    val buckets = upd.select("kb").distinct().collect().map(_.getInt(0)).toSet
+    val cur = committedRows(spark, path, Some(buckets))
     val keys = upd.select("user_id").distinct()
     val pass = cur.join(keys, Seq("user_id"), "left_anti")
     val hist = cur.join(keys, Seq("user_id"), "left_semi")
@@ -100,82 +223,76 @@ object Scd2Dim {
       .select(col("user_id"), col("segment"), col("valid_from"),
         coalesce(col("vt"), lit(OpenEnd).cast("timestamp")).as("valid_to"),
         col("vt").isNull.as("is_current"), col("eid"), col("kb"))
-    val out = pass.select(rebuilt.columns.map(col): _*).unionByName(rebuilt)
-    val tmp = tmpPath(path)
-    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(tmp, true)
-    out.write.partitionBy("kb").mode("overwrite").parquet(tmp.toString)
-    swapBuckets(fs, path, buckets)
+    // append the touched buckets' rewrite as NEW (invisible until the
+    // ledger advances) v= directories beside the old versions
+    pass.select(rebuilt.columns.map(col): _*).unionByName(rebuilt)
+      .withColumn("v", lit(v))
+      .write.partitionBy("kb", "v").mode("append").parquet(path)
+    stage.getFileSystem(spark.sessionState.newHadoopConf()).delete(stage, true)
+    Some((v, buckets))
   }
 
-  private def tmpPath(path: String) =
-    new org.apache.hadoop.fs.Path(path + ".merge_tmp")
-  private def trashPath(path: String) =
-    new org.apache.hadoop.fs.Path(path + ".merge_trash")
-
-  /** Swap the rewritten buckets into the live dimension: live bucket ->
-    * trash, tmp bucket -> live, then clear tmp and trash. At every instant
-    * each bucket has a complete copy under exactly one of live/tmp/trash.
+  /** Delete every version other than `keep` in the given buckets —
+    * superseded history, already invisible to readers. A crash here
+    * leaves stale-but-invisible directories for the next GC.
     */
-  private def swapBuckets(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                          buckets: Array[Int]): Unit = {
-    import org.apache.hadoop.fs.Path
-    val tmp = tmpPath(path); val trash = trashPath(path)
-    fs.mkdirs(trash)
+  private def gcSuperseded(spark: SparkSession, path: String,
+                           buckets: Set[Int], keep: Int): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     buckets.foreach { b =>
-      val live = new Path(path, s"kb=$b"); val t = new Path(tmp, s"kb=$b")
-      if (fs.exists(t)) {
-        if (fs.exists(live))
-          require(fs.rename(live, new Path(trash, s"kb=$b")),
-            s"failed to move bucket kb=$b aside for the merge swap")
-        require(fs.rename(t, live), s"failed to swap bucket kb=$b into $path")
-      }
+      val bp = new Path(root, s"kb=$b")
+      if (fs.exists(bp)) fs.listStatus(bp).iterator
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("v=") &&
+          d.getPath.getName.stripPrefix("v=").toInt != keep)
+        .foreach(d => fs.delete(d.getPath, true))
     }
-    fs.delete(trash, true)
-    fs.delete(tmp, true)
   }
 
-  /** Heal a merge that died mid-swap — writer-entry-point discipline as in
-    * [[IndexMaintenance.recover]]: a bucket found in trash with no live
-    * counterpart rolls FORWARD if its rewrite survives in tmp, else back;
-    * leftovers are cleared.
+  /** Writer-entry healing: clear the staging table and any `v=` directory
+    * beyond the ledger — orphans of a merge that died before its commit.
+    * Readers never needed them (the ledger gate makes uncommitted
+    * versions invisible), so recovery is pure cleanup; there is no swap
+    * to roll forward or back (the pre-r12 per-bucket rename swap — and
+    * its crash-window matrix — is retired by the versioned layout).
     */
   def recover(spark: SparkSession, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val tmp = tmpPath(path); val trash = trashPath(path)
-    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(trash)) {
-      fs.listStatus(trash).foreach { d =>
-        val live = new Path(path, d.getPath.getName)
-        if (!fs.exists(live)) {
-          val t = new Path(tmp, d.getPath.getName)
-          val src = if (fs.exists(t)) t else d.getPath
-          require(fs.rename(src, live),
-            s"merge recovery failed: cannot restore ${d.getPath.getName}")
-        }
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(stagePath(path), true)
+    if (!fs.exists(commitMarkerPath(path))) return
+    val c = committedVersion(spark, path)
+    fs.listStatus(root).iterator
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("kb="))
+      .foreach { d =>
+        fs.listStatus(d.getPath).iterator
+          .filter(vd => vd.isDirectory && vd.getPath.getName.startsWith("v=") &&
+            vd.getPath.getName.stripPrefix("v=").toInt > c)
+          .foreach(vd => fs.delete(vd.getPath, true))
       }
-    }
-    fs.delete(trash, true)
-    fs.delete(tmp, true)
   }
 
   /** Wire an updates stream into the merge — one [[upsertBatch]] per
-    * micro-batch under the single-writer contract.
+    * micro-batch under the single-writer contract. At-least-once replay
+    * is safe without pinned ids: the merge is content-idempotent (the
+    * (user_id, valid_from, eid) dedup folds a redelivered update), so a
+    * replayed batch publishes a value-identical new version.
     */
   def upsertStream(updates: DataFrame, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
         upsertBatch(b.sparkSession, b, path)
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .start()
 
   /** The dimension's presentation view (history order, internal columns
-    * dropped).
+    * dropped) — committed versions only.
     */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    committedRows(spark, path, None)
       .select(col("user_id"), col("segment"),
         col("valid_from"), col("valid_to"), col("is_current"))
 }

@@ -245,4 +245,45 @@ class IndexMaintenanceSpec extends SparkSpec {
     IndexMaintenance.compact(spark, path)
     assert(SignatureIndex.nextBatch(spark, path) == 3)
   }
+
+  test("recover's swap-done branch rescues sidecars and pending tombstones from trash") {
+    // ADVICE r11: compact()'s happy path rescues trash state before the
+    // final delete, but a crash between the tmp->live rename and the
+    // rescue calls leaves live + trash on disk — and recover()'s
+    // 'cleanup died' branch used to delete trash UNRESCUED, permanently
+    // destroying SqIndex's _scale sidecar (index unreadable until
+    // rebuilt) and any tombstone appended after the rewrite's snapshot.
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft_recover_rescue_").toString
+    val path = s"$base/idx"
+    val docs = Tables.load(spark, sfDir, "documents").limit(50)
+    SignatureIndex.build(docs, path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+    // the crash state: live is the (already swapped-in) rewrite; trash
+    // holds the old dir carrying a sidecar the rewrite did not produce
+    // and a tombstone file the rewrite's snapshot never saw
+    val trash = new Path(path + ".compact_trash")
+    fs.mkdirs(new Path(trash, "_scale"))
+    val out = fs.create(new Path(trash, "_scale/part-0.parquet"), true)
+    try out.write("sidecar-bytes".getBytes("UTF-8")) finally out.close()
+    // a pending tombstone in trash, written through the real forget path
+    // against a scratch dir so the parquet bytes are genuine
+    val scratch = s"$base/scratch"
+    SignatureIndex.build(docs.limit(1), scratch)
+    SignatureIndex.forget(spark, scratch, spark.range(1).selectExpr("7L as doc_id"))
+    require(fs.rename(new Path(scratch + "/_tombstones"), new Path(trash, "_tombstones")))
+
+    IndexMaintenance.recover(spark, path)
+
+    assert(!fs.exists(trash), "recover must still clear the trash")
+    assert(fs.exists(new Path(path, "_scale/part-0.parquet")),
+      "the _scale sidecar must survive recover's swap-done branch")
+    val pending = spark.read.parquet(path + "/_tombstones")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pending == Set(7L),
+      s"the post-snapshot tombstone must be rescued still-pending, got $pending")
+    // and the rescued tombstone is LIVE-effective immediately
+    assert(Tombstones.live(spark, path).where("doc_id = 7").count() == 0)
+  }
 }

@@ -85,55 +85,44 @@ class Scd2DimSpec extends SparkSpec {
     assert(e.getMessage.contains("_graft_buckets"))
   }
 
-  test("recover heals every crash window of the bucket swap") {
+  test("a crash before the ledger advance is invisible; the retry completes") {
+    // the jointly-atomic commit (r11 verdict task 4): a multi-bucket merge
+    // publishes new v= directories for EVERY touched bucket and then
+    // advances the root ledger with one atomic rename — a writer killed
+    // between the data writes and that rename must leave readers on the
+    // pre-merge dimension for ALL buckets (never some merged, some not),
+    // and a retry of the same batch must complete cleanly.
     import org.apache.hadoop.fs.Path
     val fs = new Path("/tmp").getFileSystem(spark.sessionState.newHadoopConf())
-    def seeded(): String = {
-      val p = java.nio.file.Files.createTempDirectory("graft_scd2_crash_").toString
-      Scd2Dim.seed(mkDim0((0L to 31L).map(_ -> "BASE")), "1992-01-01 00:00:00", p)
-      p
+    val p = Files.createTempDirectory("graft_scd2_crash_").toString
+    Scd2Dim.seed(mkDim0((0L to 31L).map(_ -> "BASE")), "1992-01-01 00:00:00", p)
+    val before = snapshot(p)
+    // updates spanning several keys -> several buckets in one merge
+    val batch = (0L to 9L).map(u => (u, "2024-06-01 00:00:00", "NEW", 100L + u))
+
+    // the crash: everything up to (but excluding) the ledger advance
+    val Some((v, buckets)) = Scd2Dim.mergeUncommitted(spark, mkUpdates(batch), p)
+    assert(buckets.size > 1, "fixture must touch several buckets")
+    // the new version directories are ON DISK for every touched bucket...
+    buckets.foreach(b => assert(fs.exists(new Path(p, s"kb=$b/v=$v")),
+      s"uncommitted rewrite of bucket $b must be staged on disk"))
+    // ...and readers see NONE of it — the pre-merge dimension, exactly
+    assert(snapshot(p) == before,
+      "readers must see the pre-merge dimension across ALL buckets in the crash window")
+
+    // the retry (writer re-entry heals the orphans, then merges) completes
+    Scd2Dim.upsertBatch(spark, mkUpdates(batch), p)
+    val after = snapshot(p)
+    assert(after.size == before.size + batch.size)
+    assert(after.filter(_.cur).count(_.seg == "NEW") == batch.size)
+    // and the superseded + orphaned versions were reclaimed: one version
+    // directory per touched bucket remains
+    buckets.foreach { b =>
+      val vs = fs.listStatus(new Path(p, s"kb=$b"))
+        .filter(_.getPath.getName.startsWith("v=")).map(_.getPath.getName).toSeq
+      assert(vs.length == 1, s"bucket $b must keep exactly one version, got $vs")
     }
-    def bucketOf(p: String): String =
-      new java.io.File(p).listFiles().filter(_.getName.startsWith("kb="))
-        .head.getName
-
-    // window A: rewrite complete in .merge_tmp, live bucket moved to
-    // trash, tmp->live rename NOT yet done -> recover rolls FORWARD
-    val pa = seeded()
-    val ba = bucketOf(pa)
-    fs.mkdirs(new Path(pa + ".merge_trash"))
-    require(fs.rename(new Path(pa, ba), new Path(pa + ".merge_trash", ba)))
-    fs.mkdirs(new Path(pa + ".merge_tmp/" + ba))
-    // tmp holds a rewritten (here: empty-marker) bucket; roll-forward must
-    // prefer tmp over trash
-    fs.create(new Path(pa + s".merge_tmp/$ba/part-r.marker"), true).close()
-    Scd2Dim.recover(spark, pa)
-    assert(fs.exists(new Path(pa, ba)), "bucket must be restored")
-    assert(new java.io.File(pa + s"/$ba/part-r.marker").exists,
-      "roll-forward must install the tmp rewrite, not the trash copy")
-    assert(!fs.exists(new Path(pa + ".merge_tmp")) && !fs.exists(new Path(pa + ".merge_trash")))
-
-    // window B: live moved to trash, NO tmp rewrite for it -> roll BACK
-    val pb = seeded()
-    val bb = bucketOf(pb)
-    val rowsBefore = Scd2Dim.read(spark, pb).count()
-    fs.mkdirs(new Path(pb + ".merge_trash"))
-    require(fs.rename(new Path(pb, bb), new Path(pb + ".merge_trash", bb)))
-    Scd2Dim.recover(spark, pb)
-    assert(Scd2Dim.read(spark, pb).count() == rowsBefore,
-      "roll-back must restore the trash copy")
-
-    // window C: stale tmp/trash leftovers with live intact -> cleared,
-    // dim untouched, and the next merge runs clean
-    val pc = seeded()
-    fs.mkdirs(new Path(pc + ".merge_tmp/kb=0"))
-    fs.mkdirs(new Path(pc + ".merge_trash"))
-    val before = snapshot(pc)
-    Scd2Dim.upsertBatch(spark,
-      mkUpdates(Seq((3L, "2024-06-01 00:00:00", "NEW", 50L))), pc)
-    val after = snapshot(pc)
-    assert(after.size == before.size + 1)
-    assert(!fs.exists(new Path(pc + ".merge_tmp")) && !fs.exists(new Path(pc + ".merge_trash")))
+    assert(!fs.exists(new Path(p + ".merge_stage")))
   }
 
   test("a merge rewrites only the touched kb= buckets") {
