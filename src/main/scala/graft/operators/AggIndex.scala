@@ -255,7 +255,11 @@ object AggIndex {
     * a fresh id — as-of reads are exact between those maintenance events
     * (the same contract as a compacted index's probe history).
     */
-  def mergedAsOf(spark: SparkSession, path: String, upToBatch: Int): DataFrame =
+  def mergedAsOf(spark: SparkSession, path: String, upToBatch: Int): DataFrame = {
+    // retention-floor gate ([[AsofFloor]]): an as-of below the last
+    // history rewrite fails LOUDLY instead of silently returning
+    // post-rewrite history as if it were the past
+    AsofFloor.check(spark, path, upToBatch)
     spark.read.parquet(path)
       // replayed streamed micro-batches append value-identical partial
       // rows; (keys, batch) identifies a partial uniquely, so this
@@ -269,6 +273,7 @@ object AggIndex {
       .select(col("event_type"), col("day"), col("cnt"), col("sum_v"),
         col("min_v"), col("max_v"),
         hll_sketch_estimate(col("users_hll")).as("users"))
+  }
 
   /** Value quantiles per key, entirely from the stored partial table —
     * the dashboard percentile ("p50/p95 per day") answered by merging the
@@ -387,6 +392,12 @@ object AggIndex {
     val out = fs.create(lt, true)
     try out.write((maxBatch + 1).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // retention floor rides the swap ([[AsofFloor]]): affected keys'
+    // history was dropped from EVERY batch and recomputed under
+    // maxBatch + 1 — any as-of below that would silently show history
+    // missing those keys entirely
+    AsofFloor.carryInto(spark, path, tmp.toString, floor = maxBatch + 1,
+      rewrite = s"forgetUsers (affected keys recomputed under batch ${maxBatch + 1})")
     val trash = new org.apache.hadoop.fs.Path(path + ".compact_trash")
     require(fs.rename(p, trash), s"failed to move $path aside for the swap")
     require(fs.rename(tmp, p), s"failed to swap retracted table into $path")
@@ -444,6 +455,14 @@ object AggIndex {
     val out = fs.create(lt, true)
     try out.write(maxBatch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // retention floor rides the swap ([[AsofFloor]]): batches below
+    // maxBatch now live only inside the consolidated batch maxBatch - 1
+    // row — an as-of below that point would silently return an empty or
+    // partial prefix. Reads at maxBatch - 1 and above stay exact (the
+    // consolidated row IS the full pre-maxBatch history).
+    AsofFloor.carryInto(spark, path, tmp.toString,
+      floor = math.max(maxBatch - 1, 0),
+      rewrite = s"compact (history below batch $maxBatch consolidated)")
     // crash-safe swap: live aside, tmp in, trash out — a complete copy
     // (data + ledger) exists at every instant; recover() heals any window
     val trash = new org.apache.hadoop.fs.Path(path + ".compact_trash")

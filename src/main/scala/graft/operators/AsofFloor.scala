@@ -43,6 +43,18 @@ private[operators] object AsofFloor {
     finally out.close()
   }
 
+  /** [[write]] into a REWRITE'S tmp dir pre-swap, carrying any floor the
+    * live dir already holds: the tmp dir starts marker-less, so a plain
+    * write there would silently LOWER an older, higher floor across the
+    * swap. Monotonicity of [[write]] picks the winner (and its rewrite
+    * description) between the carried and the new floor.
+    */
+  def carryInto(spark: SparkSession, liveDir: String, tmpDir: String,
+                floor: Int, rewrite: String): Unit = {
+    read(spark, liveDir).foreach { case (f, r) => write(spark, tmpDir, f, r) }
+    write(spark, tmpDir, floor, rewrite)
+  }
+
   def read(spark: SparkSession, dir: String): Option[(Int, String)] = {
     val mp = new Path(dir, Marker)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())

@@ -168,7 +168,7 @@ object IndexMaintenance {
         // swap done, cleanup died. The trash dir may still carry state the
         // swap was about to rescue when it crashed: tombstone files appended
         // after the rewrite's snapshot read, and sidecars the rewrite did
-        // not produce (SqIndex's _scale, JoinView's _schema) — deleting
+        // not produce (e.g. SqIndex's _scale) — deleting
         // trash unrescued would permanently destroy them (ADVICE r11: the
         // index becomes unreadable until rebuilt). The applied-snapshot set
         // is lost with the crashed process, so rescue conservatively: any

@@ -53,7 +53,11 @@ object JoinView {
     */
   val NB = KeyBuckets.NB
 
-  private def kb(k: Column): Column = KeyBuckets.kb(k)
+  /** Bucket of `key` with its type resolved from the frame — the
+    * canonicalized form ([[KeyBuckets.kbFor]]) keeps an INT-width delta
+    * addressing the same directories as BIGINT-width stored history.
+    */
+  private def kbOf(df: DataFrame, key: String): Column = KeyBuckets.kbFor(df, key)
 
   private def commitMarkerPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_committed_batch")
@@ -127,23 +131,29 @@ object JoinView {
   }
 
   private def append(df: DataFrame, key: String, sub: String, batch: Int): Unit =
-    df.withColumn("kb", kb(col(key))).withColumn("batch", lit(batch))
+    df.withColumn("kb", kbOf(df, key)).withColumn("batch", lit(batch))
       .write.partitionBy("kb", "batch").mode("append").parquet(sub)
 
-  /** Persist each subtable's schema as an underscore-prefixed sidecar
-    * (one empty parquet file; invisible to the partitioned reads below):
+  /** Persist each subtable's schema as a SIBLING sidecar table (one empty
+    * parquet file at `<sub>_schema`, beside — not inside — the data dir):
     * an EMPTY side or view — a batch with no appends for one side, a seed
     * join with no matches — writes only partition metadata, and a later
     * schema-INFERRED read of it would fail. Every read goes through the
     * sidecar schema instead, so emptiness is a value, not an error.
+    * Sibling placement (r12 verdict): a sidecar INSIDE the data dir is
+    * listed-and-ignored by every partitioned read (one WARN per read) and
+    * must be rescued across [[IndexMaintenance.compact]]'s swap; beside it
+    * the read never sees it and the swap never moves it.
     */
+  private def schemaSidecarPath(sub: String): String = s"${sub}_schema"
+
   private def writeSchemaSidecar(df: DataFrame, key: String, sub: String): Unit =
-    df.withColumn("kb", kb(col(key))).withColumn("batch", lit(0))
+    df.withColumn("kb", kbOf(df, key)).withColumn("batch", lit(0))
       .limit(0).coalesce(1)
-      .write.mode("overwrite").parquet(s"$sub/_schema")
+      .write.mode("overwrite").parquet(schemaSidecarPath(sub))
 
   private def readSub(spark: SparkSession, sub: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sub/_schema").schema
+    val schema = spark.read.parquet(schemaSidecarPath(sub)).schema
     spark.read.schema(schema).parquet(sub)
   }
 
@@ -167,7 +177,7 @@ object JoinView {
 
   /** Bounded collect: at most NB bucket ids present in a delta. */
   private def bucketsOf(delta: DataFrame, key: String): Array[Int] =
-    delta.select(kb(col(key)).as("kb")).distinct().collect().map(_.getInt(0))
+    delta.select(kbOf(delta, key).as("kb")).distinct().collect().map(_.getInt(0))
 
   /** Delete `batch > committed` partition directories — orphans of a
     * writer that died between its appends and its commit. Run before
@@ -347,6 +357,14 @@ object JoinView {
     */
   def forget(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     val key = joinKey(spark, path)
+    // retention floor FIRST ([[AsofFloor]]): the tombstones hide the keys
+    // from EVERY batch at once, so any as-of below the current ledger
+    // would silently show history missing those keys. Floor-then-append
+    // is the safe crash order — a crash between the two leaves the floor
+    // raised without the rewrite (loud on reads that would have been
+    // exact), never the rewrite without the floor (silent wrong history).
+    AsofFloor.write(spark, path, floor = committedBatch(spark, path),
+      rewrite = "forget (keys tombstoned out of every batch)")
     for (sub <- Seq("a", "b", "view"))
       Tombstones.forget(spark, s"$path/$sub", ids, idCol = key)
   }
@@ -355,15 +373,30 @@ object JoinView {
     * layout preserved): merges fragment files AND physically reclaims
     * tombstoned rows, retiring the applied delete vectors with the swap.
     */
-  def compact(spark: SparkSession, path: String): Unit =
+  def compact(spark: SparkSession, path: String): Unit = {
+    // reclaiming pending delete vectors makes the hide-from-every-batch
+    // rewrite physical — [[forget]] already raised the floor when it
+    // appended them (this write is normally a monotone no-op), but a
+    // tombstone that arrived by any other path must not be reclaimed
+    // without its floor. Root-level marker, so it survives the
+    // per-subtable swaps untouched.
+    val conf = spark.sessionState.newHadoopConf()
+    val anyTombstones = Seq("a", "b", "view").exists { sub =>
+      val t = new org.apache.hadoop.fs.Path(s"$path/$sub/_tombstones")
+      t.getFileSystem(conf).exists(t)
+    }
+    if (anyTombstones)
+      AsofFloor.write(spark, path, floor = committedBatch(spark, path),
+        rewrite = "compact (tombstoned keys physically reclaimed from every batch)")
     for (sub <- Seq("a", "b", "view")) {
       val glob = new org.apache.hadoop.fs.Path(s"$path/$sub/kb=*/batch=*")
-      val fs = glob.getFileSystem(spark.sessionState.newHadoopConf())
+      val fs = glob.getFileSystem(conf)
       val hits = fs.globStatus(glob)
-      // a never-populated side has only the _schema sidecar — nothing to do
+      // a never-populated side has only the schema sidecar — nothing to do
       if (hits != null && hits.nonEmpty)
         IndexMaintenance.compact(spark, s"$path/$sub", partitionCols = Seq("kb", "batch"))
     }
+  }
 
   /** The maintained view — committed batches only. */
   def merged(spark: SparkSession, path: String): DataFrame =
@@ -374,6 +407,10 @@ object JoinView {
     * contract: exact between maintenance events).
     */
   def mergedAsOf(spark: SparkSession, path: String, upToBatch: Int): DataFrame = {
+    // retention-floor gate ([[AsofFloor]]): an as-of below the last
+    // forget/reclamation fails loudly instead of silently returning the
+    // rewritten (keys-hidden) history as if it were the past
+    AsofFloor.check(spark, path, upToBatch)
     val c = committedBatch(spark, path)
     live(readSub(spark, s"$path/view")
       .filter(col("batch") <= math.min(c, upToBatch))

@@ -65,7 +65,11 @@ object Scd2Dim {
 
   val OpenEnd = "9999-12-31 00:00:00"
 
-  private def kb(c: org.apache.spark.sql.Column) = KeyBuckets.kb(c)
+  // the dimension key is canonically BIGINT on every path (seed and
+  // merge both cast user_id before bucketing), so the hashed type is
+  // pinned here rather than inferred from a caller's frame
+  private def kb(c: org.apache.spark.sql.Column) =
+    KeyBuckets.kb(c, org.apache.spark.sql.types.LongType)
 
   private def stagePath(path: String) = new Path(path + ".merge_stage")
 
