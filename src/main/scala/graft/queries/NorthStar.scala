@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CharNgrams, MinHash, RollingHash, SharedHash, SimHash, VecFixedSumAgg, VecMeanAgg, Vectors}
-import graft.operators.{BandedPairs, ConnectedComponents, IndexMaintenance, IvfPqIndex, MinHashIndex, PqIndex, SignatureIndex, SubstringIndex}
+import graft.operators.{BandedPairs, ConnectedComponents, EntityBlockIndex, IndexMaintenance, IvfPqIndex, MinHashIndex, PqIndex, SignatureIndex, SubstringIndex}
 import graft.tables.Tables
 
 /** North-star extensions (SURVEY.md §2.3 Q21–Q24 + the large-scale
@@ -199,31 +199,18 @@ object NorthStar {
     * relation — the blocking side of the parity pigeonhole, shared by the
     * batch all-pairs match and the streamed screen.
     */
-  private[queries] def parityParts(c: DataFrame): DataFrame = {
-    def parityStr(rem: Int) = expr(
-      s"""concat_ws('', filter(transform(split(c_name, ''),
-         |  (ch, i) -> CASE WHEN i % 2 = $rem THEN ch END), x -> x IS NOT NULL))""".stripMargin)
-    c.select(col("c_custkey"), col("c_name"),
-        length(col("c_name")).as("len"),
-        explode(array(
-          struct(lit(0).as("part"), parityStr(0).as("v")),
-          struct(lit(1).as("part"), parityStr(1).as("v")))).as("p"))
-      .select(col("c_custkey"), col("c_name"), col("len"),
-        col("p.part").as("part"), col("p.v").as("v"))
-  }
+  private[queries] def parityParts(c: DataFrame): DataFrame =
+    graft.operators.EntityBlockIndex.blocks(
+        c.select(col("c_custkey").as("key"), col("c_name").as("name")))
+      .select(col("key").as("c_custkey"), col("name").as("c_name"),
+        col("len"), col("part"), col("v"))
 
-  /** Exact verification tail over candidate pairs `(a_key, b_key, a_name,
-    * b_name)`: dedup (a pair can agree on BOTH parities), ONE levenshtein
-    * per pair (the Filter and Project would otherwise each evaluate the
-    * O(len^2) distance), threshold, present. THE single copy of the
-    * match lattice.
+  /** Exact verification tail — delegates to THE single copy of the match
+    * lattice ([[graft.operators.EntityBlockIndex.verifyTypo]]), shared
+    * with the persisted index's batch probe and streamed screen.
     */
   private[queries] def typoVerify(cands: DataFrame): DataFrame =
-    cands
-      .dropDuplicates("a_key", "b_key")
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
-      .filter(col("dist") <= 1)
-      .select(col("a_key"), col("b_key"), col("dist"))
+    graft.operators.EntityBlockIndex.verifyTypo(cands)
 
   private[queries] val entityMatchOracleSql: String =
     """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
@@ -244,6 +231,28 @@ object NorthStar {
       .select(col("a.c_custkey").as("a_key"), col("b.c_custkey").as("b_key"),
         col("a.c_name").as("a_name"), col("b.c_name").as("b_name"))
     typoVerify(cands).orderBy("a_key", "b_key")
+  }
+
+  /** Entity matching from the PERSISTED parity-block index
+    * ([[graft.operators.EntityBlockIndex]]) — d_entity_match's stored/
+    * incremental twin (d_dedup_index's discipline in the edit-distance
+    * family): the master list is blocked once (base build + one ingested
+    * delta), candidates come entirely from the stored `(part, v, len)`
+    * rows — each batch probed at its arrival, so every pair surfaces
+    * exactly once at its later member — and the shared levenshtein
+    * lattice verifies. Same oracle as the one-shot all-pairs run: the
+    * incremental path provably loses nothing.
+    */
+  val d_entity_index: Query = q("d_entity_index", Some(entityMatchOracleSql)) { (s, dir) =>
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    val p = java.nio.file.Files.createTempDirectory("graft_entidx_").toString + "/idx"
+    EntityBlockIndex.build(cust.filter(pmod(col("key"), lit(3)) =!= 2), p)
+    EntityBlockIndex.ingest(cust.filter(pmod(col("key"), lit(3)) === 2), p, batch = 1)
+    (0 to 1).map(b => EntityBlockIndex.verifyTypo(EntityBlockIndex.candidates(s, p, b)))
+      .reduce(_ unionByName _)
+      .dropDuplicates("a_key", "b_key")
+      .orderBy("a_key", "b_key")
   }
 
   val d_ngram_jaccard: Query = q("d_ngram_jaccard", Some(
@@ -4529,7 +4538,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
 
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
-    d_entity_match,
+    d_entity_match, d_entity_index,
     d_containment, d_containment_collapse, d_containment_probe,
     d_minhash_lsh, d_minhash_collapse, d_minhash_index, d_simhash, d_dedup_incremental,
     d_dedup_index, d_index_compact, d_forget, d_substring_dedup, d_substring_index, p_cut_spans,

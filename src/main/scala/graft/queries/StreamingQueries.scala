@@ -1087,61 +1087,43 @@ object StreamingQueries {
   /** Streamed entity screening — d_entity_match's production shape (the
     * real-time record-linkage gate: every NEW record is screened against
     * the accumulated master list the moment it arrives, not in a nightly
-    * all-pairs batch): customers stream in three micro-batches; each
-    * trigger parity-blocks the BATCH against the master-so-far PLUS
-    * itself (so both old-new and new-new typo pairs surface), verifies
-    * with the shared exact-levenshtein lattice
-    * ([[NorthStar.typoVerify]] — the batch row and the screen cannot
-    * drift), appends the matches, and appends the batch's names to the
-    * master. Every qualifying pair is found exactly when its LATER
+    * all-pairs batch), against the PERSISTED parity-block index
+    * ([[graft.operators.EntityBlockIndex.screenStream]]): customers
+    * stream in three micro-batches; each trigger blocks ONLY its batch,
+    * appends the blocks under a real pinned batch id, generates
+    * candidates by equi-joining the batch's blocks against the STORED
+    * master blocks, and verifies with the shared exact-levenshtein
+    * lattice. Every qualifying pair is found exactly when its LATER
     * member arrives, so the accumulated matches equal the one-shot
     * all-pairs run — d_entity_match's oracle verbatim. Pairs are
     * normalized (smaller key first) and the final read restores set
     * semantics on the pair key (at-least-once contract).
     *
-    * Per-trigger cost: batch-parts x matching master blocks — the
-    * delta-rule shape on the parity-block key, never master x master.
+    * Per-trigger cost: batch-blocks x matching stored blocks — the
+    * delta-rule shape on the parity-block key. The master list is never
+    * re-read and never re-kerneled (each entity is blocked once in its
+    * lifetime; the pre-r13 shape re-kerneled the FULL master per
+    * trigger — EntityBlockIndexSpec pins the new contract).
     */
   val st_entity_screen: Query = Query(
     "st_entity_screen",
     (s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_stream_entity_").toString
       val cust = graft.tables.Tables.load(s, dir, "customer")
-        .select(col("c_custkey"), col("c_name"))
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))
       for (sl <- 0 to 2)
-        oneFile(cust.filter(pmod(col("c_custkey"), lit(3)) === sl),
+        oneFile(cust.filter(pmod(col("key"), lit(3)) === sl),
           s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
-      // seed the master empty but schema-bearing
-      cust.limit(0).write.parquet(s"$base/master")
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "c_custkey BIGINT, c_name STRING")
+        "key BIGINT, name STRING")
       val streamed = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-      val q = streamed.writeStream
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          val sp = b.sparkSession
-          val master = sp.read.parquet(s"$base/master")
-          val pa = NorthStar.parityParts(b).as("a")
-          val pb = NorthStar.parityParts(master.unionByName(b)).as("b")
-          val first = col("a.c_custkey") < col("b.c_custkey")
-          val cands = pa.join(pb,
-              col("a.part") === col("b.part") && col("a.v") === col("b.v") &&
-                col("a.len") === col("b.len") &&
-                col("a.c_custkey") =!= col("b.c_custkey"))
-            .select(
-              when(first, col("a.c_custkey")).otherwise(col("b.c_custkey")).as("a_key"),
-              when(first, col("b.c_custkey")).otherwise(col("a.c_custkey")).as("b_key"),
-              when(first, col("a.c_name")).otherwise(col("b.c_name")).as("a_name"),
-              when(first, col("b.c_name")).otherwise(col("a.c_name")).as("b_name"))
-          NorthStar.typoVerify(cands)
-            .write.mode("append").parquet(s"$base/matches")
-          b.write.mode("append").parquet(s"$base/master")
-        }
-        .option("checkpointLocation", s"$base/cp")
-        .start()
+      val q = graft.operators.EntityBlockIndex.screenStream(
+        streamed, s"$base/idx", s"$base/matches", s"$base/cp")
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(s"$base/matches")
         .dropDuplicates("a_key", "b_key")
+        .select("a_key", "b_key", "dist")
         .orderBy("a_key", "b_key")
     },
     Some(NorthStar.entityMatchOracleSql))

@@ -1,0 +1,128 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** The persisted entity-block lifecycle (r12 verdict task 1): each entity
+  * is blocked (kerneled) exactly once in its lifetime, candidates come
+  * entirely from stored state — never a master re-read or re-kernel —
+  * and the incremental pair set equals the one-shot all-pairs match.
+  */
+class EntityBlockIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def customers = Tables.load(spark, sfDir, "customer")
+    .select(col("c_custkey").as("key"), col("c_name").as("name"))
+
+  /** Brute-force truth: every pair within levenshtein 1 at equal length
+    * (the parity-pigeonhole contract), all-pairs.
+    */
+  private def bruteForce(ents: DataFrame): Set[(Long, Long, Long)] = {
+    val a = ents.as("a"); val b = ents.as("b")
+    a.join(b, col("a.key") < col("b.key") &&
+        length(col("a.name")) === length(col("b.name")))
+      .select(col("a.key").as("a_key"), col("b.key").as("b_key"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("a_key"), r.getAs[Long]("b_key"),
+      r.getAs[Long]("dist"))).toSet
+
+  test("incremental probe over a 3-way split equals the brute-force all-pairs match") {
+    val p = Files.createTempDirectory("graft_entidx_").toString + "/idx"
+    EntityBlockIndex.build(customers.filter(pmod(col("key"), lit(3)) === 0), p)
+    EntityBlockIndex.ingest(customers.filter(pmod(col("key"), lit(3)) === 1), p, batch = 1)
+    EntityBlockIndex.ingest(customers.filter(pmod(col("key"), lit(3)) === 2), p, batch = 2)
+    val inc = (0 to 2).map(b =>
+        EntityBlockIndex.verifyTypo(EntityBlockIndex.candidates(spark, p, b)))
+      .reduce(_ unionByName _).dropDuplicates("a_key", "b_key")
+    assert(pairsOf(inc) == bruteForce(customers))
+  }
+
+  test("candidates read ONLY stored state: no kernel in the plan, source deletable") {
+    val src = Files.createTempDirectory("graft_entsrc_").toString + "/master"
+    customers.write.parquet(src)
+    val p = Files.createTempDirectory("graft_entidx_src_").toString + "/idx"
+    EntityBlockIndex.build(spark.read.parquet(src), p)
+
+    // the blocking kernel (split/transform over the name) must appear in
+    // NO probe plan — the stored (part, v, len, name) rows are sufficient
+    val plan = EntityBlockIndex.candidates(spark, p, batch = 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("split(name") && !plan.contains("transform("),
+      s"probe plan re-runs the blocking kernel:\n$plan")
+
+    // and the source master list is never re-read: delete it, probe anyway
+    val sp = new org.apache.hadoop.fs.Path(src)
+    sp.getFileSystem(spark.sessionState.newHadoopConf()).delete(sp, true)
+    val pairs = pairsOf(EntityBlockIndex.verifyTypo(
+      EntityBlockIndex.candidates(spark, p, batch = 0)))
+    assert(pairs == bruteForce(customers))
+  }
+
+  test("streamed screen blocks each entity once and matches the one-shot run") {
+    val base = Files.createTempDirectory("graft_entstream_").toString
+    for (sl <- 0 to 2)
+      graft.StreamFixtures.oneFile(customers.filter(pmod(col("key"), lit(3)) === sl),
+        s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "key BIGINT, name STRING")
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = EntityBlockIndex.screenStream(
+      streamed, s"$base/idx", s"$base/matches", s"$base/cp")
+    try q.processAllAvailable() finally q.stop()
+
+    val matches = spark.read.parquet(s"$base/matches")
+      .dropDuplicates("a_key", "b_key")
+    assert(pairsOf(matches) == bruteForce(customers))
+
+    // each entity was blocked exactly once in its lifetime: the stored
+    // index holds 2 rows (two parity classes) per entity and nothing
+    // more — the pre-r13 shape would have re-appended master blocks
+    // every trigger
+    val stored = spark.read.parquet(s"$base/idx")
+    assert(stored.count() == 2L * customers.count(),
+      "index must hold exactly two block rows per entity — a larger count " +
+        "means the master list was re-kerneled")
+    // and batch ids are real: one per trigger
+    assert(stored.select("batch").distinct().count() == 3)
+  }
+
+  test("forget hides an entity from probes; compact reclaims and preserves answers") {
+    val p = Files.createTempDirectory("graft_entfgt_").toString + "/idx"
+    EntityBlockIndex.build(customers.filter(pmod(col("key"), lit(2)) === 0), p)
+    EntityBlockIndex.ingest(customers.filter(pmod(col("key"), lit(2)) === 1), p, batch = 1)
+    val all = (0 to 1).map(b =>
+        EntityBlockIndex.verifyTypo(EntityBlockIndex.candidates(spark, p, b)))
+      .reduce(_ unionByName _).dropDuplicates("a_key", "b_key")
+    val somePair = pairsOf(all).headOption
+    assume(somePair.nonEmpty, "fixture has at least one typo pair")
+    val victim = somePair.get._1
+
+    EntityBlockIndex.forget(spark, p,
+      spark.range(victim, victim + 1).select(col("id").as("key")))
+    def pairsNow() = (0 to 1).map(b =>
+        EntityBlockIndex.verifyTypo(EntityBlockIndex.candidates(spark, p, b)))
+      .reduce(_ unionByName _).dropDuplicates("a_key", "b_key")
+    val afterForget = pairsOf(pairsNow())
+    assert(!afterForget.exists(t => t._1 == victim || t._2 == victim),
+      "a forgotten entity must stop surfacing in candidates immediately")
+    assert(afterForget == bruteForce(customers.filter(col("key") =!= victim)))
+
+    EntityBlockIndex.compact(spark, p)
+    assert(pairsOf(pairsNow()) == afterForget,
+      "tombstone reclamation must not change probe answers")
+    assert(spark.read.parquet(p).filter(col("key") === victim).count() == 0,
+      "compact must physically reclaim the forgotten entity's rows")
+  }
+}
