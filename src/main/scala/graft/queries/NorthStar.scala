@@ -233,6 +233,108 @@ object NorthStar {
     typoVerify(cands).orderBy("a_key", "b_key")
   }
 
+  /** PassJoin segment blocking for edit distance <= 1 ACROSS lengths
+    * (Li, Deng, Feng: PassJoin, VLDB'11 — the position-aware partition
+    * scheme at tau = 1): the parity pigeonhole above is exact only at
+    * EQUAL length (an insert/delete shifts every later position, so both
+    * parity strings change), which makes the most common real typo —
+    * one inserted or dropped character — structurally invisible to
+    * d_entity_match. PassJoin closes that: partition each INDEXED string
+    * t into tau+1 = 2 contiguous segments (seg1 = t[0, |t| div 2),
+    * seg2 = the rest); for a pair within edit distance 1, the single
+    * edit touches at most one segment of the optimal alignment, and the
+    * untouched segment appears EXACTLY in s, start-shifted by at most
+    * the net insertions before it (<= 1). So the PROBE side emits, for
+    * each candidate indexed length Lt in {Ls-1, Ls, Ls+1}, each
+    * segment's substrings at the +-1 position window, and the equi-join
+    * on (seg_no, Lt, segment) provably contains every answer —
+    * PassJoinSpec pins that against brute force, edge cases included.
+    *
+    * Scale shape: blocked equi-join, never all-pairs. Block rows carry
+    * (key, half-a-name) — the index side 2 rows per string, the probe
+    * side <= 15 (3 lengths x 2 segments x <= 3 window starts, deduped);
+    * candidate pairs carry 8-byte keys ONLY, and the two names are
+    * re-joined output-sized for the exact levenshtein verification
+    * (carrying names through the block shuffle would duplicate the
+    * corpus ~15x).
+    */
+  private def passJoinSegments(ents: DataFrame): DataFrame =
+    ents.select(col("key"), length(col("name")).as("lt"),
+        explode(array(
+          struct(lit(1).as("seg_no"),
+            expr("substring(name, 1, length(name) div 2)").as("seg")),
+          struct(lit(2).as("seg_no"),
+            expr("substring(name, length(name) div 2 + 1)").as("seg")))).as("x"))
+      .select(col("key"), col("lt"), col("x.seg_no").as("seg_no"), col("x.seg").as("seg"))
+
+  private def passJoinProbes(ents: DataFrame): DataFrame = {
+    val withLt = ents.select(col("key"), col("name"), length(col("name")).as("ls"),
+        explode(expr("sequence(-1, 1)")).as("dl"))
+      .withColumn("lt", col("ls") + col("dl"))
+      .filter(col("lt") >= 1)
+      .withColumn("len1", expr("lt div 2"))
+      .withColumn("len2", col("lt") - col("len1"))
+    // seg i of t starts at p_i in t; in s it may start within [p_i - 1,
+    // p_i + 1], clamped to valid starts [0, ls - len_i]. sequence() is
+    // descending when hi < lo, hence the explicit guards.
+    val seg1 = withLt.select(col("key"), col("name"), col("lt"),
+      lit(1).as("seg_no"), col("len1").as("slen"),
+      explode(expr("sequence(0, greatest(least(ls - len1, 1), 0))")).as("p"))
+    val seg2 = withLt.select(col("key"), col("name"), col("lt"),
+      lit(2).as("seg_no"), col("len2").as("slen"),
+      explode(expr(
+        """CASE WHEN least(ls - len2, len1 + 1) >= greatest(len1 - 1, 0)
+          |THEN sequence(greatest(len1 - 1, 0), least(ls - len2, len1 + 1))
+          |ELSE array() END""".stripMargin)).as("p"))
+    seg1.unionByName(seg2)
+      .select(col("key"), col("lt"), col("seg_no"),
+        expr("substring(name, p + 1, slen)").as("seg"))
+      .dropDuplicates("key", "lt", "seg_no", "seg")
+  }
+
+  /** Candidate cross-length pairs (a_key < b_key, keys only) +
+    * output-sized name re-join + ONE levenshtein per pair. `ents` must
+    * carry (key, name).
+    */
+  private[queries] def passJoinMatch(ents: DataFrame): DataFrame = {
+    val cands = passJoinProbes(ents).as("a")
+      .join(passJoinSegments(ents).as("b"),
+        col("a.seg_no") === col("b.seg_no") && col("a.lt") === col("b.lt") &&
+          col("a.seg") === col("b.seg") && col("a.key") =!= col("b.key"))
+      .select(least(col("a.key"), col("b.key")).as("a_key"),
+        greatest(col("a.key"), col("b.key")).as("b_key"))
+      .distinct()
+    val names = ents.select(col("key"), col("name"))
+    cands
+      .join(names.select(col("key").as("a_key"), col("name").as("a_name")), "a_key")
+      .join(names.select(col("key").as("b_key"), col("name").as("b_name")), "b_key")
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("a_key"), col("b_key"), col("dist"))
+  }
+
+  private[queries] val entityMatchXlenOracleSql: String =
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY a_key, b_key""".stripMargin
+
+  /** d_entity_match WITHOUT the equal-length restriction — insert/delete
+    * typos included ([[passJoinMatch]]; r12 verdict missing #2). The
+    * oracle's length prefilter is implied by the threshold (|len
+    * difference| > 1 forces edit distance > 1), so this IS the
+    * unrestricted all-pairs edit-distance-1 match.
+    */
+  val d_entity_match_xlen: Query = q("d_entity_match_xlen",
+    Some(entityMatchXlenOracleSql)) { (s, dir) =>
+    passJoinMatch(Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name")))
+      .orderBy("a_key", "b_key")
+  }
+
   /** Entity matching from the PERSISTED parity-block index
     * ([[graft.operators.EntityBlockIndex]]) — d_entity_match's stored/
     * incremental twin (d_dedup_index's discipline in the edit-distance
@@ -4538,7 +4640,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
 
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
-    d_entity_match, d_entity_index,
+    d_entity_match, d_entity_index, d_entity_match_xlen,
     d_containment, d_containment_collapse, d_containment_probe,
     d_minhash_lsh, d_minhash_collapse, d_minhash_index, d_simhash, d_dedup_incremental,
     d_dedup_index, d_index_compact, d_forget, d_substring_dedup, d_substring_index, p_cut_spans,
