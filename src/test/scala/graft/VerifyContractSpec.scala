@@ -26,4 +26,18 @@ class VerifyContractSpec extends SparkSpec {
     assert(parsed.columns.length == SparkEntry.oracleSql.size)
     assert(SparkEntry.oracleSql.keySet.subsetOf(parsed.columns.toSet))
   }
+
+  test("README's operator count matches SparkEntry.queries.size") {
+    // the count is prose, so it cannot be computed in place — this pin
+    // makes a drifted README a test failure instead of a stale claim
+    // (r12 verdict: the hand-written count was one round behind)
+    val readme = Files.readString(Paths.get("README.md"))
+    val m = java.util.regex.Pattern
+      .compile("`SparkEntry\\.queries` \\((\\d+)").matcher(readme)
+    assert(m.find(), "README must state the SparkEntry.queries count")
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"README says ${m.group(1)} operators but SparkEntry.queries has " +
+        s"${SparkEntry.queries.size} — update README.md's Correctness model " +
+        "paragraph")
+  }
 }
