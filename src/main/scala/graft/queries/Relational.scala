@@ -228,9 +228,16 @@ object Relational {
     val cboSession = s.newSession()
     cboSession.conf.set("spark.sql.cbo.enabled", "true")
     cboSession.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    // integer-cents reduction (FLOAT_AUDIT.md, migrated r13 on a
+    // reproduced DecimalAbRun win: 0.74-0.77x the DECIMAL form on the
+    // same 5-way join, value-identical both runs) — the q5_agg lattice:
+    // cents x (100 - disc100), +50/100 HALF_UP back to cents, /100.0 the
+    // single float op. The DuckDB oracle keeps the decimal form.
     cboSession.sql(
-      s"""SELECT r.r_name, CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-         |                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+      s"""SELECT r.r_name,
+         |       FLOOR((SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+         |              * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) + 50) / 100)
+         |         / CAST(100 AS DOUBLE) AS revenue,
          |       COUNT(*) AS cnt
          |FROM $db.lineitem l
          |JOIN $db.orders o ON l.l_orderkey = o.o_orderkey
@@ -647,15 +654,17 @@ object Relational {
       .groupBy(col("l_returnflag"), col("salt"))
       .agg(count(lit(1)).as("c"), sum(col("l_quantity")).as("sq"),
         min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"),
-        // DECIMAL partial (FLOAT_AUDIT.md): the salted re-combine is a
-        // second reduction over partials — decimal keeps BOTH stages exact,
-        // so avg_price's numerator is order- and salt-layout-independent
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sp"))
+        // integer-cents partial (FLOAT_AUDIT.md, migrated r13 on a
+        // reproduced DecimalAbRun win: 0.65-0.70x the DECIMAL form,
+        // value-identical both runs): 2-dp inputs are exact cents, both
+        // reduction stages are 64-bit integer algebra — order- and
+        // salt-layout-independent like the decimal form, without its tax
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sp"))
     partial
       .groupBy("l_returnflag")
       .agg(sum(col("c")).as("cnt"), round(sum(col("sq")), 2).as("sum_qty"),
         round(min(col("mn")), 2).as("min_price"), round(max(col("mx")), 2).as("max_price"),
-        round(sum(col("sp")).cast("double") / sum(col("c")), 4).as("avg_price"))
+        round((sum(col("sp")).cast("double") / 100.0) / sum(col("c")), 4).as("avg_price"))
       .orderBy("l_returnflag")
   }
 
