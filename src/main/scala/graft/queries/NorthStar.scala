@@ -191,9 +191,9 @@ object NorthStar {
     * interleaved parity spreads entropy across both blocks). Two
     * equi-join shuffles carrying (key, name); in-block work is
     * sum-of-block^2; exact levenshtein verification restores precision.
-    * Generalization beyond equal lengths (insertions shift positions) is
-    * the PassJoin position-aware segment scheme — same skeleton, offset
-    * windows on the segment match (Li et al., VLDB'11).
+    * The generalization beyond equal lengths (insertions shift
+    * positions) is the PassJoin position-aware segment scheme (Li et
+    * al., VLDB'11) — implemented as [[d_entity_match_xlen]].
     */
   /** One row per (parity class, block value) for a `(c_custkey, c_name)`
     * relation — the blocking side of the parity pigeonhole, shared by the
@@ -258,47 +258,17 @@ object NorthStar {
     * (carrying names through the block shuffle would duplicate the
     * corpus ~15x).
     */
-  private def passJoinSegments(ents: DataFrame): DataFrame =
-    ents.select(col("key"), length(col("name")).as("lt"),
-        explode(array(
-          struct(lit(1).as("seg_no"),
-            expr("substring(name, 1, length(name) div 2)").as("seg")),
-          struct(lit(2).as("seg_no"),
-            expr("substring(name, length(name) div 2 + 1)").as("seg")))).as("x"))
-      .select(col("key"), col("lt"), col("x.seg_no").as("seg_no"), col("x.seg").as("seg"))
-
-  private def passJoinProbes(ents: DataFrame): DataFrame = {
-    val withLt = ents.select(col("key"), col("name"), length(col("name")).as("ls"),
-        explode(expr("sequence(-1, 1)")).as("dl"))
-      .withColumn("lt", col("ls") + col("dl"))
-      .filter(col("lt") >= 1)
-      .withColumn("len1", expr("lt div 2"))
-      .withColumn("len2", col("lt") - col("len1"))
-    // seg i of t starts at p_i in t; in s it may start within [p_i - 1,
-    // p_i + 1], clamped to valid starts [0, ls - len_i]. sequence() is
-    // descending when hi < lo, hence the explicit guards.
-    val seg1 = withLt.select(col("key"), col("name"), col("lt"),
-      lit(1).as("seg_no"), col("len1").as("slen"),
-      explode(expr("sequence(0, greatest(least(ls - len1, 1), 0))")).as("p"))
-    val seg2 = withLt.select(col("key"), col("name"), col("lt"),
-      lit(2).as("seg_no"), col("len2").as("slen"),
-      explode(expr(
-        """CASE WHEN least(ls - len2, len1 + 1) >= greatest(len1 - 1, 0)
-          |THEN sequence(greatest(len1 - 1, 0), least(ls - len2, len1 + 1))
-          |ELSE array() END""".stripMargin)).as("p"))
-    seg1.unionByName(seg2)
-      .select(col("key"), col("lt"), col("seg_no"),
-        expr("substring(name, p + 1, slen)").as("seg"))
-      .dropDuplicates("key", "lt", "seg_no", "seg")
-  }
-
   /** Candidate cross-length pairs (a_key < b_key, keys only) +
     * output-sized name re-join + ONE levenshtein per pair. `ents` must
-    * carry (key, name).
+    * carry (key, name). The segment/probe kernels are THE single copies
+    * in [[graft.operators.PassJoinIndex]], shared with the stored index
+    * lifecycle so the in-query and persisted paths cannot drift.
     */
   private[queries] def passJoinMatch(ents: DataFrame): DataFrame = {
-    val cands = passJoinProbes(ents).as("a")
-      .join(passJoinSegments(ents).as("b"),
+    val cands = graft.operators.PassJoinIndex.probes(ents)
+      .drop("name").as("a")
+      .join(graft.operators.PassJoinIndex.segments(ents)
+        .drop("name").as("b"),
         col("a.seg_no") === col("b.seg_no") && col("a.lt") === col("b.lt") &&
           col("a.seg") === col("b.seg") && col("a.key") =!= col("b.key"))
       .select(least(col("a.key"), col("b.key")).as("a_key"),
@@ -332,6 +302,29 @@ object NorthStar {
     Some(entityMatchXlenOracleSql)) { (s, dir) =>
     passJoinMatch(Tables.load(s, dir, "customer")
         .select(col("c_custkey").as("key"), col("c_name").as("name")))
+      .orderBy("a_key", "b_key")
+  }
+
+  /** Cross-length entity matching from the PERSISTED PassJoin segment
+    * index ([[graft.operators.PassJoinIndex]]) — d_entity_match_xlen's
+    * stored/incremental twin, completing the stored entity family
+    * (d_entity_index covers equal lengths): the master list is segmented
+    * once (base build + one ingested delta), each batch probe-emitted at
+    * arrival against the stored segments, the shared levenshtein lattice
+    * verifies. Same unrestricted all-pairs oracle: the incremental
+    * stored path provably loses nothing, insert/delete typos included.
+    */
+  val d_entity_xlen_index: Query = q("d_entity_xlen_index",
+    Some(entityMatchXlenOracleSql)) { (s, dir) =>
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    val p = java.nio.file.Files.createTempDirectory("graft_pjidx_").toString + "/idx"
+    graft.operators.PassJoinIndex.build(cust.filter(pmod(col("key"), lit(3)) =!= 2), p)
+    graft.operators.PassJoinIndex.ingest(cust.filter(pmod(col("key"), lit(3)) === 2), p, batch = 1)
+    (0 to 1).map(b => EntityBlockIndex.verifyTypo(
+        graft.operators.PassJoinIndex.candidates(s, p, b)))
+      .reduce(_ unionByName _)
+      .dropDuplicates("a_key", "b_key")
       .orderBy("a_key", "b_key")
   }
 
@@ -4640,7 +4633,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
 
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
-    d_entity_match, d_entity_index, d_entity_match_xlen,
+    d_entity_match, d_entity_index, d_entity_match_xlen, d_entity_xlen_index,
     d_containment, d_containment_collapse, d_containment_probe,
     d_minhash_lsh, d_minhash_collapse, d_minhash_index, d_simhash, d_dedup_incremental,
     d_dedup_index, d_index_compact, d_forget, d_substring_dedup, d_substring_index, p_cut_spans,

@@ -1128,6 +1128,38 @@ object StreamingQueries {
     },
     Some(NorthStar.entityMatchOracleSql))
 
+  /** Streamed CROSS-LENGTH entity screening — st_entity_screen with the
+    * PassJoin segment index ([[graft.operators.PassJoinIndex
+    * .screenStream]]) instead of the parity blocks: insert/delete typos
+    * are screened too, so the real-time gate covers the FULL edit
+    * distance <= 1 contract (d_entity_match_xlen's oracle). Same
+    * per-trigger economics: the batch alone is segmented and
+    * probe-emitted; the stored master segments are equi-joined, never
+    * re-read as text, never re-kerneled.
+    */
+  val st_entity_screen_xlen: Query = Query(
+    "st_entity_screen_xlen",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_entx_").toString
+      val cust = graft.tables.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))
+      for (sl <- 0 to 2)
+        oneFile(cust.filter(pmod(col("key"), lit(3)) === sl),
+          s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, name STRING")
+      val streamed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.PassJoinIndex.screenStream(
+        streamed, s"$base/idx", s"$base/matches", s"$base/cp")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/matches")
+        .dropDuplicates("a_key", "b_key")
+        .select("a_key", "b_key", "dist")
+        .orderBy("a_key", "b_key")
+    },
+    Some(NorthStar.entityMatchXlenOracleSql))
+
   /** The composed incremental pipeline STREAMED — e_pipeline_ivm's
     * production shape: facts arrive as micro-batches and ONE trigger
     * advances BOTH maintained stages under the SAME pinned batch id —
@@ -1258,5 +1290,5 @@ object StreamingQueries {
     st_substring_probe, st_minhash_probe, st_pq_probe, st_ivfpq_probe,
     st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget, st_scd2,
     st_sq8_ingest, st_join_ingest, st_scd2_lookup, st_pipeline_ivm,
-    st_entity_screen)
+    st_entity_screen, st_entity_screen_xlen)
 }

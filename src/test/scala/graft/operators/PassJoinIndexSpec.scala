@@ -1,0 +1,104 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** The persisted PassJoin lifecycle: the stored cross-length screen must
+  * equal the unrestricted brute-force edit-distance-1 match — across
+  * batches AND across lengths (the fixture corpus is all equal-length
+  * names, so the synthetic multi-batch set is what actually exercises
+  * insert/delete pairs split across batches).
+  */
+class PassJoinIndexSpec extends SparkSpec {
+
+  private def customers = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    .select(col("c_custkey").as("key"), col("c_name").as("name"))
+
+  private def brute(ents: DataFrame): Set[(Long, Long, Long)] =
+    ents.as("a").join(ents.as("b"), col("a.key") < col("b.key"))
+      .select(col("a.key").as("a_key"), col("b.key").as("b_key"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def probeAll(path: String, batches: Range): Set[(Long, Long, Long)] =
+    batches.map(b => EntityBlockIndex.verifyTypo(
+        PassJoinIndex.candidates(spark, path, b)))
+      .reduce(_ unionByName _).dropDuplicates("a_key", "b_key")
+      .collect().map(r => (r.getAs[Long]("a_key"), r.getAs[Long]("b_key"),
+        r.getAs[Long]("dist"))).toSet
+
+  test("incremental stored probe equals brute force on the corpus") {
+    val p = Files.createTempDirectory("graft_pjidx_").toString + "/idx"
+    PassJoinIndex.build(customers.filter(pmod(col("key"), lit(3)) === 0), p)
+    PassJoinIndex.ingest(customers.filter(pmod(col("key"), lit(3)) === 1), p, batch = 1)
+    PassJoinIndex.ingest(customers.filter(pmod(col("key"), lit(3)) === 2), p, batch = 2)
+    assert(probeAll(p, 0 to 2) == brute(customers))
+  }
+
+  test("cross-length pairs split ACROSS batches are found at the later member") {
+    import spark.implicits._
+    // insert/delete/substitution variants of a base name, deliberately
+    // split so every pair's members land in DIFFERENT batches — the
+    // parity-block index is structurally blind to the cross-length ones
+    val batch0 = Seq(1L -> "abcdef", 2L -> "Xbcdef", 3L -> "ab")
+    val batch1 = Seq(10L -> "abcdefX", 11L -> "bcdef", 12L -> "abdef",
+      13L -> "abc", 14L -> "a")
+    val all = (batch0 ++ batch1).toDF("key", "name")
+    val p = Files.createTempDirectory("graft_pjidx_x_").toString + "/idx"
+    PassJoinIndex.build(batch0.toDF("key", "name"), p)
+    PassJoinIndex.ingest(batch1.toDF("key", "name"), p, batch = 1)
+    val got = probeAll(p, 0 to 1)
+    val want = brute(all)
+    assert(got == want, s"stored cross-length probe diverged: got $got want $want")
+    // the set genuinely contains cross-length pairs, or this test is vacuous
+    assert(want.exists(_._3 == 1L) &&
+      brute(all).nonEmpty, "fixture must contain edit-distance-1 pairs")
+  }
+
+  test("streamed cross-length screen segments each entity once, equals one-shot") {
+    val base = Files.createTempDirectory("graft_pjstream_").toString
+    for (sl <- 0 to 2)
+      graft.StreamFixtures.oneFile(customers.filter(pmod(col("key"), lit(3)) === sl),
+        s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "key BIGINT, name STRING")
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = PassJoinIndex.screenStream(
+      streamed, s"$base/idx", s"$base/matches", s"$base/cp")
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/matches")
+      .dropDuplicates("a_key", "b_key")
+      .collect().map(r => (r.getAs[Long]("a_key"), r.getAs[Long]("b_key"),
+        r.getAs[Long]("dist"))).toSet
+    assert(got == brute(customers))
+    val stored = spark.read.parquet(s"$base/idx")
+    assert(stored.count() == 2L * customers.count(),
+      "index must hold exactly two segment rows per entity — more means " +
+        "the master list was re-kerneled")
+    assert(stored.select("batch").distinct().count() == 3)
+  }
+
+  test("forget hides an entity; compact reclaims without changing answers") {
+    val p = Files.createTempDirectory("graft_pjfgt_").toString + "/idx"
+    PassJoinIndex.build(customers.filter(pmod(col("key"), lit(2)) === 0), p)
+    PassJoinIndex.ingest(customers.filter(pmod(col("key"), lit(2)) === 1), p, batch = 1)
+    val somePair = probeAll(p, 0 to 1).headOption
+    assume(somePair.nonEmpty, "fixture has at least one typo pair")
+    val victim = somePair.get._1
+    PassJoinIndex.forget(spark, p,
+      spark.range(victim, victim + 1).select(col("id").as("key")))
+    val afterForget = probeAll(p, 0 to 1)
+    assert(!afterForget.exists(t => t._1 == victim || t._2 == victim))
+    assert(afterForget == brute(customers.filter(col("key") =!= victim)))
+    PassJoinIndex.compact(spark, p)
+    assert(probeAll(p, 0 to 1) == afterForget)
+    assert(spark.read.parquet(p).filter(col("key") === victim).count() == 0)
+  }
+}
