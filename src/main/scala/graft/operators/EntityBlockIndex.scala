@@ -46,20 +46,36 @@ import org.apache.spark.sql.functions._
   */
 object EntityBlockIndex {
 
+  /** Block-bucket count for the stored `bb=` partition layout — the
+    * [[JoinView]] kb= trick applied to the blocking key: a trigger's
+    * candidate join needs only the stored blocks whose (part, v, len)
+    * hash-bucket some batch block also lands in, so the stored side is
+    * PARTITION-PRUNED to the batch's buckets at planning time
+    * (<= min(2 x batch, BB) of BB directories) instead of scanning and
+    * shuffling the whole master's blocks every trigger. Fixture-sized;
+    * a production index picks thousands so a small screening batch reads
+    * a sliver of the master.
+    */
+  val BB = 64
+
+  private def bbCol: org.apache.spark.sql.Column =
+    pmod(xxhash64(col("part"), col("len"), col("v")), lit(BB)).cast("int")
+
   /** Blocking rows for `(key, name)` entities: one row per parity class —
-    * `(key, name, len, part, v)`, two per entity. The ONLY place the
+    * `(key, name, len, part, v, bb)`, two per entity. The ONLY place the
     * blocking kernel runs in this lifecycle.
     */
   def blocks(entities: DataFrame): DataFrame = {
     def parityStr(rem: Int) = expr(
       s"""concat_ws('', filter(transform(split(name, ''),
          |  (ch, i) -> CASE WHEN i % 2 = $rem THEN ch END), x -> x IS NOT NULL))""".stripMargin)
-    entities.select(col("key"), col("name"), length(col("name")).as("len"),
+    val b = entities.select(col("key"), col("name"), length(col("name")).as("len"),
         explode(array(
           struct(lit(0).as("part"), parityStr(0).as("v")),
           struct(lit(1).as("part"), parityStr(1).as("v")))).as("p"))
       .select(col("key"), col("name"), col("len"),
         col("p.part").as("part"), col("p.v").as("v"))
+    b.withColumn("bb", bbCol)
   }
 
   /** Exact verification tail over candidate pairs `(a_key, b_key, a_name,
@@ -76,15 +92,17 @@ object EntityBlockIndex {
       .filter(col("dist") <= 1)
       .select(col("a_key"), col("b_key"), col("dist"))
 
-  /** Block the base master list once; write the index as batch 0. */
+  /** Block the base master list once; write the index as batch 0 under
+    * the `bb=` bucket layout.
+    */
   def build(entities: DataFrame, path: String): Unit =
     blocks(entities).withColumn("batch", lit(0))
-      .write.mode("overwrite").parquet(path)
+      .write.partitionBy("bb").mode("overwrite").parquet(path)
 
   /** Block ONLY the delta; append its rows as `batch`. */
   def ingest(entities: DataFrame, path: String, batch: Int): Unit =
     blocks(entities).withColumn("batch", lit(batch))
-      .write.mode("append").parquet(path)
+      .write.partitionBy("bb").mode("append").parquet(path)
 
   /** Next free batch id — the shared fail-loud implementation. */
   def nextBatch(spark: SparkSession, path: String): Int =
@@ -105,8 +123,15 @@ object EntityBlockIndex {
     // batch <= probe pre-filter: the disjunctive later-member condition
     // below is not pushable, so later batches would otherwise shuffle
     // only to be dropped in the join (SignatureIndex.probe's argument)
-    val idx = Tombstones.live(spark, path, idCol = "key")
+    val live = Tombstones.live(spark, path, idCol = "key")
       .filter(col("batch") <= batch)
+    // bucket pruning: only stored blocks sharing a bb= bucket with some
+    // batch block can satisfy the equi-join — restrict the scan to the
+    // batch's buckets at planning time (PartitionFilters, spec-pinned).
+    // Bounded collect: <= min(2 x batch size, BB) distinct bucket ids.
+    val buckets = live.filter(col("batch") === batch)
+      .select("bb").distinct().collect().map(_.getInt(0))
+    val idx = live.filter(col("bb").isin(buckets.map(Int.box): _*))
     val a = idx.filter(col("batch") === batch).hint("SHUFFLE_HASH").as("a")
     val b = idx.as("b")
     val first = col("a.key") < col("b.key")
@@ -132,7 +157,8 @@ object EntityBlockIndex {
                    autoCompactFragments: Int = IndexStream.DefaultAutoCompactFragments)
       : org.apache.spark.sql.streaming.StreamingQuery =
     IndexStream.appendWithBatchIds(blocks(entities),
-      nextBatch(entities.sparkSession, path), path, checkpoint, autoCompactFragments)
+      nextBatch(entities.sparkSession, path), path, checkpoint,
+      autoCompactFragments, partitionCols = Seq("bb"))
 
   /** Streamed ingest AND screen — the real-time record-linkage gate.
     * Each micro-batch: the BATCH alone is blocked and appended under a
@@ -158,7 +184,7 @@ object EntityBlockIndex {
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val b = base + batchId.toInt
         blocks(df).withColumn("batch", lit(b))
-          .write.mode("append").parquet(path)
+          .write.partitionBy("bb").mode("append").parquet(path)
         verifyTypo(candidates(df.sparkSession, path, b))
           .withColumn("batch", lit(b))
           .write.mode("append").parquet(outPath)
@@ -174,9 +200,9 @@ object EntityBlockIndex {
   def forget(spark: SparkSession, path: String, ids: DataFrame): Unit =
     Tombstones.forget(spark, path, ids, idCol = "key")
 
-  /** Merge fragment files and reclaim tombstoned rows
-    * ([[IndexMaintenance.compact]]).
+  /** Merge fragment files and reclaim tombstoned rows, preserving the
+    * `bb=` bucket layout ([[IndexMaintenance.compact]]).
     */
   def compact(spark: SparkSession, path: String): Unit =
-    IndexMaintenance.compact(spark, path)
+    IndexMaintenance.compact(spark, path, partitionCols = Seq("bb"))
 }

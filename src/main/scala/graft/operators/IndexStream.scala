@@ -99,7 +99,8 @@ private[operators] object IndexStream {
     */
   def appendWithBatchIds(rows: DataFrame, nextBatch: => Int, path: String,
                          checkpoint: String,
-                         autoCompactFragments: Int = DefaultAutoCompactFragments): org.apache.spark.sql.streaming.StreamingQuery = {
+                         autoCompactFragments: Int = DefaultAutoCompactFragments,
+                         partitionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.lit
     // heal a crashed in-stream compaction BEFORE anything reads or appends:
     // a restarted stream's first append would otherwise recreate a live dir
@@ -114,14 +115,15 @@ private[operators] object IndexStream {
       else 0)
     rows.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        df.withColumn("batch", lit(base + batchId.toInt))
-          .write.mode("append").parquet(path)
+        val w = df.withColumn("batch", lit(base + batchId.toInt)).write
+        (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+          .mode("append").parquet(path)
         if (autoCompactFragments > 0) {
           val est = estFiles.addAndGet(math.max(1, df.rdd.getNumPartitions))
           if (est > autoCompactFragments) {
             val exact = IndexMaintenance.dataFileCount(df.sparkSession, path)
             if (exact > autoCompactFragments) {
-              IndexMaintenance.compact(df.sparkSession, path)
+              IndexMaintenance.compact(df.sparkSession, path, partitionCols)
               estFiles.set(IndexMaintenance.dataFileCount(df.sparkSession, path))
             } else estFiles.set(exact)
           }

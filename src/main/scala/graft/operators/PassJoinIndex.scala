@@ -29,8 +29,19 @@ import org.apache.spark.sql.functions._
   */
 object PassJoinIndex {
 
+  /** Block-bucket count for the stored `bb=` layout ([[EntityBlockIndex
+    * .BB]]'s rationale in the cross-length family): the stored side of a
+    * probe is partition-pruned to the buckets the batch's probe rows
+    * hash into, so a small screening batch reads a sliver of the master
+    * index instead of scanning and shuffling all of it.
+    */
+  val BB = 64
+
+  private def bbCol: org.apache.spark.sql.Column =
+    pmod(xxhash64(col("seg_no"), col("lt"), col("seg")), lit(BB)).cast("int")
+
   /** The 2 stored segment rows per entity: `(key, name, lt, seg_no,
-    * seg)` with lt the full string length — the indexed side of the
+    * seg, bb)` with lt the full string length — the indexed side of the
     * PassJoin equi-join, and the ONLY place the segment kernel runs for
     * a stored entity.
     */
@@ -43,6 +54,7 @@ object PassJoinIndex {
             expr("substring(name, length(name) div 2 + 1)").as("seg")))).as("x"))
       .select(col("key"), col("name"), col("lt"),
         col("x.seg_no").as("seg_no"), col("x.seg").as("seg"))
+      .withColumn("bb", bbCol)
 
   /** Probe rows for `(key, name)` entities: for each candidate indexed
     * length Lt in {Ls-1, Ls, Ls+1}, each segment's substrings of s at
@@ -70,17 +82,20 @@ object PassJoinIndex {
       .select(col("key"), col("name"), col("lt"), col("seg_no"),
         expr("substring(name, p + 1, slen)").as("seg"))
       .dropDuplicates("key", "lt", "seg_no", "seg")
+      .withColumn("bb", bbCol)
   }
 
-  /** Segment the base master list once; write the index as batch 0. */
+  /** Segment the base master list once; write the index as batch 0 under
+    * the `bb=` bucket layout.
+    */
   def build(entities: DataFrame, path: String): Unit =
     segments(entities).withColumn("batch", lit(0))
-      .write.mode("overwrite").parquet(path)
+      .write.partitionBy("bb").mode("overwrite").parquet(path)
 
   /** Segment ONLY the delta; append its rows as `batch`. */
   def ingest(entities: DataFrame, path: String, batch: Int): Unit =
     segments(entities).withColumn("batch", lit(batch))
-      .write.mode("append").parquet(path)
+      .write.partitionBy("bb").mode("append").parquet(path)
 
   /** Next free batch id — the shared fail-loud implementation. */
   def nextBatch(spark: SparkSession, path: String): Int =
@@ -95,12 +110,18 @@ object PassJoinIndex {
     * multi-slot agreement and replayed index rows.
     */
   def candidates(spark: SparkSession, path: String, batch: Int): DataFrame = {
-    val idx = Tombstones.live(spark, path, idCol = "key")
+    val live = Tombstones.live(spark, path, idCol = "key")
       .filter(col("batch") <= batch)
-    val batchEnts = idx.filter(col("batch") === batch)
+    val batchEnts = live.filter(col("batch") === batch)
       .select("key", "name").dropDuplicates("key")
-    val a = probes(batchEnts).hint("SHUFFLE_HASH").as("a")
-    val b = idx.as("b")
+    val probeRows = probes(batchEnts)
+    // bucket pruning ([[EntityBlockIndex.candidates]]'s discipline): only
+    // stored segments in a bucket some probe row hashes into can join —
+    // restrict the stored scan at planning time (PartitionFilters).
+    // Bounded collect: <= min(probe rows, BB) distinct bucket ids.
+    val buckets = probeRows.select("bb").distinct().collect().map(_.getInt(0))
+    val a = probeRows.hint("SHUFFLE_HASH").as("a")
+    val b = live.filter(col("bb").isin(buckets.map(Int.box): _*)).as("b")
     val first = col("a.key") < col("b.key")
     a.join(b,
         col("a.seg_no") === col("b.seg_no") && col("a.lt") === col("b.lt") &&
@@ -133,7 +154,7 @@ object PassJoinIndex {
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val b = base + batchId.toInt
         segments(df).withColumn("batch", lit(b))
-          .write.mode("append").parquet(path)
+          .write.partitionBy("bb").mode("append").parquet(path)
         EntityBlockIndex.verifyTypo(candidates(df.sparkSession, path, b))
           .withColumn("batch", lit(b))
           .write.mode("append").parquet(outPath)
@@ -149,5 +170,5 @@ object PassJoinIndex {
     Tombstones.forget(spark, path, ids, idCol = "key")
 
   def compact(spark: SparkSession, path: String): Unit =
-    IndexMaintenance.compact(spark, path)
+    IndexMaintenance.compact(spark, path, partitionCols = Seq("bb"))
 }

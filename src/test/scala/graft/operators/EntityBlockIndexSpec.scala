@@ -98,6 +98,24 @@ class EntityBlockIndexSpec extends SparkSpec {
     assert(stored.select("batch").distinct().count() == 3)
   }
 
+  test("a small batch's probe is partition-pruned to its bb= buckets") {
+    val p = Files.createTempDirectory("graft_entprune_").toString + "/idx"
+    EntityBlockIndex.build(customers, p) // master spans many of BB buckets
+    val one = customers.limit(1)
+    EntityBlockIndex.ingest(one, p, batch = 1)
+    val nb = spark.read.parquet(p).select("bb").distinct().count()
+    assert(nb > 8, s"master must span many buckets for the pin to bite (got $nb)")
+    val scans = fileScans(EntityBlockIndex.candidates(spark, p, batch = 1))
+    assert(scans.nonEmpty)
+    scans.foreach { scan =>
+      assert(scan.partitionFilters.exists(_.toString.contains("bb")),
+        s"index scan not bucket-pruned: ${scan.partitionFilters}")
+      // one entity -> two parity blocks -> at most 2 surviving buckets
+      assert(scan.selectedPartitions.partitionCount <= 2,
+        s"expected <=2 pruned partitions, got ${scan.selectedPartitions.partitionCount}")
+    }
+  }
+
   test("forget hides an entity from probes; compact reclaims and preserves answers") {
     val p = Files.createTempDirectory("graft_entfgt_").toString + "/idx"
     EntityBlockIndex.build(customers.filter(pmod(col("key"), lit(2)) === 0), p)

@@ -85,6 +85,34 @@ class PassJoinIndexSpec extends SparkSpec {
     assert(stored.select("batch").distinct().count() == 3)
   }
 
+  test("a small batch's probe is partition-pruned to its bb= buckets") {
+    val p = Files.createTempDirectory("graft_pjprune_").toString + "/idx"
+    PassJoinIndex.build(customers, p)
+    PassJoinIndex.ingest(customers.limit(1), p, batch = 1)
+    val nb = spark.read.parquet(p).select("bb").distinct().count()
+    assert(nb > 8, s"master must span many buckets for the pin to bite (got $nb)")
+    val scans = fileScans(PassJoinIndex.candidates(spark, p, batch = 1))
+    assert(scans.nonEmpty)
+    // the returned plan holds two index reads: the batch-row read feeding
+    // probe emission (batch-sized via the batch column's footer stats —
+    // no partition filter to have) and the MASTER scan, which must be
+    // bb-pruned. Every scan that is not the pruned master must carry the
+    // batch restriction; nothing may scan the master unpruned.
+    val (pruned, batchReads) =
+      scans.partition(_.partitionFilters.exists(_.toString.contains("bb")))
+    assert(pruned.nonEmpty, "no bucket-pruned master scan in the probe plan")
+    pruned.foreach { scan =>
+      // one entity -> <= 15 probe slots -> at most 15 surviving buckets
+      assert(scan.selectedPartitions.partitionCount <= 15,
+        s"expected <=15 pruned partitions, got ${scan.selectedPartitions.partitionCount}")
+    }
+    batchReads.foreach { scan =>
+      assert(scan.dataFilters.exists(_.toString.contains("batch")),
+        s"unpruned scan without a batch restriction (a full master read): " +
+          s"filters=${scan.dataFilters}")
+    }
+  }
+
   test("forget hides an entity; compact reclaims without changing answers") {
     val p = Files.createTempDirectory("graft_pjfgt_").toString + "/idx"
     PassJoinIndex.build(customers.filter(pmod(col("key"), lit(2)) === 0), p)
