@@ -119,7 +119,18 @@ object EntityBlockIndex {
     * DISTINCT on the pair key folds both-parity agreement AND replayed
     * index rows — the probe is duplicate-insensitive end to end.
     */
-  def candidates(spark: SparkSession, path: String, batch: Int): DataFrame = {
+  def candidates(spark: SparkSession, path: String, batch: Int): DataFrame =
+    candidates(spark, path, batch, batchBlocks = None)
+
+  /** As [[candidates]], with the probe side supplied IN MEMORY when the
+    * caller just computed it ([[screenStream]] holds the micro-batch's
+    * blocks — re-reading them from the index would pay a full footer
+    * listing per trigger just to rediscover rows the trigger wrote).
+    * The blocking kernel is deterministic, so the in-memory rows equal
+    * the just-appended ones byte-for-byte.
+    */
+  def candidates(spark: SparkSession, path: String, batch: Int,
+                 batchBlocks: Option[DataFrame]): DataFrame = {
     // batch <= probe pre-filter: the disjunctive later-member condition
     // below is not pushable, so later batches would otherwise shuffle
     // only to be dropped in the join (SignatureIndex.probe's argument)
@@ -129,10 +140,16 @@ object EntityBlockIndex {
     // batch block can satisfy the equi-join — restrict the scan to the
     // batch's buckets at planning time (PartitionFilters, spec-pinned).
     // Bounded collect: <= min(2 x batch size, BB) distinct bucket ids.
-    val buckets = live.filter(col("batch") === batch)
+    // (The collect reads the in-memory blocks when provided; otherwise
+    // one eager batch-row job outside the returned plan.)
+    val buckets = batchBlocks.getOrElse(live.filter(col("batch") === batch))
       .select("bb").distinct().collect().map(_.getInt(0))
     val idx = live.filter(col("bb").isin(buckets.map(Int.box): _*))
-    val a = idx.filter(col("batch") === batch).hint("SHUFFLE_HASH").as("a")
+    // the plan's own batch-row read stays bucket-pruned too (it is a
+    // subset of its buckets by construction)
+    val a = batchBlocks.getOrElse(idx.filter(col("batch") === batch))
+      .select("key", "name", "len", "part", "v")
+      .hint("SHUFFLE_HASH").as("a")
     val b = idx.as("b")
     val first = col("a.key") < col("b.key")
     a.join(b,
@@ -183,9 +200,13 @@ object EntityBlockIndex {
     entities.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val b = base + batchId.toInt
-        blocks(df).withColumn("batch", lit(b))
+        val blk = blocks(df)
+        blk.withColumn("batch", lit(b))
           .write.partitionBy("bb").mode("append").parquet(path)
-        verifyTypo(candidates(df.sparkSession, path, b))
+        // probe with the in-memory batch blocks (batch-sized recompute of
+        // a deterministic kernel) — no per-trigger index re-read to
+        // rediscover rows this trigger just wrote
+        verifyTypo(candidates(df.sparkSession, path, b, Some(blk)))
           .withColumn("batch", lit(b))
           .write.mode("append").parquet(outPath)
       }

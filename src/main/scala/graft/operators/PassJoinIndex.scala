@@ -109,11 +109,20 @@ object PassJoinIndex {
     * Normalized `(a_key, b_key, a_name, b_name)`; DISTINCT folds
     * multi-slot agreement and replayed index rows.
     */
-  def candidates(spark: SparkSession, path: String, batch: Int): DataFrame = {
+  def candidates(spark: SparkSession, path: String, batch: Int): DataFrame =
+    candidates(spark, path, batch, batchEntities = None)
+
+  /** As [[candidates]], with the probe entities supplied IN MEMORY when
+    * the caller holds them ([[screenStream]]) — no per-trigger index
+    * re-read to rediscover rows the trigger just wrote
+    * ([[EntityBlockIndex.candidates]]'s rationale).
+    */
+  def candidates(spark: SparkSession, path: String, batch: Int,
+                 batchEntities: Option[DataFrame]): DataFrame = {
     val live = Tombstones.live(spark, path, idCol = "key")
       .filter(col("batch") <= batch)
-    val batchEnts = live.filter(col("batch") === batch)
-      .select("key", "name").dropDuplicates("key")
+    val batchEnts = batchEntities.getOrElse(
+      live.filter(col("batch") === batch).select("key", "name").dropDuplicates("key"))
     val probeRows = probes(batchEnts)
     // bucket pruning ([[EntityBlockIndex.candidates]]'s discipline): only
     // stored segments in a bucket some probe row hashes into can join —
@@ -155,7 +164,8 @@ object PassJoinIndex {
         val b = base + batchId.toInt
         segments(df).withColumn("batch", lit(b))
           .write.partitionBy("bb").mode("append").parquet(path)
-        EntityBlockIndex.verifyTypo(candidates(df.sparkSession, path, b))
+        EntityBlockIndex.verifyTypo(
+            candidates(df.sparkSession, path, b, Some(df.select("key", "name"))))
           .withColumn("batch", lit(b))
           .write.mode("append").parquet(outPath)
       }
