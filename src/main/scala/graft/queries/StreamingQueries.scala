@@ -1128,14 +1128,15 @@ object StreamingQueries {
     },
     Some(NorthStar.entityMatchOracleSql))
 
-  /** Streamed CROSS-LENGTH entity screening — st_entity_screen with the
-    * PassJoin segment index ([[graft.operators.PassJoinIndex
+  /** Streamed CROSS-LENGTH entity screening — st_entity_screen with
+    * the deletion-neighborhood index ([[graft.operators.FastSsIndex
     * .screenStream]]) instead of the parity blocks: insert/delete typos
     * are screened too, so the real-time gate covers the FULL edit
     * distance <= 1 contract (d_entity_match_xlen's oracle). Same
-    * per-trigger economics: the batch alone is segmented and
-    * probe-emitted; the stored master segments are equi-joined, never
-    * re-read as text, never re-kerneled.
+    * per-trigger economics: the batch alone is hashed; the stored
+    * master signatures are equi-joined (blocks = true ed<=2
+    * neighborhoods, bucket-pruned), never re-read as text, never
+    * re-kerneled.
     */
   val st_entity_screen_xlen: Query = Query(
     "st_entity_screen_xlen",
@@ -1150,7 +1151,7 @@ object StreamingQueries {
         "key BIGINT, name STRING")
       val streamed = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-      val q = graft.operators.PassJoinIndex.screenStream(
+      val q = graft.operators.FastSsIndex.screenStream(
         streamed, s"$base/idx", s"$base/matches", s"$base/cp")
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(s"$base/matches")

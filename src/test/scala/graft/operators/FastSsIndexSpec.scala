@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.tables.Tables
 
-/** The persisted PassJoin lifecycle: the stored cross-length screen must
-  * equal the unrestricted brute-force edit-distance-1 match — across
-  * batches AND across lengths (the fixture corpus is all equal-length
-  * names, so the synthetic multi-batch set is what actually exercises
-  * insert/delete pairs split across batches).
+/** The persisted deletion-neighborhood lifecycle: the stored
+  * cross-length screen must equal the unrestricted brute-force
+  * edit-distance-1 match — across batches AND across lengths (the
+  * fixture corpus is all equal-length names, so the synthetic
+  * multi-batch set is what actually exercises insert/delete pairs split
+  * across batches).
   */
-class PassJoinIndexSpec extends SparkSpec {
+class FastSsIndexSpec extends SparkSpec {
 
   private def customers = Tables.load(spark, "/root/testdata/sf0.001", "customer")
     .select(col("c_custkey").as("key"), col("c_name").as("name"))
@@ -28,16 +29,16 @@ class PassJoinIndexSpec extends SparkSpec {
 
   private def probeAll(path: String, batches: Range): Set[(Long, Long, Long)] =
     batches.map(b => EntityBlockIndex.verifyTypo(
-        PassJoinIndex.candidates(spark, path, b)))
+        FastSsIndex.candidates(spark, path, b)))
       .reduce(_ unionByName _).dropDuplicates("a_key", "b_key")
       .collect().map(r => (r.getAs[Long]("a_key"), r.getAs[Long]("b_key"),
         r.getAs[Long]("dist"))).toSet
 
   test("incremental stored probe equals brute force on the corpus") {
-    val p = Files.createTempDirectory("graft_pjidx_").toString + "/idx"
-    PassJoinIndex.build(customers.filter(pmod(col("key"), lit(3)) === 0), p)
-    PassJoinIndex.ingest(customers.filter(pmod(col("key"), lit(3)) === 1), p, batch = 1)
-    PassJoinIndex.ingest(customers.filter(pmod(col("key"), lit(3)) === 2), p, batch = 2)
+    val p = Files.createTempDirectory("graft_fssidx_").toString + "/idx"
+    FastSsIndex.build(customers.filter(pmod(col("key"), lit(3)) === 0), p)
+    FastSsIndex.ingest(customers.filter(pmod(col("key"), lit(3)) === 1), p, batch = 1)
+    FastSsIndex.ingest(customers.filter(pmod(col("key"), lit(3)) === 2), p, batch = 2)
     assert(probeAll(p, 0 to 2) == brute(customers))
   }
 
@@ -50,19 +51,17 @@ class PassJoinIndexSpec extends SparkSpec {
     val batch1 = Seq(10L -> "abcdefX", 11L -> "bcdef", 12L -> "abdef",
       13L -> "abc", 14L -> "a")
     val all = (batch0 ++ batch1).toDF("key", "name")
-    val p = Files.createTempDirectory("graft_pjidx_x_").toString + "/idx"
-    PassJoinIndex.build(batch0.toDF("key", "name"), p)
-    PassJoinIndex.ingest(batch1.toDF("key", "name"), p, batch = 1)
+    val p = Files.createTempDirectory("graft_fssidx_x_").toString + "/idx"
+    FastSsIndex.build(batch0.toDF("key", "name"), p)
+    FastSsIndex.ingest(batch1.toDF("key", "name"), p, batch = 1)
     val got = probeAll(p, 0 to 1)
     val want = brute(all)
     assert(got == want, s"stored cross-length probe diverged: got $got want $want")
-    // the set genuinely contains cross-length pairs, or this test is vacuous
-    assert(want.exists(_._3 == 1L) &&
-      brute(all).nonEmpty, "fixture must contain edit-distance-1 pairs")
+    assert(want.exists(_._3 == 1L), "fixture must contain edit-distance-1 pairs")
   }
 
-  test("streamed cross-length screen segments each entity once, equals one-shot") {
-    val base = Files.createTempDirectory("graft_pjstream_").toString
+  test("streamed cross-length screen hashes each entity once, equals one-shot") {
+    val base = Files.createTempDirectory("graft_fssstream_").toString
     for (sl <- 0 to 2)
       graft.StreamFixtures.oneFile(customers.filter(pmod(col("key"), lit(3)) === sl),
         s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
@@ -70,7 +69,7 @@ class PassJoinIndexSpec extends SparkSpec {
       "key BIGINT, name STRING")
     val streamed = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-    val q = PassJoinIndex.screenStream(
+    val q = FastSsIndex.screenStream(
       streamed, s"$base/idx", s"$base/matches", s"$base/cp")
     try q.processAllAvailable() finally q.stop()
     val got = spark.read.parquet(s"$base/matches")
@@ -78,54 +77,45 @@ class PassJoinIndexSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("a_key"), r.getAs[Long]("b_key"),
         r.getAs[Long]("dist"))).toSet
     assert(got == brute(customers))
+    // each entity was hashed exactly once in its lifetime: the stored
+    // index holds its (deduped) deletion-signature rows and nothing
+    // more — a larger count means the master list was re-kerneled
     val stored = spark.read.parquet(s"$base/idx")
-    assert(stored.count() == 2L * customers.count(),
-      "index must hold exactly two segment rows per entity — more means " +
-        "the master list was re-kerneled")
+    assert(stored.count() == FastSsIndex.signatures(customers).count(),
+      "index must hold exactly one signature-row set per entity")
     assert(stored.select("batch").distinct().count() == 3)
   }
 
   test("a small batch's probe is partition-pruned to its bb= buckets") {
-    val p = Files.createTempDirectory("graft_pjprune_").toString + "/idx"
-    PassJoinIndex.build(customers, p)
-    PassJoinIndex.ingest(customers.limit(1), p, batch = 1)
+    val p = Files.createTempDirectory("graft_fssprune_").toString + "/idx"
+    FastSsIndex.build(customers, p)
+    FastSsIndex.ingest(customers.limit(1), p, batch = 1)
     val nb = spark.read.parquet(p).select("bb").distinct().count()
-    assert(nb > 8, s"master must span many buckets for the pin to bite (got $nb)")
-    val scans = fileScans(PassJoinIndex.candidates(spark, p, batch = 1))
+    assert(nb > 19, s"master must span many buckets for the pin to bite (got $nb)")
+    val scans = fileScans(FastSsIndex.candidates(spark, p, batch = 1))
     assert(scans.nonEmpty)
-    // the returned plan holds two index reads: the batch-row read feeding
-    // probe emission (batch-sized via the batch column's footer stats —
-    // no partition filter to have) and the MASTER scan, which must be
-    // bb-pruned. Every scan that is not the pruned master must carry the
-    // batch restriction; nothing may scan the master unpruned.
-    val (pruned, batchReads) =
-      scans.partition(_.partitionFilters.exists(_.toString.contains("bb")))
-    assert(pruned.nonEmpty, "no bucket-pruned master scan in the probe plan")
-    pruned.foreach { scan =>
-      // one entity -> <= 15 probe slots -> at most 15 surviving buckets
-      assert(scan.selectedPartitions.partitionCount <= 15,
-        s"expected <=15 pruned partitions, got ${scan.selectedPartitions.partitionCount}")
-    }
-    batchReads.foreach { scan =>
-      assert(scan.dataFilters.exists(_.toString.contains("batch")),
-        s"unpruned scan without a batch restriction (a full master read): " +
-          s"filters=${scan.dataFilters}")
+    scans.foreach { scan =>
+      assert(scan.partitionFilters.exists(_.toString.contains("bb")),
+        s"index scan not bucket-pruned: ${scan.partitionFilters}")
+      // one entity of length L -> <= L+1 signatures -> <= L+1 buckets
+      assert(scan.selectedPartitions.partitionCount <= 19,
+        s"expected <=19 pruned partitions, got ${scan.selectedPartitions.partitionCount}")
     }
   }
 
   test("forget hides an entity; compact reclaims without changing answers") {
-    val p = Files.createTempDirectory("graft_pjfgt_").toString + "/idx"
-    PassJoinIndex.build(customers.filter(pmod(col("key"), lit(2)) === 0), p)
-    PassJoinIndex.ingest(customers.filter(pmod(col("key"), lit(2)) === 1), p, batch = 1)
+    val p = Files.createTempDirectory("graft_fssfgt_").toString + "/idx"
+    FastSsIndex.build(customers.filter(pmod(col("key"), lit(2)) === 0), p)
+    FastSsIndex.ingest(customers.filter(pmod(col("key"), lit(2)) === 1), p, batch = 1)
     val somePair = probeAll(p, 0 to 1).headOption
     assume(somePair.nonEmpty, "fixture has at least one typo pair")
     val victim = somePair.get._1
-    PassJoinIndex.forget(spark, p,
+    FastSsIndex.forget(spark, p,
       spark.range(victim, victim + 1).select(col("id").as("key")))
     val afterForget = probeAll(p, 0 to 1)
     assert(!afterForget.exists(t => t._1 == victim || t._2 == victim))
     assert(afterForget == brute(customers.filter(col("key") =!= victim)))
-    PassJoinIndex.compact(spark, p)
+    FastSsIndex.compact(spark, p)
     assert(probeAll(p, 0 to 1) == afterForget)
     assert(spark.read.parquet(p).filter(col("key") === victim).count() == 0)
   }

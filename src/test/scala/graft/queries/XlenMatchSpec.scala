@@ -6,14 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.tables.Tables
 
-/** PassJoin (tau = 1) blocking exactness: the position-aware segment
-  * join must emit a candidate superset of EVERY pair within edit
-  * distance 1 — across lengths, which is the whole point (the parity
-  * pigeonhole covers equal lengths only). Pinned against brute force on
-  * the fixture corpus AND a hand-built adversarial set covering each
-  * edit position class.
+/** Deletion-neighborhood (FastSS, tau = 1) blocking exactness: the
+  * signature-intersection join must emit a candidate superset of EVERY
+  * pair within edit distance 1 — across lengths, which is the whole
+  * point (the parity pigeonhole covers equal lengths only). Pinned
+  * against brute force on the fixture corpus AND a hand-built
+  * adversarial set covering each edit position class.
   */
-class PassJoinSpec extends SparkSpec {
+class XlenMatchSpec extends SparkSpec {
 
   private def brute(ents: DataFrame): Set[(Long, Long, Long)] =
     ents.as("a").join(ents.as("b"), col("a.key") < col("b.key"))
@@ -22,42 +22,42 @@ class PassJoinSpec extends SparkSpec {
       .filter(col("dist") <= 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
-  private def passJoin(ents: DataFrame): Set[(Long, Long, Long)] =
-    NorthStar.passJoinMatch(ents)
+  private def fastSs(ents: DataFrame): Set[(Long, Long, Long)] =
+    NorthStar.xlenMatch(ents)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
   test("equals brute force on the customer corpus (cross-length included)") {
     val ents = Tables.load(spark, "/root/testdata/sf0.001", "customer")
       .select(col("c_custkey").as("key"), col("c_name").as("name"))
-    assert(passJoin(ents) == brute(ents))
+    assert(fastSs(ents) == brute(ents))
   }
 
   test("equals brute force on adversarial edits at every position class") {
     import spark.implicits._
-    // every structural case for one edit on "abcdef": substitution in
-    // either segment, insert/delete at front / segment boundary / end,
-    // exact duplicates, tiny strings (empty first segment at length 1),
-    // and near-misses at distance 2 that blocking is allowed to emit but
-    // verification must kill
+    // every structural case for one edit on "abcdef": substitution at
+    // front/middle/end, insert/delete at front / middle / end, exact
+    // duplicates, tiny strings (single-char, empty), and near-misses at
+    // distance 2 that blocking is allowed to emit (a shared deletion
+    // implies only ed <= 2) but verification must kill
     val names = Seq(
       "abcdef",            // base
-      "Xbcdef",            // sub at pos 0 (segment 1)
-      "abcdeX",            // sub at last pos (segment 2)
-      "abXdef",            // sub at segment boundary
+      "Xbcdef",            // sub at pos 0
+      "abcdeX",            // sub at last pos
+      "abXdef",            // sub in the middle
       "Xabcdef",           // insert at front (shifts everything)
-      "abcXdef",           // insert at boundary
+      "abcXdef",           // insert in the middle
       "abcdefX",           // append
       "bcdef",             // delete at front
-      "abdef",             // delete at boundary
+      "abdef",             // delete in the middle
       "abcde",             // delete at end
       "abcdef",            // exact duplicate (distance 0)
       "XYcdef",            // distance 2 — must NOT match base
-      "a", "b", "ab",      // tiny strings: len1 = 0 cases
+      "a", "b", "ab",      // tiny strings
       "ba",                // distance 2 from "ab" (swap = 2 edits)
       ""                   // empty string (distance 1 from "a" and "b")
     )
     val ents = names.zipWithIndex
       .map { case (n, i) => (i.toLong, n) }.toDF("key", "name")
-    assert(passJoin(ents) == brute(ents))
+    assert(fastSs(ents) == brute(ents))
   }
 }
