@@ -40,6 +40,13 @@ import org.apache.spark.sql.functions._
   * machinery (delete vectors anti-joined at every read; reclamation with
   * the rewrite swap), completing the family-wide lifecycle contract.
   *
+  * Positioning vs [[FastSsIndex]]: FastSS covers the FULL edit distance
+  * <= 1 contract (insert/delete included) at ~len+1 signature rows per
+  * entity; this index covers the equal-length (substitution) contract
+  * at exactly 2 rows per entity. A pipeline that only needs
+  * substitution screening (fixed-width codes, normalized IDs) keeps the
+  * ~10x smaller artifact; one that needs the full contract uses FastSS.
+  *
   * Reference analog: the manifest-driven incremental convert
   * (spectrify/convert.py:97-99) processes only new partitions; the block
   * table is the analogous persisted state for entity screening.
