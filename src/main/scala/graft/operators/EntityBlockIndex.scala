@@ -138,6 +138,13 @@ object EntityBlockIndex {
     */
   def candidates(spark: SparkSession, path: String, batch: Int,
                  batchBlocks: Option[DataFrame]): DataFrame = {
+    // the in-memory probe side honors the forget contract exactly like
+    // the stored one (r13 ADVICE): a tombstoned entity re-arriving in a
+    // micro-batch must stay hidden until compaction retires its
+    // tombstone, so the supplied blocks are anti-joined against the
+    // delete vectors BEFORE probing — both candidate paths filter both
+    // join sides identically.
+    val batchLive = batchBlocks.map(Tombstones.applyTo(_, spark, path, "key"))
     // batch <= probe pre-filter: the disjunctive later-member condition
     // below is not pushable, so later batches would otherwise shuffle
     // only to be dropped in the join (SignatureIndex.probe's argument)
@@ -149,12 +156,12 @@ object EntityBlockIndex {
     // Bounded collect: <= min(2 x batch size, BB) distinct bucket ids.
     // (The collect reads the in-memory blocks when provided; otherwise
     // one eager batch-row job outside the returned plan.)
-    val buckets = batchBlocks.getOrElse(live.filter(col("batch") === batch))
+    val buckets = batchLive.getOrElse(live.filter(col("batch") === batch))
       .select("bb").distinct().collect().map(_.getInt(0))
     val idx = live.filter(col("bb").isin(buckets.map(Int.box): _*))
     // the plan's own batch-row read stays bucket-pruned too (it is a
     // subset of its buckets by construction)
-    val a = batchBlocks.getOrElse(idx.filter(col("batch") === batch))
+    val a = batchLive.getOrElse(idx.filter(col("batch") === batch))
       .select("key", "name", "len", "part", "v")
       .hint("SHUFFLE_HASH").as("a")
     val b = idx.as("b")

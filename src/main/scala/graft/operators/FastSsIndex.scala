@@ -101,13 +101,18 @@ object FastSsIndex {
     */
   def candidates(spark: SparkSession, path: String, batch: Int,
                  batchSigs: Option[DataFrame]): DataFrame = {
+    // in-memory probe side honors the forget contract like the stored
+    // one (r13 ADVICE; [[EntityBlockIndex.candidates]]' rationale):
+    // anti-join the supplied signatures against the delete vectors so a
+    // tombstoned entity re-arriving mid-stream stays hidden.
+    val batchLive = batchSigs.map(Tombstones.applyTo(_, spark, path, "key"))
     val live = Tombstones.live(spark, path, idCol = "key")
       .filter(col("batch") <= batch)
     // bucket pruning: bounded collect, <= min(batch signatures, BB) ids
-    val buckets = batchSigs.getOrElse(live.filter(col("batch") === batch))
+    val buckets = batchLive.getOrElse(live.filter(col("batch") === batch))
       .select("bb").distinct().collect().map(_.getInt(0))
     val idx = live.filter(col("bb").isin(buckets.map(Int.box): _*))
-    val a = batchSigs.getOrElse(idx.filter(col("batch") === batch))
+    val a = batchLive.getOrElse(idx.filter(col("batch") === batch))
       .select("key", "name", "sig")
       .hint("SHUFFLE_HASH").as("a")
     val b = idx.as("b")

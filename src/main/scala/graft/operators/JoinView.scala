@@ -153,6 +153,21 @@ object JoinView {
       .write.mode("overwrite").parquet(schemaSidecarPath(sub))
 
   private def readSub(spark: SparkSession, sub: String): DataFrame = {
+    val sidecar = new org.apache.hadoop.fs.Path(schemaSidecarPath(sub))
+    val fs = sidecar.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(sidecar)) {
+      // migration guard (r13 ADVICE): pre-r13 tables kept the sidecar
+      // INSIDE the data dir — fail with the rebuild instruction the
+      // writer path gets from the hash-version marker, not a raw
+      // path-not-found from the parquet reader
+      val legacy = new org.apache.hadoop.fs.Path(sub, "_schema")
+      if (fs.exists(legacy)) throw new IllegalStateException(
+        s"schema sidecar for $sub sits at the pre-r13 location $legacy (inside the " +
+          "data dir); this view was written under the old layout — rebuild it " +
+          "(JoinView.build + re-ingest) under the current sibling-sidecar layout")
+      throw new IllegalStateException(
+        s"no schema sidecar at $sidecar — not a JoinView subtable (build first)")
+    }
     val schema = spark.read.parquet(schemaSidecarPath(sub)).schema
     spark.read.schema(schema).parquet(sub)
   }
@@ -357,14 +372,29 @@ object JoinView {
     */
   def forget(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     val key = joinKey(spark, path)
+    val idsK = ids.select(col(key)).distinct()
     // retention floor FIRST ([[AsofFloor]]): the tombstones hide the keys
     // from EVERY batch at once, so any as-of below the current ledger
     // would silently show history missing those keys. Floor-then-append
     // is the safe crash order — a crash between the two leaves the floor
     // raised without the rewrite (loud on reads that would have been
     // exact), never the rewrite without the floor (silent wrong history).
-    AsofFloor.write(spark, path, floor = committedBatch(spark, path),
-      rewrite = "forget (keys tombstoned out of every batch)")
+    // The floor rises ONLY when the ids actually hide stored rows (r13
+    // ADVICE: a no-op forget — ids never ingested, or already tombstoned
+    // — must not retire exact time travel): one bucket-pruned existence
+    // probe per subtable, the same O(ids' buckets) read shape as the
+    // delta rule. (compact keeps its conservative unconditional raise
+    // when ANY tombstones pend — by then the intersect answer is the
+    // same question this probe answered at forget time.)
+    val c = committedBatch(spark, path)
+    val buckets = bucketsOf(idsK, key)
+    val hidesStored = Seq("a", "b", "view").exists { sub =>
+      !storedPruned(spark, s"$path/$sub", c, buckets, key)
+        .join(idsK, Seq(key), "left_semi").isEmpty
+    }
+    if (hidesStored)
+      AsofFloor.write(spark, path, floor = c,
+        rewrite = "forget (keys tombstoned out of every batch)")
     for (sub <- Seq("a", "b", "view"))
       Tombstones.forget(spark, s"$path/$sub", ids, idCol = key)
   }

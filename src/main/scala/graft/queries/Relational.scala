@@ -100,12 +100,15 @@ object Relational {
         // order-independent like the r10 DECIMAL form but 0.67x its cost
         // (DecimalTaxRun r11: decimal 0.440 s, int-cents 0.293 s, the two
         // value-identical; the unsafe double form was 0.344 s). Units:
-        // cents x (100 - disc100) = 10^-4; +50/100 is HALF_UP back to
-        // cents (all-positive domain), /100.0 the single float op. Range:
-        // <= 10^10 per row -> ~9x10^8 rows/group before 2^63; ANSI mode
-        // overflows LOUDLY, never wraps.
-        (floor((sum(round(col("l_extendedprice") * 100).cast("long")
-          * (lit(100L) - round(col("l_discount") * 100).cast("long"))) + 50L) / 100L)
+        // cents x (100 - disc100) = 10^-4; +50 DIV 100 is HALF_UP back to
+        // cents (all-positive domain) — integral DIV, not `/`+floor,
+        // because Divide promotes BIGINT to DOUBLE and past 2^53 the
+        // rounding could drift a cent from the DECIMAL oracle (r13
+        // ADVICE); /100.0 stays the single float op. Range: <= 10^10 per
+        // row -> ~9x10^8 rows/group before 2^63; ANSI mode overflows
+        // LOUDLY, never wraps.
+        (expr("""(sum(cast(round(l_extendedprice * 100) as bigint)
+                 * (100 - cast(round(l_discount * 100) as bigint))) + 50) div 100""")
           / 100.0).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("cnt"))
@@ -235,8 +238,8 @@ object Relational {
     // single float op. The DuckDB oracle keeps the decimal form.
     cboSession.sql(
       s"""SELECT r.r_name,
-         |       FLOOR((SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
-         |              * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) + 50) / 100)
+         |       ((SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+         |              * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) + 50) DIV 100)
          |         / CAST(100 AS DOUBLE) AS revenue,
          |       COUNT(*) AS cnt
          |FROM $db.lineitem l

@@ -143,4 +143,27 @@ class EntityBlockIndexSpec extends SparkSpec {
     assert(spark.read.parquet(p).filter(col("key") === victim).count() == 0,
       "compact must physically reclaim the forgotten entity's rows")
   }
+
+  test("the in-memory batch probe honors the forget contract (tombstoned re-arrival stays hidden)") {
+    val p = Files.createTempDirectory("graft_entfgt_mem_").toString + "/idx"
+    EntityBlockIndex.build(customers, p)
+    val all = pairsOf(EntityBlockIndex.verifyTypo(
+      EntityBlockIndex.candidates(spark, p, batch = 0)))
+    assume(all.nonEmpty, "fixture has at least one typo pair")
+    val victim = all.head._1
+    EntityBlockIndex.forget(spark, p,
+      spark.range(victim, victim + 1).select(col("id").as("key")))
+    // the victim re-arrives in a micro-batch: the streamed screen path
+    // appends it and probes with the IN-MEMORY blocks — the supplied
+    // probe side must be anti-joined against the tombstones exactly like
+    // the stored path, so no pair involving the victim surfaces until
+    // the tombstone retires (r13 ADVICE)
+    val reArrival = customers.filter(col("key") === victim)
+    val blk = EntityBlockIndex.blocks(reArrival)
+    EntityBlockIndex.ingest(reArrival, p, batch = 1)
+    val pairs = pairsOf(EntityBlockIndex.verifyTypo(
+      EntityBlockIndex.candidates(spark, p, batch = 1, Some(blk))))
+    assert(pairs.isEmpty,
+      "a tombstoned entity re-arriving mid-stream must stay hidden until compaction")
+  }
 }

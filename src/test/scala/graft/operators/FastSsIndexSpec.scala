@@ -119,4 +119,24 @@ class FastSsIndexSpec extends SparkSpec {
     assert(probeAll(p, 0 to 1) == afterForget)
     assert(spark.read.parquet(p).filter(col("key") === victim).count() == 0)
   }
+
+  test("the in-memory batch probe honors the forget contract (tombstoned re-arrival stays hidden)") {
+    val p = Files.createTempDirectory("graft_fssfgt_mem_").toString + "/idx"
+    FastSsIndex.build(customers, p)
+    val all = probeAll(p, 0 to 0)
+    assume(all.nonEmpty, "fixture has at least one typo pair")
+    val victim = all.head._1
+    FastSsIndex.forget(spark, p,
+      spark.range(victim, victim + 1).select(col("id").as("key")))
+    // re-arrival via the streamed path's in-memory signatures: the
+    // supplied probe side must be tombstone-filtered like the stored one
+    val reArrival = customers.filter(col("key") === victim)
+    val sigs = FastSsIndex.signatures(reArrival)
+    FastSsIndex.ingest(reArrival, p, batch = 1)
+    val pairs = EntityBlockIndex.verifyTypo(
+        FastSsIndex.candidates(spark, p, batch = 1, Some(sigs)))
+      .collect()
+    assert(pairs.isEmpty,
+      "a tombstoned entity re-arriving mid-stream must stay hidden until compaction")
+  }
 }

@@ -149,6 +149,42 @@ class JoinViewSpec extends SparkSpec {
     assert(viewSet(path).count(_._1 == 3L) == 1, "old history leaked back")
   }
 
+  test("a no-op forget does not retire exact time travel; a hiding one does") {
+    val path = Files.createTempDirectory("graft_jv_noopfgt_").toString
+    JoinView.build(mkA(A.take(14)), mkB(B.take(10)), "k", path)
+    JoinView.ingest(mkA(A.slice(14, 28)), mkB(B.slice(10, 20)), "k", path)
+    val spark0 = spark
+    import spark0.implicits._
+    val asOf0 = joinSet(A.take(14), B.take(10))
+    // key 999 was never ingested: the tombstone hides nothing stored, so
+    // the retention floor must NOT rise (r13 ADVICE — a no-op forget
+    // permanently failing every as-of read would retire exact history
+    // although it is intact)
+    JoinView.forget(spark, path, Seq(999L).toDF("k"))
+    assert(JoinView.mergedAsOf(spark, path, 0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == asOf0,
+      "a no-op forget must leave as-of reads exact")
+    // a forget that DOES hide stored rows raises the floor: the same
+    // as-of now fails loudly naming the rewrite
+    JoinView.forget(spark, path, Seq(3L).toDF("k"))
+    val e = intercept[IllegalArgumentException] {
+      JoinView.mergedAsOf(spark, path, 0)
+    }
+    assert(e.getMessage.contains("forget"))
+  }
+
+  test("a pre-r13 in-dir schema sidecar fails loudly with a rebuild instruction") {
+    val path = Files.createTempDirectory("graft_jv_legacy_").toString
+    JoinView.build(mkA(A.take(14)), mkB(B.take(10)), "k", path)
+    // simulate the pre-r13 layout: the sidecar sits INSIDE the data dir
+    val conf = spark.sessionState.newHadoopConf()
+    val sib = new org.apache.hadoop.fs.Path(s"${path}/view_schema")
+    val fs = sib.getFileSystem(conf)
+    fs.rename(sib, new org.apache.hadoop.fs.Path(s"$path/view/_schema"))
+    val e = intercept[IllegalStateException] { JoinView.merged(spark, path) }
+    assert(e.getMessage.contains("rebuild"), s"unexpected message: ${e.getMessage}")
+  }
+
   test("a restarted checkpoint whose id space was taken fails loudly, not silently") {
     val path = Files.createTempDirectory("graft_jv_taken_").toString
     val src = Files.createTempDirectory("graft_jv_taken_src_").toString
