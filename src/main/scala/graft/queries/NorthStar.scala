@@ -342,6 +342,93 @@ object NorthStar {
       .orderBy("a_key", "b_key")
   }
 
+  /** Deterministically typo-perturbed entity relation — the NON-VACUOUS
+    * cross-length gate fixture (r13 verdict: every fixture name is
+    * exactly 18 characters, so the unperturbed xlen rows hash-match the
+    * equal-length answer set and the insert/delete capability FastSS
+    * exists for was provable only by synthetic specs, never by the
+    * DuckDB differential). The t_pii/t_stratified injection discipline:
+    * derive the perturbation IN-QUERY from md5(name) — computable
+    * verbatim in both engines — so the oracle sees genuine cross-length
+    * pairs. For `key % 7 = 0`, a row with an md5-derived character
+    * INSERTED after an md5-derived position joins the relation under
+    * key+10000000 (a length-19 name at edit distance 1 from its
+    * length-18 source); for `key % 7 = 3`, a row with the character at
+    * that position DELETED joins under key+20000000 (length 17). At
+    * sf0.01 the all-pairs truth holds 21,393 pairs of which 1,893
+    * involve a perturbed row — the gate now provably distinguishes
+    * deletion-neighborhood blocking from the equal-length parity blocks.
+    */
+  private[queries] def typoPerturbed(ents: DataFrame): DataFrame = {
+    val withP = ents.withColumn("p",
+      expr("1 + (ascii(substring(md5(name), 1, 1)) % length(name))"))
+    val ins = withP.filter(expr("key % 7 = 0"))
+      .select((col("key") + lit(10000000L)).as("key"),
+        expr("concat(substring(name, 1, p), substring(md5(name), 2, 1), " +
+          "substring(name, p + 1, length(name)))").as("name"))
+    val del = withP.filter(expr("key % 7 = 3"))
+      .select((col("key") + lit(20000000L)).as("key"),
+        expr("concat(substring(name, 1, p - 1), " +
+          "substring(name, p + 1, length(name)))").as("name"))
+    ents.unionByName(ins).unionByName(del)
+  }
+
+  private[queries] val entityTyposOracleSql: String =
+    """WITH base AS (SELECT c_custkey AS key, c_name AS name FROM customer),
+      |perturbed AS (
+      |  SELECT key, name FROM base
+      |  UNION ALL
+      |  SELECT key + 10000000,
+      |         concat(substring(name, 1, p), ch, substring(name, p + 1, length(name)))
+      |  FROM (SELECT key, name,
+      |               1 + (ascii(substring(md5(name), 1, 1)) % length(name)) AS p,
+      |               substring(md5(name), 2, 1) AS ch
+      |        FROM base WHERE key % 7 = 0) i
+      |  UNION ALL
+      |  SELECT key + 20000000,
+      |         concat(substring(name, 1, p - 1), substring(name, p + 1, length(name)))
+      |  FROM (SELECT key, name,
+      |               1 + (ascii(substring(md5(name), 1, 1)) % length(name)) AS p
+      |        FROM base WHERE key % 7 = 3) d)
+      |SELECT a.key AS a_key, b.key AS b_key,
+      |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      |FROM perturbed a JOIN perturbed b
+      |  ON a.key < b.key AND abs(length(a.name) - length(b.name)) <= 1
+      |WHERE levenshtein(a.name, b.name) <= 1
+      |ORDER BY a_key, b_key""".stripMargin
+
+  /** d_entity_match_xlen over the typo-perturbed relation — the gate
+    * whose answer set PROVABLY contains cross-length pairs (the
+    * unperturbed corpus has none), so FastSS's insert/delete coverage is
+    * exercised by the DuckDB differential, not only by specs.
+    */
+  val d_entity_typos: Query = q("d_entity_typos", Some(entityTyposOracleSql)) { (s, dir) =>
+    xlenMatch(typoPerturbed(Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))))
+      .orderBy("a_key", "b_key")
+  }
+
+  /** d_entity_typos from the PERSISTED deletion-neighborhood index —
+    * d_entity_xlen_index's discipline on the perturbed relation, so the
+    * stored/incremental path too is gated on genuine cross-length pairs
+    * (including pairs whose members land in DIFFERENT batches: the
+    * `key % 3` split assigns a source and its +10000000/+20000000
+    * variant to different batches for most keys).
+    */
+  val d_entity_typos_index: Query = q("d_entity_typos_index",
+    Some(entityTyposOracleSql)) { (s, dir) =>
+    val ents = typoPerturbed(Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_name").as("name")))
+    val p = java.nio.file.Files.createTempDirectory("graft_fsstypo_").toString + "/idx"
+    graft.operators.FastSsIndex.build(ents.filter(pmod(col("key"), lit(3)) =!= 2), p)
+    graft.operators.FastSsIndex.ingest(ents.filter(pmod(col("key"), lit(3)) === 2), p, batch = 1)
+    (0 to 1).map(b => EntityBlockIndex.verifyTypo(
+        graft.operators.FastSsIndex.candidates(s, p, b)))
+      .reduce(_ unionByName _)
+      .dropDuplicates("a_key", "b_key")
+      .orderBy("a_key", "b_key")
+  }
+
   val d_ngram_jaccard: Query = q("d_ngram_jaccard", Some(
     """WITH sh AS (
       |  SELECT DISTINCT doc_id, substring(text, i, 8) AS sh
@@ -4626,6 +4713,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
     d_entity_match, d_entity_index, d_entity_match_xlen, d_entity_xlen_index,
+    d_entity_typos, d_entity_typos_index,
     d_containment, d_containment_collapse, d_containment_probe,
     d_minhash_lsh, d_minhash_collapse, d_minhash_index, d_simhash, d_dedup_incremental,
     d_dedup_index, d_index_compact, d_forget, d_substring_dedup, d_substring_index, p_cut_spans,

@@ -1161,6 +1161,39 @@ object StreamingQueries {
     },
     Some(NorthStar.entityMatchXlenOracleSql))
 
+  /** st_entity_screen_xlen over the typo-PERTURBED relation
+    * ([[NorthStar.typoPerturbed]] — the r13 verdict's non-vacuous gate:
+    * the raw fixture has zero cross-length pairs, so this row is the one
+    * whose DuckDB differential actually exercises the streamed screen's
+    * insert/delete coverage). Perturbed variants ride the SAME
+    * micro-batch slicing as their sources' keys modulo 3, so most
+    * (source, variant) pairs arrive in DIFFERENT triggers — the
+    * cross-batch cross-length case, screened at the later member.
+    */
+  val st_entity_typos: Query = Query(
+    "st_entity_typos",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_enttypo_").toString
+      val ents = NorthStar.typoPerturbed(
+        graft.tables.Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("key"), col("c_name").as("name")))
+      for (sl <- 0 to 2)
+        oneFile(ents.filter(pmod(col("key"), lit(3)) === sl),
+          s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, name STRING")
+      val streamed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.FastSsIndex.screenStream(
+        streamed, s"$base/idx", s"$base/matches", s"$base/cp")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/matches")
+        .dropDuplicates("a_key", "b_key")
+        .select("a_key", "b_key", "dist")
+        .orderBy("a_key", "b_key")
+    },
+    Some(NorthStar.entityTyposOracleSql))
+
   /** The composed incremental pipeline STREAMED — e_pipeline_ivm's
     * production shape: facts arrive as micro-batches and ONE trigger
     * advances BOTH maintained stages under the SAME pinned batch id —
@@ -1291,5 +1324,5 @@ object StreamingQueries {
     st_substring_probe, st_minhash_probe, st_pq_probe, st_ivfpq_probe,
     st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget, st_scd2,
     st_sq8_ingest, st_join_ingest, st_scd2_lookup, st_pipeline_ivm,
-    st_entity_screen, st_entity_screen_xlen)
+    st_entity_screen, st_entity_screen_xlen, st_entity_typos)
 }

@@ -60,4 +60,22 @@ class XlenMatchSpec extends SparkSpec {
       .map { case (n, i) => (i.toLong, n) }.toDF("key", "name")
     assert(fastSs(ents) == brute(ents))
   }
+
+  test("the typo-perturbed gate is NON-VACUOUS: genuine cross-length pairs, still exact") {
+    // the r13 verdict's defect: every fixture name is exactly 18 chars,
+    // so an unperturbed xlen gate hash-matches the equal-length answer
+    // set. This pin keeps the perturbed gate honest: the perturbation
+    // must produce pairs the equal-length parity blocks are structurally
+    // blind to, and the kernel must still equal brute force on it.
+    val ents = NorthStar.typoPerturbed(
+      Tables.load(spark, "/root/testdata/sf0.001", "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name")))
+    val got = fastSs(ents)
+    assert(got == brute(ents))
+    val lens = ents.select(col("key"), length(col("name")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cross = got.count { case (a, b, _) => lens(a) != lens(b) }
+    assert(cross > 0,
+      "perturbed gate is vacuous — no cross-length pair in the answer set")
+  }
 }
