@@ -71,6 +71,45 @@ object FastSsIndex {
     entities.select(col("key"), col("name"), explode(expr(sigExpr)).as("sig"))
       .withColumn("bb", pmod(col("sig"), lit(BB)).cast("int"))
 
+  /** The tau = 2 deletion neighborhood: identity, every single-character
+    * deletion, and every two-position deletion — C(L,2) + L + 1
+    * signatures (~172 at L = 18), hashed and distinct-folded. FastSS
+    * completeness generalizes: ed(a, b) <= 2 implies a common member
+    * (each substitution deletes its position from both sides; each
+    * insert/delete deletes the extra character from the longer side —
+    * <= 2 deletions per side total), while a collision conversely bounds
+    * ed <= 4, so blocks remain true near-neighborhoods on any corpus
+    * shape and one exact levenshtein per candidate restores precision.
+    * Feasible in the SHORT-string regime only: the signature count is
+    * quadratic in L (the tau = 1 long-string caveat, squared) — PassJoin
+    * positional segments remain the published answer for long strings.
+    */
+  private val sig2Expr =
+    """array_distinct(concat(
+      |  array(xxhash64(name)),
+      |  CASE WHEN length(name) >= 1 THEN
+      |    transform(sequence(1, length(name)), i ->
+      |      xxhash64(concat(substring(name, 1, i - 1), substring(name, i + 1))))
+      |  ELSE array() END,
+      |  CASE WHEN length(name) >= 2 THEN
+      |    flatten(transform(sequence(1, length(name) - 1), i ->
+      |      transform(sequence(i + 1, length(name)), j ->
+      |        xxhash64(concat(substring(name, 1, i - 1),
+      |                        substring(name, i + 1, j - i - 1),
+      |                        substring(name, j + 1))))))
+      |  ELSE array() END))""".stripMargin
+
+  /** `(key, name, sig, bb)` rows under the tau = 2 neighborhood — the
+    * kernel for edit-distance <= 2 screening ([[graft.queries.NorthStar
+    * .ed2Match]]). Same row shape as [[signatures]], so the persisted
+    * lifecycle (build/ingest/candidates/stream/forget/compact) would
+    * carry over verbatim were a tau = 2 index required; only the batch
+    * query ships, the index cells stay tau = 1.
+    */
+  def signatures2(entities: DataFrame): DataFrame =
+    entities.select(col("key"), col("name"), explode(expr(sig2Expr)).as("sig"))
+      .withColumn("bb", pmod(col("sig"), lit(BB)).cast("int"))
+
   /** Hash the base master list once; write the index as batch 0 under
     * the `bb=` bucket layout.
     */

@@ -342,6 +342,56 @@ object NorthStar {
       .orderBy("a_key", "b_key")
   }
 
+  /** Edit distance <= 2 all-pairs matching — real record linkage's
+    * threshold (two typos, or one transposition = two edits): FastSS at
+    * tau = 2 ([[graft.operators.FastSsIndex.signatures2]], THE single
+    * copy of the kernel — identity + 1-deletions + 2-deletions, ~C(L,2)
+    * signatures at short name length). Candidates are signature-hash
+    * collisions (true ed <= 4 neighborhoods by the deletion-distance
+    * bound, so candidate volume stays output-shaped); names re-join
+    * output-sized for ONE exact levenshtein per pair. The signature
+    * shuffle carries (key, 8-byte hash) x ~C(L,2)+L+1 rows — quadratic
+    * in the name length, which is the documented feasibility boundary
+    * (the r13 verdict's task: tau = 2 in the short-name regime, long
+    * strings stay PassJoin's published territory).
+    */
+  private[queries] def ed2Match(ents: DataFrame): DataFrame = {
+    val sigs = graft.operators.FastSsIndex.signatures2(ents).select("key", "sig")
+    val cands = sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.key") < col("b.key"))
+      .select(col("a.key").as("a_key"), col("b.key").as("b_key"))
+      .distinct()
+    val names = ents.select(col("key"), col("name"))
+    cands
+      .join(names.select(col("key").as("a_key"), col("name").as("a_name")), "a_key")
+      .join(names.select(col("key").as("b_key"), col("name").as("b_name")), "b_key")
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select(col("a_key"), col("b_key"), col("dist"))
+  }
+
+  private[queries] val entityMatchEd2OracleSql: String =
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      | AND abs(length(a.c_name) - length(b.c_name)) <= 2
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2
+      |ORDER BY a_key, b_key""".stripMargin
+
+  /** The unrestricted all-pairs edit-distance <= 2 match (the oracle's
+    * length prefilter is implied by the threshold). Extends the tau = 1
+    * family (d_entity_match equal-length, d_entity_match_xlen
+    * cross-length) to the two-edit regime — transpositions, double
+    * typos, insert+substitute.
+    */
+  val d_entity_match_ed2: Query = q("d_entity_match_ed2",
+    Some(entityMatchEd2OracleSql)) { (s, dir) =>
+    ed2Match(Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name")))
+      .orderBy("a_key", "b_key")
+  }
+
   /** Deterministically typo-perturbed entity relation — the NON-VACUOUS
     * cross-length gate fixture (r13 verdict: every fixture name is
     * exactly 18 characters, so the unperturbed xlen rows hash-match the
@@ -4713,7 +4763,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
     d_entity_match, d_entity_index, d_entity_match_xlen, d_entity_xlen_index,
-    d_entity_typos, d_entity_typos_index,
+    d_entity_typos, d_entity_typos_index, d_entity_match_ed2,
     d_containment, d_containment_collapse, d_containment_probe,
     d_minhash_lsh, d_minhash_collapse, d_minhash_index, d_simhash, d_dedup_incremental,
     d_dedup_index, d_index_compact, d_forget, d_substring_dedup, d_substring_index, p_cut_spans,
