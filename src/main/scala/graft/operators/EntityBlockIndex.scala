@@ -102,14 +102,21 @@ object EntityBlockIndex {
   /** Block the base master list once; write the index as batch 0 under
     * the `bb=` bucket layout.
     */
-  def build(entities: DataFrame, path: String): Unit =
+  def build(entities: DataFrame, path: String): Unit = {
     blocks(entities).withColumn("batch", lit(0))
       .write.partitionBy("bb").mode("overwrite").parquet(path)
+    // bucket manifest AFTER the data (BatchBuckets crash order): probes
+    // discover a batch's buckets from this sidecar instead of scanning
+    // every bb= partition's footers
+    BatchBuckets.write(blocks(entities), path, batch = 0, overwrite = true)
+  }
 
   /** Block ONLY the delta; append its rows as `batch`. */
-  def ingest(entities: DataFrame, path: String, batch: Int): Unit =
+  def ingest(entities: DataFrame, path: String, batch: Int): Unit = {
     blocks(entities).withColumn("batch", lit(batch))
       .write.partitionBy("bb").mode("append").parquet(path)
+    BatchBuckets.write(blocks(entities), path, batch)
+  }
 
   /** Next free batch id — the shared fail-loud implementation. */
   def nextBatch(spark: SparkSession, path: String): Int =
@@ -154,10 +161,19 @@ object EntityBlockIndex {
     // batch block can satisfy the equi-join — restrict the scan to the
     // batch's buckets at planning time (PartitionFilters, spec-pinned).
     // Bounded collect: <= min(2 x batch size, BB) distinct bucket ids.
-    // (The collect reads the in-memory blocks when provided; otherwise
-    // one eager batch-row job outside the returned plan.)
-    val buckets = batchLive.getOrElse(live.filter(col("batch") === batch))
-      .select("bb").distinct().collect().map(_.getInt(0))
+    // Discovery order: the in-memory blocks when provided (streamed
+    // path), else the per-batch `_batch_buckets` manifest ([[
+    // BatchBuckets]] — O(batches) tiny files), else the legacy eager
+    // index-wide scan (pre-r14 artifacts / manifest crash window only,
+    // counted so specs pin it never fires on a manifested batch).
+    val buckets = batchLive match {
+      case Some(b) => b.select("bb").distinct().collect().map(_.getInt(0))
+      case None => BatchBuckets.read(spark, path, batch).getOrElse {
+        BatchBuckets.discoveryScans.incrementAndGet()
+        live.filter(col("batch") === batch)
+          .select("bb").distinct().collect().map(_.getInt(0))
+      }
+    }
     val idx = live.filter(col("bb").isin(buckets.map(Int.box): _*))
     // the plan's own batch-row read stays bucket-pruned too (it is a
     // subset of its buckets by construction)
@@ -189,7 +205,8 @@ object EntityBlockIndex {
       : org.apache.spark.sql.streaming.StreamingQuery =
     IndexStream.appendWithBatchIds(blocks(entities),
       nextBatch(entities.sparkSession, path), path, checkpoint,
-      autoCompactFragments, partitionCols = Seq("bb"))
+      autoCompactFragments, partitionCols = Seq("bb"),
+      onBatchAppended = (df, b) => BatchBuckets.write(df, path, b))
 
   /** Streamed ingest AND screen — the real-time record-linkage gate.
     * Each micro-batch: the BATCH alone is blocked and appended under a
@@ -217,6 +234,7 @@ object EntityBlockIndex {
         val blk = blocks(df)
         blk.withColumn("batch", lit(b))
           .write.partitionBy("bb").mode("append").parquet(path)
+        BatchBuckets.write(blk, path, b)
         // probe with the in-memory batch blocks (batch-sized recompute of
         // a deterministic kernel) — no per-trigger index re-read to
         // rediscover rows this trigger just wrote

@@ -113,14 +113,19 @@ object FastSsIndex {
   /** Hash the base master list once; write the index as batch 0 under
     * the `bb=` bucket layout.
     */
-  def build(entities: DataFrame, path: String): Unit =
+  def build(entities: DataFrame, path: String): Unit = {
     signatures(entities).withColumn("batch", lit(0))
       .write.partitionBy("bb").mode("overwrite").parquet(path)
+    // bucket manifest AFTER the data ([[BatchBuckets]] crash order)
+    BatchBuckets.write(signatures(entities), path, batch = 0, overwrite = true)
+  }
 
   /** Hash ONLY the delta; append its rows as `batch`. */
-  def ingest(entities: DataFrame, path: String, batch: Int): Unit =
+  def ingest(entities: DataFrame, path: String, batch: Int): Unit = {
     signatures(entities).withColumn("batch", lit(batch))
       .write.partitionBy("bb").mode("append").parquet(path)
+    BatchBuckets.write(signatures(entities), path, batch)
+  }
 
   /** Next free batch id — the shared fail-loud implementation. */
   def nextBatch(spark: SparkSession, path: String): Int =
@@ -147,9 +152,18 @@ object FastSsIndex {
     val batchLive = batchSigs.map(Tombstones.applyTo(_, spark, path, "key"))
     val live = Tombstones.live(spark, path, idCol = "key")
       .filter(col("batch") <= batch)
-    // bucket pruning: bounded collect, <= min(batch signatures, BB) ids
-    val buckets = batchLive.getOrElse(live.filter(col("batch") === batch))
-      .select("bb").distinct().collect().map(_.getInt(0))
+    // bucket pruning: bounded collect, <= min(batch signatures, BB) ids.
+    // Discovery order = [[EntityBlockIndex.candidates]]': in-memory
+    // signatures, else the `_batch_buckets` manifest, else the counted
+    // legacy index-wide scan.
+    val buckets = batchLive match {
+      case Some(b) => b.select("bb").distinct().collect().map(_.getInt(0))
+      case None => BatchBuckets.read(spark, path, batch).getOrElse {
+        BatchBuckets.discoveryScans.incrementAndGet()
+        live.filter(col("batch") === batch)
+          .select("bb").distinct().collect().map(_.getInt(0))
+      }
+    }
     val idx = live.filter(col("bb").isin(buckets.map(Int.box): _*))
     val a = batchLive.getOrElse(idx.filter(col("batch") === batch))
       .select("key", "name", "sig")
@@ -177,7 +191,8 @@ object FastSsIndex {
       : org.apache.spark.sql.streaming.StreamingQuery =
     IndexStream.appendWithBatchIds(signatures(entities),
       nextBatch(entities.sparkSession, path), path, checkpoint,
-      autoCompactFragments, partitionCols = Seq("bb"))
+      autoCompactFragments, partitionCols = Seq("bb"),
+      onBatchAppended = (df, b) => BatchBuckets.write(df, path, b))
 
   /** Streamed ingest AND cross-length screen — [[EntityBlockIndex
     * .screenStream]]'s discipline with deletion-neighborhood blocking:
@@ -199,6 +214,7 @@ object FastSsIndex {
         val sigs = signatures(df)
         sigs.withColumn("batch", lit(b))
           .write.partitionBy("bb").mode("append").parquet(path)
+        BatchBuckets.write(sigs, path, b)
         EntityBlockIndex.verifyTypo(
             candidates(df.sparkSession, path, b, Some(sigs)))
           .withColumn("batch", lit(b))

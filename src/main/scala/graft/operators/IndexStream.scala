@@ -100,7 +100,9 @@ private[operators] object IndexStream {
   def appendWithBatchIds(rows: DataFrame, nextBatch: => Int, path: String,
                          checkpoint: String,
                          autoCompactFragments: Int = DefaultAutoCompactFragments,
-                         partitionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+                         partitionCols: Seq[String] = Nil,
+                         onBatchAppended: (DataFrame, Int) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.lit
     // heal a crashed in-stream compaction BEFORE anything reads or appends:
     // a restarted stream's first append would otherwise recreate a live dir
@@ -118,6 +120,9 @@ private[operators] object IndexStream {
         val w = df.withColumn("batch", lit(base + batchId.toInt)).write
         (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
           .mode("append").parquet(path)
+        // per-index sidecar maintenance (e.g. [[BatchBuckets]] bucket
+        // manifests) — AFTER the data append, the sidecars' crash order
+        onBatchAppended(df, base + batchId.toInt)
         if (autoCompactFragments > 0) {
           val est = estFiles.addAndGet(math.max(1, df.rdd.getNumPartitions))
           if (est > autoCompactFragments) {

@@ -144,6 +144,26 @@ class EntityBlockIndexSpec extends SparkSpec {
       "compact must physically reclaim the forgotten entity's rows")
   }
 
+  test("batch probes discover their buckets from the manifest, not an index-wide scan") {
+    val p = Files.createTempDirectory("graft_entmanifest_").toString + "/idx"
+    EntityBlockIndex.build(customers.filter(pmod(col("key"), lit(2)) === 0), p)
+    EntityBlockIndex.ingest(customers.filter(pmod(col("key"), lit(2)) === 1), p, batch = 1)
+    val before = BatchBuckets.discoveryScans.get()
+    val manifested = pairsOf(EntityBlockIndex.verifyTypo(
+      EntityBlockIndex.candidates(spark, p, batch = 1)))
+    assert(BatchBuckets.discoveryScans.get() == before,
+      "a manifested batch probe ran the legacy index-wide bucket-discovery scan")
+    // a pre-r14 artifact (no manifest) falls back to the counted legacy
+    // scan and must return the SAME answers
+    val md = new org.apache.hadoop.fs.Path(BatchBuckets.dir(p))
+    md.getFileSystem(spark.sessionState.newHadoopConf()).delete(md, true)
+    val legacy = pairsOf(EntityBlockIndex.verifyTypo(
+      EntityBlockIndex.candidates(spark, p, batch = 1)))
+    assert(BatchBuckets.discoveryScans.get() == before + 1,
+      "the manifest-less fallback was expected to take (and count) the legacy scan")
+    assert(legacy == manifested)
+  }
+
   test("the in-memory batch probe honors the forget contract (tombstoned re-arrival stays hidden)") {
     val p = Files.createTempDirectory("graft_entfgt_mem_").toString + "/idx"
     EntityBlockIndex.build(customers, p)

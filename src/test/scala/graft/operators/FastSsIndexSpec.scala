@@ -120,6 +120,22 @@ class FastSsIndexSpec extends SparkSpec {
     assert(spark.read.parquet(p).filter(col("key") === victim).count() == 0)
   }
 
+  test("batch probes discover their buckets from the manifest, not an index-wide scan") {
+    val p = Files.createTempDirectory("graft_fssmanifest_").toString + "/idx"
+    FastSsIndex.build(customers.filter(pmod(col("key"), lit(2)) === 0), p)
+    FastSsIndex.ingest(customers.filter(pmod(col("key"), lit(2)) === 1), p, batch = 1)
+    val before = BatchBuckets.discoveryScans.get()
+    val manifested = probeAll(p, 1 to 1)
+    assert(BatchBuckets.discoveryScans.get() == before,
+      "a manifested batch probe ran the legacy index-wide bucket-discovery scan")
+    val md = new org.apache.hadoop.fs.Path(BatchBuckets.dir(p))
+    md.getFileSystem(spark.sessionState.newHadoopConf()).delete(md, true)
+    val legacy = probeAll(p, 1 to 1)
+    assert(BatchBuckets.discoveryScans.get() == before + 1,
+      "the manifest-less fallback was expected to take (and count) the legacy scan")
+    assert(legacy == manifested)
+  }
+
   test("the in-memory batch probe honors the forget contract (tombstoned re-arrival stays hidden)") {
     val p = Files.createTempDirectory("graft_fssfgt_mem_").toString + "/idx"
     FastSsIndex.build(customers, p)
