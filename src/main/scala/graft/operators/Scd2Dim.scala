@@ -46,8 +46,14 @@ import org.apache.spark.sql.functions._
   * with a ONE-GENERATION grace (r12 ADVICE: the version readers resolved
   * under the previous ledger is retained until the bucket's NEXT merge,
   * so an in-flight reader that planned just before a commit is never
-  * failed mid-scan — see [[gcSuperseded]] for the reader-isolation
-  * contract and its documented limit). Reads cost ONE driver listing (a
+  * failed mid-scan), and LEDGER-PINNED snapshot reads ([[withSnapshot]],
+  * r13 verdict task 6) extend the guarantee: a bracketed reader registers
+  * a pin holding its resolved ledger and GC retains every version an
+  * active pin can still resolve, so the snapshot survives ANY number of
+  * concurrent merges for the bracket's lifetime (pins expire after
+  * [[PinTtlMs]] so a crashed reader cannot block reclamation) — see
+  * [[gcSuperseded]] for the full reader-isolation contract and its
+  * residual. Reads cost ONE driver listing (a
   * bucket-filtered glob), not one RPC per bucket.
   *
   * Single-evaluation ingest (ADVICE r11): the caller-supplied updates
@@ -119,8 +125,7 @@ object Scd2Dim {
     * buckets x retained versions (deferred GC keeps the latter <= 2).
     */
   private def committedDirs(spark: SparkSession, path: String,
-                            onlyBuckets: Option[Set[Int]]): Seq[String] = {
-    val c = committedVersion(spark, path)
+                            onlyBuckets: Option[Set[Int]], c: Int): Seq[String] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val pattern = onlyBuckets match {
@@ -145,8 +150,8 @@ object Scd2Dim {
     * the scan's file index at all) to a set of buckets.
     */
   private def committedRows(spark: SparkSession, path: String,
-                            onlyBuckets: Option[Set[Int]]): DataFrame = {
-    val dirs = committedDirs(spark, path, onlyBuckets)
+                            onlyBuckets: Option[Set[Int]], c: Int): DataFrame = {
+    val dirs = committedDirs(spark, path, onlyBuckets, c)
     if (dirs.isEmpty)
       // a merge may touch a bucket no stored key hashes into — an empty
       // stored side with the presentation schema keeps the union total
@@ -221,7 +226,7 @@ object Scd2Dim {
     }
     // bounded collect: at most NB bucket ids
     val buckets = upd.select("kb").distinct().collect().map(_.getInt(0)).toSet
-    val cur = committedRows(spark, path, Some(buckets))
+    val cur = committedRows(spark, path, Some(buckets), c)
     val keys = upd.select("user_id").distinct()
     val pass = cur.join(keys, Seq("user_id"), "left_anti")
     val hist = cur.join(keys, Seq("user_id"), "left_semi")
@@ -252,10 +257,15 @@ object Scd2Dim {
     * (r12 verdict / ADVICE): a reader that planned its scan just before
     * this commit is still reading the previous version's files, and an
     * immediate delete would fail it mid-scan with FileNotFoundException.
-    * With the grace, a reader survives ONE subsequent merge of its
-    * buckets; only a reader that stalls across TWO commits of the same
-    * bucket can lose files — that residual race is the documented limit,
-    * not a silent one. The deferred directories are reclaimed at the
+    * With the grace, a plain [[read]] survives ONE subsequent merge of
+    * its buckets; additionally, every version an ACTIVE READER PIN
+    * ([[withSnapshot]], r13 verdict task 6) can still resolve — the max
+    * version at or below the pinned ledger, per bucket — is retained
+    * regardless of how many merges have superseded it, so a bracketed
+    * snapshot scan survives arbitrary concurrent merges. The residual:
+    * a PLAIN read stalling across TWO commits of the same bucket, or a
+    * bracket outliving [[PinTtlMs]], can lose files — documented, and
+    * now avoidable via the bracket. The deferred directories are reclaimed at the
     * NEXT merge of their bucket (this same routine, one `keep` later);
     * a bucket never touched again retains <= 2 versions forever, which
     * is the bounded steady state. A crash anywhere here leaves
@@ -268,6 +278,7 @@ object Scd2Dim {
                            buckets: Set[Int], keep: Int): Unit = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pinFloor = activePinFloor(spark, path)
     buckets.foreach { b =>
       val bp = new Path(root, s"kb=$b")
       if (fs.exists(bp)) {
@@ -277,8 +288,14 @@ object Scd2Dim {
           .toSeq
         val grace = versions.map(_._2).filter(_ < keep)
           .sorted.lastOption.getOrElse(keep)
+        // ledger-pinned readers: the version a snapshot at pinned ledger
+        // L resolved for this bucket is the max v <= L — retain it and
+        // everything above, however many merges have superseded it
+        val pinGrace = pinFloor.flatMap(l => versions.map(_._2).filter(_ <= l)
+          .sorted.lastOption)
+        val floor = (grace +: pinGrace.toSeq).min
         versions
-          .filter { case (_, v) => v < grace }
+          .filter { case (_, v) => v < floor }
           .foreach { case (p, _) => fs.delete(p, true) }
       }
     }
@@ -323,11 +340,72 @@ object Scd2Dim {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  private def presentation(df: DataFrame): DataFrame =
+    df.select(col("user_id"), col("segment"),
+      col("valid_from"), col("valid_to"), col("is_current"))
+
   /** The dimension's presentation view (history order, internal columns
-    * dropped) — committed versions only.
+    * dropped) — committed versions only, resolved under the ledger AT
+    * CALL time. Reader-isolation contract: the resolved version files
+    * survive ONE subsequent merge of their buckets (the GC grace); a
+    * scan outliving two merges of a bucket should use [[withSnapshot]],
+    * whose reader pin extends the guarantee to the bracket's lifetime.
     */
   def read(spark: SparkSession, path: String): DataFrame =
-    committedRows(spark, path, None)
-      .select(col("user_id"), col("segment"),
-        col("valid_from"), col("valid_to"), col("is_current"))
+    presentation(committedRows(spark, path, None,
+      committedVersion(spark, path)))
+
+  private def pinsDir(path: String) = new Path(path, "_reader_pins")
+
+  /** Reader pins older than this are presumed crashed and ignored by GC
+    * (a kill -9'd reader must not block reclamation forever). A snapshot
+    * bracket outliving the TTL falls back to the one-generation grace —
+    * the documented residual, now bounded by wall-clock instead of merge
+    * cadence.
+    */
+  val PinTtlMs: Long = 6L * 3600 * 1000
+
+  /** The oldest ledger value any live (non-expired) reader pin holds. */
+  private def activePinFloor(spark: SparkSession, path: String): Option[Int] = {
+    val d = pinsDir(path)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(d)) None
+    else {
+      val now = System.currentTimeMillis()
+      fs.listStatus(d).iterator
+        .filter(st => st.isFile && now - st.getModificationTime <= PinTtlMs)
+        .flatMap { st =>
+          val in = fs.open(st.getPath)
+          val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                    finally in.close()
+          raw.toIntOption
+        }
+        .reduceOption(_ min _)
+    }
+  }
+
+  /** LEDGER-PINNED snapshot read (r13 verdict task 6): resolve the
+    * dimension under the ledger at entry, register a reader pin holding
+    * that value, run `f` over the frozen snapshot, and release the pin —
+    * [[gcSuperseded]] retains, per bucket, every version an active pin
+    * can still resolve, so the snapshot's files survive ANY number of
+    * concurrent merges for the bracket's lifetime (vs plain [[read]]'s
+    * one-generation grace). Pins expire after [[PinTtlMs]] so a crashed
+    * reader cannot block reclamation forever; the pin is registered
+    * BEFORE version resolution, so the registration window itself is
+    * covered by the standard grace.
+    */
+  def withSnapshot[T](spark: SparkSession, path: String)(f: DataFrame => T): T = {
+    val conf = spark.sessionState.newHadoopConf()
+    val c = committedVersion(spark, path)
+    val d = pinsDir(path)
+    val fs = d.getFileSystem(conf)
+    fs.mkdirs(d)
+    val pin = new Path(d, s"pin-${java.util.UUID.randomUUID()}")
+    val out = fs.create(pin, false)
+    try out.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try f(presentation(committedRows(spark, path, None, c)))
+    finally fs.delete(pin, false)
+  }
 }

@@ -160,6 +160,46 @@ class Scd2DimSpec extends SparkSpec {
       "the previously committed version must survive one GC generation")
   }
 
+  test("a pinned snapshot read survives TWO merges of its buckets; a stale pin is ignored") {
+    import org.apache.hadoop.fs.Path
+    val p = Files.createTempDirectory("graft_scd2_pin_").toString
+    val fs = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    Scd2Dim.seed(mkDim0((0L to 15L).map(_ -> "BASE")), "1992-01-01 00:00:00", p)
+    def touch(seg: String, ts: String, eidBase: Long): Unit =
+      Scd2Dim.upsertBatch(spark,
+        mkUpdates((0L to 15L).map(u => (u, ts, seg, eidBase + u))), p)
+    val expect = snapshot(p)
+    val got = Scd2Dim.withSnapshot(spark, p) { snap =>
+      // TWO merges of every bucket commit (and GC) while the bracket is
+      // open — the plain-read one-generation grace would have reclaimed
+      // the seed version after the second; the reader pin must retain it
+      touch("S1", "2024-01-01 00:00:00", 100L)
+      touch("S2", "2024-02-01 00:00:00", 200L)
+      assert(fs.globStatus(new Path(p, "kb=*/v=0")).nonEmpty,
+        "the pinned snapshot's version directories were reclaimed")
+      snap.collect().toSeq
+        .map(r => Row2(r.getLong(0), r.getString(1),
+          r.getTimestamp(2).toString, r.getTimestamp(3).toString, r.getBoolean(4)))
+        .sortBy(r => (r.user, r.from))
+    }
+    assert(got == expect,
+      "a pinned snapshot must read its exact resolution across any number of merges")
+    // pin released: the next merge reclaims the stale versions
+    touch("S3", "2024-03-01 00:00:00", 300L)
+    val v0 = fs.globStatus(new Path(p, "kb=*/v=0"))
+    assert(v0 == null || v0.isEmpty,
+      "versions below every live pin and past the grace must be reclaimed")
+    // a pin whose reader crashed (older than the TTL) must not block GC
+    val stale = new Path(p, "_reader_pins/pin-crashed")
+    val out = fs.create(stale, false)
+    try out.write("0".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(stale, System.currentTimeMillis() - Scd2Dim.PinTtlMs - 60000L, -1)
+    touch("S4", "2024-04-01 00:00:00", 400L)
+    val v2 = fs.globStatus(new Path(p, "kb=*/v=2"))
+    assert(v2 == null || v2.isEmpty,
+      "an expired pin must not block reclamation")
+  }
+
   test("a merge rewrites only the touched kb= buckets") {
     val path = Files.createTempDirectory("graft_scd2_prune_").toString
     Scd2Dim.seed(mkDim0((0L to 63L).map(_ -> "BASE")), "1992-01-01 00:00:00", path)
