@@ -695,7 +695,8 @@ object EventAnalytics {
       .orderBy("segment", "day")
   }
 
-  val e_pipeline_ivm: Query = q("e_pipeline_ivm", pipelineIvmOracleSql) { (s, dir) =>
+  val e_pipeline_ivm: Query = q("e_pipeline_ivm", pipelineIvmOracleSql,
+    headline = true) { (s, dir) =>
     val ev = Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
     val cust = Tables.load(s, dir, "customer")

@@ -307,7 +307,7 @@ object NorthStar {
     * typos included.
     */
   val d_entity_xlen_index: Query = q("d_entity_xlen_index",
-    Some(entityMatchXlenOracleSql)) { (s, dir) =>
+    Some(entityMatchXlenOracleSql), headline = true) { (s, dir) =>
     val cust = Tables.load(s, dir, "customer")
       .select(col("c_custkey").as("key"), col("c_name").as("name"))
     val p = java.nio.file.Files.createTempDirectory("graft_fssidx_").toString + "/idx"
@@ -330,7 +330,8 @@ object NorthStar {
     * lattice verifies. Same oracle as the one-shot all-pairs run: the
     * incremental path provably loses nothing.
     */
-  val d_entity_index: Query = q("d_entity_index", Some(entityMatchOracleSql)) { (s, dir) =>
+  val d_entity_index: Query = q("d_entity_index", Some(entityMatchOracleSql),
+    headline = true) { (s, dir) =>
     val cust = Tables.load(s, dir, "customer")
       .select(col("c_custkey").as("key"), col("c_name").as("name"))
     val p = java.nio.file.Files.createTempDirectory("graft_entidx_").toString + "/idx"
@@ -4090,7 +4091,7 @@ ORDER BY vec_id"""), headline = true) { (s, dir) =>
   private val sqIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   val s_ann_sq8_index: Query =
-    q("s_ann_sq8_index", Some(sq8OracleSql)) { (s, dir) =>
+    q("s_ann_sq8_index", Some(sq8OracleSql), headline = true) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val probe: Seq[Float] = emb.filter(col("vec_id") === 1)
         .select("embedding").collect().head.getSeq[Float](0)

@@ -888,8 +888,8 @@ object Relational {
     * dimension twice and shuffles it twice. At 100 TB: one key shuffle of
     * dim vs a (typically broadcast-sized) updates batch, output streams.
     */
-  val q38_scd2_merge: Query = q("q38_scd2_merge",
-    """WITH upd AS (
+  val q38_scd2_merge: Query = q("q38_scd2_merge", headline = true,
+    oracle = """WITH upd AS (
       |  SELECT c_custkey, c_mktsegment || '-V2' AS seg
       |  FROM customer WHERE c_custkey % 7 = 0)
       |SELECT d.c_custkey, d.c_mktsegment AS segment,
