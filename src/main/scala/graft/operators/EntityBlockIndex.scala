@@ -88,34 +88,47 @@ object EntityBlockIndex {
   /** Exact verification tail over candidate pairs `(a_key, b_key, a_name,
     * b_name)`: ONE levenshtein per pair (computed once, then filtered —
     * a Filter+Project pair would each evaluate the O(len^2) distance),
-    * threshold at 1, present. THE single copy of the match lattice
-    * (the batch query and the streamed screen verify through here, so
+    * thresholded at `tau` (1 for the typo families, 2 for the
+    * [[FastSsIndex]] tau = 2 cells). THE single copy of the match lattice
+    * (the batch queries and the streamed screens verify through here, so
     * they cannot drift).
     */
-  def verifyTypo(cands: DataFrame): DataFrame =
+  def verifyTypo(cands: DataFrame, tau: Int = 1): DataFrame =
     cands
       .dropDuplicates("a_key", "b_key")
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= tau)
       .select(col("a_key"), col("b_key"), col("dist"))
 
   /** Block the base master list once; write the index as batch 0 under
     * the `bb=` bucket layout.
     */
   def build(entities: DataFrame, path: String): Unit = {
-    blocks(entities).withColumn("batch", lit(0))
-      .write.partitionBy("bb").mode("overwrite").parquet(path)
-    // bucket manifest AFTER the data (BatchBuckets crash order): probes
-    // discover a batch's buckets from this sidecar instead of scanning
-    // every bb= partition's footers
-    BatchBuckets.write(blocks(entities), path, batch = 0, overwrite = true)
+    // persist across the two writes: the kernel runs ONCE per entity
+    // (the family's contract) and a non-deterministic input is evaluated
+    // once, with the manifest derived from the same rows the data write
+    // landed
+    val blk = blocks(entities)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      blk.withColumn("batch", lit(0))
+        .write.partitionBy("bb").mode("overwrite").parquet(path)
+      // bucket manifest AFTER the data (BatchBuckets crash order): probes
+      // discover a batch's buckets from this sidecar instead of scanning
+      // every bb= partition's footers
+      BatchBuckets.write(blk, path, batch = 0, overwrite = true)
+    } finally blk.unpersist()
   }
 
   /** Block ONLY the delta; append its rows as `batch`. */
   def ingest(entities: DataFrame, path: String, batch: Int): Unit = {
-    blocks(entities).withColumn("batch", lit(batch))
-      .write.partitionBy("bb").mode("append").parquet(path)
-    BatchBuckets.write(blocks(entities), path, batch)
+    val blk = blocks(entities)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      blk.withColumn("batch", lit(batch))
+        .write.partitionBy("bb").mode("append").parquet(path)
+      BatchBuckets.write(blk, path, batch)
+    } finally blk.unpersist()
   }
 
   /** Next free batch id — the shared fail-loud implementation. */
@@ -231,16 +244,21 @@ object EntityBlockIndex {
     entities.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val b = base + batchId.toInt
+        // persisted for the trigger: the append, the manifest, and the
+        // probe all read the SAME materialized batch blocks — the kernel
+        // runs once per entity, as the lifecycle contract states
         val blk = blocks(df)
-        blk.withColumn("batch", lit(b))
-          .write.partitionBy("bb").mode("append").parquet(path)
-        BatchBuckets.write(blk, path, b)
-        // probe with the in-memory batch blocks (batch-sized recompute of
-        // a deterministic kernel) — no per-trigger index re-read to
-        // rediscover rows this trigger just wrote
-        verifyTypo(candidates(df.sparkSession, path, b, Some(blk)))
-          .withColumn("batch", lit(b))
-          .write.mode("append").parquet(outPath)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          blk.withColumn("batch", lit(b))
+            .write.partitionBy("bb").mode("append").parquet(path)
+          BatchBuckets.write(blk, path, b)
+          // probe with the in-memory batch blocks — no per-trigger index
+          // re-read to rediscover rows this trigger just wrote
+          verifyTypo(candidates(df.sparkSession, path, b, Some(blk)))
+            .withColumn("batch", lit(b))
+            .write.mode("append").parquet(outPath)
+        } finally blk.unpersist()
       }
       .option("checkpointLocation", checkpoint)
       .start()

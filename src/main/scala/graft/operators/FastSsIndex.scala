@@ -110,21 +110,85 @@ object FastSsIndex {
     entities.select(col("key"), col("name"), explode(expr(sig2Expr)).as("sig"))
       .withColumn("bb", pmod(col("sig"), lit(BB)).cast("int"))
 
+  /** The kernel for a given radius — tau = 1 ([[signatures]]) or tau = 2
+    * ([[signatures2]]); the stored lifecycle below is radius-generic
+    * because candidates/forget/compact never touch the kernel.
+    */
+  private def sigsFor(entities: DataFrame, tau: Int): DataFrame = tau match {
+    case 1 => signatures(entities)
+    case 2 => signatures2(entities)
+    case t => throw new IllegalArgumentException(
+      s"unsupported deletion-neighborhood radius tau=$t (1 and 2 are implemented; " +
+        "beyond 2 the C(L,tau) signature count is infeasible even for names)")
+  }
+
+  /** Radius marker — the [[KeyBuckets]] versioning discipline applied to
+    * the kernel choice: an index built at one tau probed or ingested at
+    * another would silently return the WRONG edit-distance contract
+    * (tau-1 signatures of a delta never collide with the stored tau-2
+    * rows they should), so the radius is persisted at build and every
+    * kerneling writer validates it. A marker-less index (pre-r14) is
+    * tau = 1, the only radius that existed.
+    */
+  private def tauMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_tau")
+
+  private def writeTauMarker(spark: SparkSession, path: String, tau: Int): Unit = {
+    val mp = tauMarkerPath(path)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(tau.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The index's persisted radius (tau = 1 for pre-marker artifacts). */
+  def storedTau(spark: SparkSession, path: String): Int = {
+    val mp = tauMarkerPath(path)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) 1
+    else {
+      val in = fs.open(mp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  private def validateTau(spark: SparkSession, path: String, tau: Int): Unit = {
+    val stored = storedTau(spark, path)
+    require(stored == tau,
+      s"index at $path was built with deletion radius tau=$stored but this writer " +
+        s"kernels at tau=$tau — mixed radii would silently break the edit-distance " +
+        "contract. Rebuild the index at the desired radius.")
+  }
+
   /** Hash the base master list once; write the index as batch 0 under
     * the `bb=` bucket layout.
     */
-  def build(entities: DataFrame, path: String): Unit = {
-    signatures(entities).withColumn("batch", lit(0))
-      .write.partitionBy("bb").mode("overwrite").parquet(path)
-    // bucket manifest AFTER the data ([[BatchBuckets]] crash order)
-    BatchBuckets.write(signatures(entities), path, batch = 0, overwrite = true)
+  def build(entities: DataFrame, path: String, tau: Int = 1): Unit = {
+    // persisted across the two writes ([[EntityBlockIndex.build]]'s
+    // rationale: one kernel run, manifest from the landed rows)
+    val sigs = sigsFor(entities, tau)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.withColumn("batch", lit(0))
+        .write.partitionBy("bb").mode("overwrite").parquet(path)
+      // markers AFTER the data write (overwrite mode clears the dir first)
+      writeTauMarker(entities.sparkSession, path, tau)
+      // bucket manifest AFTER the data ([[BatchBuckets]] crash order)
+      BatchBuckets.write(sigs, path, batch = 0, overwrite = true)
+    } finally sigs.unpersist()
   }
 
   /** Hash ONLY the delta; append its rows as `batch`. */
-  def ingest(entities: DataFrame, path: String, batch: Int): Unit = {
-    signatures(entities).withColumn("batch", lit(batch))
-      .write.partitionBy("bb").mode("append").parquet(path)
-    BatchBuckets.write(signatures(entities), path, batch)
+  def ingest(entities: DataFrame, path: String, batch: Int, tau: Int = 1): Unit = {
+    validateTau(entities.sparkSession, path, tau)
+    val sigs = sigsFor(entities, tau)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.withColumn("batch", lit(batch))
+        .write.partitionBy("bb").mode("append").parquet(path)
+      BatchBuckets.write(sigs, path, batch)
+    } finally sigs.unpersist()
   }
 
   /** Next free batch id — the shared fail-loud implementation. */
@@ -187,12 +251,24 @@ object FastSsIndex {
     * monotone batch ids, auto-compaction preserving the bucket layout.
     */
   def ingestStream(entities: DataFrame, path: String, checkpoint: String,
-                   autoCompactFragments: Int = IndexStream.DefaultAutoCompactFragments)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    IndexStream.appendWithBatchIds(signatures(entities),
-      nextBatch(entities.sparkSession, path), path, checkpoint,
+                   autoCompactFragments: Int = IndexStream.DefaultAutoCompactFragments,
+                   tau: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = entities.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // validate an existing index up front; a fresh one gets its marker
+    // with the first append (writing it before would create the dir and
+    // confuse nextBatch's empty-path handling)
+    if (fs.exists(root)) validateTau(spark, path, tau)
+    IndexStream.appendWithBatchIds(sigsFor(entities, tau),
+      nextBatch(spark, path), path, checkpoint,
       autoCompactFragments, partitionCols = Seq("bb"),
-      onBatchAppended = (df, b) => BatchBuckets.write(df, path, b))
+      onBatchAppended = (df, b) => {
+        if (!fs.exists(tauMarkerPath(path))) writeTauMarker(df.sparkSession, path, tau)
+        BatchBuckets.write(df, path, b)
+      })
+  }
 
   /** Streamed ingest AND cross-length screen — [[EntityBlockIndex
     * .screenStream]]'s discipline with deletion-neighborhood blocking:
@@ -204,21 +280,31 @@ object FastSsIndex {
     * (candidate-insensitive DISTINCT, deterministic verification).
     */
   def screenStream(entities: DataFrame, path: String, outPath: String,
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+                   checkpoint: String, tau: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = entities.sparkSession
     IndexMaintenance.recover(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root)) validateTau(spark, path, tau)
     val base = IndexStream.pinnedBase(entities, nextBatch(spark, path), checkpoint)
     entities.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val b = base + batchId.toInt
-        val sigs = signatures(df)
-        sigs.withColumn("batch", lit(b))
-          .write.partitionBy("bb").mode("append").parquet(path)
-        BatchBuckets.write(sigs, path, b)
-        EntityBlockIndex.verifyTypo(
-            candidates(df.sparkSession, path, b, Some(sigs)))
-          .withColumn("batch", lit(b))
-          .write.mode("append").parquet(outPath)
+        // persisted for the trigger ([[EntityBlockIndex.screenStream]]):
+        // append, manifest, and probe share one kernel run
+        val sigs = sigsFor(df, tau)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sigs.withColumn("batch", lit(b))
+            .write.partitionBy("bb").mode("append").parquet(path)
+          if (!fs.exists(tauMarkerPath(path))) writeTauMarker(df.sparkSession, path, tau)
+          BatchBuckets.write(sigs, path, b)
+          EntityBlockIndex.verifyTypo(
+              candidates(df.sparkSession, path, b, Some(sigs)), tau = tau)
+            .withColumn("batch", lit(b))
+            .write.mode("append").parquet(outPath)
+        } finally sigs.unpersist()
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -393,6 +393,34 @@ object NorthStar {
       .orderBy("a_key", "b_key")
   }
 
+  /** d_entity_match_ed2 from the PERSISTED tau = 2 deletion-neighborhood
+    * index — the stored/incremental cell of the two-edit family
+    * (d_entity_xlen_index's discipline at radius 2): [[graft.operators
+    * .FastSsIndex]]'s lifecycle is radius-generic (candidates/forget/
+    * compact never touch the kernel), so build/ingest hash base/delta
+    * with [[graft.operators.FastSsIndex.signatures2]] and the shared
+    * verify lattice thresholds at 2. The persisted `_graft_tau` radius
+    * marker makes a mixed-radius writer fail loudly (the KeyBuckets
+    * versioning discipline — tau-1 delta signatures never collide with
+    * stored tau-2 rows, so the mismatch would otherwise be a SILENT
+    * recall hole). Same unrestricted all-pairs oracle.
+    */
+  val d_entity_ed2_index: Query = q("d_entity_ed2_index",
+    Some(entityMatchEd2OracleSql)) { (s, dir) =>
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    val p = java.nio.file.Files.createTempDirectory("graft_fssed2_").toString + "/idx"
+    graft.operators.FastSsIndex.build(
+      cust.filter(pmod(col("key"), lit(3)) =!= 2), p, tau = 2)
+    graft.operators.FastSsIndex.ingest(
+      cust.filter(pmod(col("key"), lit(3)) === 2), p, batch = 1, tau = 2)
+    (0 to 1).map(b => EntityBlockIndex.verifyTypo(
+        graft.operators.FastSsIndex.candidates(s, p, b), tau = 2))
+      .reduce(_ unionByName _)
+      .dropDuplicates("a_key", "b_key")
+      .orderBy("a_key", "b_key")
+  }
+
   /** Deterministically typo-perturbed entity relation — the NON-VACUOUS
     * cross-length gate fixture (r13 verdict: every fixture name is
     * exactly 18 characters, so the unperturbed xlen rows hash-match the
@@ -4764,7 +4792,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
   val all: Seq[Query] = Seq(
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
     d_entity_match, d_entity_index, d_entity_match_xlen, d_entity_xlen_index,
-    d_entity_typos, d_entity_typos_index, d_entity_match_ed2,
+    d_entity_typos, d_entity_typos_index, d_entity_match_ed2, d_entity_ed2_index,
     d_containment, d_containment_collapse, d_containment_probe,
     d_minhash_lsh, d_minhash_collapse, d_minhash_index, d_simhash, d_dedup_incremental,
     d_dedup_index, d_index_compact, d_forget, d_substring_dedup, d_substring_index, p_cut_spans,

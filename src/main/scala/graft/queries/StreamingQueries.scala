@@ -1194,6 +1194,41 @@ object StreamingQueries {
     },
     Some(NorthStar.entityTyposOracleSql))
 
+  /** Streamed edit-distance <= 2 screening — the tau = 2 cell of the
+    * real-time record-linkage gate ([[graft.operators.FastSsIndex
+    * .screenStream]] at radius 2): every trigger hashes ONLY its batch
+    * with the deletion-2 kernel, appends under a real pinned batch id,
+    * equi-joins against the stored master signatures, and verifies with
+    * the shared levenshtein lattice thresholded at 2 — two typos, a
+    * transposition, or a double insert are screened the moment the
+    * record arrives. Same per-trigger economics as the tau = 1 screens;
+    * the radius marker pins the index to tau = 2 so a tau-1 writer
+    * fails loudly instead of silently punching a recall hole. Oracle =
+    * d_entity_match_ed2's unrestricted all-pairs join.
+    */
+  val st_entity_ed2: Query = Query(
+    "st_entity_ed2",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_ented2_").toString
+      val cust = graft.tables.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))
+      for (sl <- 0 to 2)
+        oneFile(cust.filter(pmod(col("key"), lit(3)) === sl),
+          s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, name STRING")
+      val streamed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.FastSsIndex.screenStream(
+        streamed, s"$base/idx", s"$base/matches", s"$base/cp", tau = 2)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/matches")
+        .dropDuplicates("a_key", "b_key")
+        .select("a_key", "b_key", "dist")
+        .orderBy("a_key", "b_key")
+    },
+    Some(NorthStar.entityMatchEd2OracleSql))
+
   /** The composed incremental pipeline STREAMED — e_pipeline_ivm's
     * production shape: facts arrive as micro-batches and ONE trigger
     * advances BOTH maintained stages under the SAME pinned batch id —
@@ -1324,5 +1359,5 @@ object StreamingQueries {
     st_substring_probe, st_minhash_probe, st_pq_probe, st_ivfpq_probe,
     st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget, st_scd2,
     st_sq8_ingest, st_join_ingest, st_scd2_lookup, st_pipeline_ivm,
-    st_entity_screen, st_entity_screen_xlen, st_entity_typos)
+    st_entity_screen, st_entity_screen_xlen, st_entity_typos, st_entity_ed2)
 }

@@ -60,6 +60,41 @@ class FastSsIndexSpec extends SparkSpec {
     assert(want.exists(_._3 == 1L), "fixture must contain edit-distance-1 pairs")
   }
 
+  private def bruteEd2(ents: DataFrame): Set[(Long, Long, Long)] =
+    ents.as("a").join(ents.as("b"), col("a.key") < col("b.key"))
+      .select(col("a.key").as("a_key"), col("b.key").as("b_key"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("tau=2 stored lifecycle: cross-batch two-edit pairs equal brute force; mixed radii fail loudly") {
+    import spark.implicits._
+    // two-edit variants split so every pair's members land in DIFFERENT
+    // batches: transposition, double insert, double delete, mixed edits
+    val batch0 = Seq(1L -> "abcdef", 2L -> "ab", 3L -> "qrstuv")
+    val batch1 = Seq(10L -> "bacdef", 11L -> "abcdefXY", 12L -> "cdef",
+      13L -> "Xabcde", 14L -> "ba", 15L -> "qrXtYv")
+    val all = (batch0 ++ batch1).toDF("key", "name")
+    val p = Files.createTempDirectory("graft_fssed2_idx_").toString + "/idx"
+    FastSsIndex.build(batch0.toDF("key", "name"), p, tau = 2)
+    FastSsIndex.ingest(batch1.toDF("key", "name"), p, batch = 1, tau = 2)
+    val got = (0 to 1).map(b => EntityBlockIndex.verifyTypo(
+        FastSsIndex.candidates(spark, p, b), tau = 2))
+      .reduce(_ unionByName _).dropDuplicates("a_key", "b_key")
+      .collect().map(r => (r.getAs[Long]("a_key"), r.getAs[Long]("b_key"),
+        r.getAs[Long]("dist"))).toSet
+    val want = bruteEd2(all)
+    assert(got == want, s"stored tau=2 probe diverged: got $got want $want")
+    assert(want.exists(_._3 == 2L), "fixture must contain distance-2 pairs")
+    // a tau-1 writer against the tau-2 index is a silent recall hole —
+    // the radius marker must fail it loudly (and the reverse)
+    val e = intercept[IllegalArgumentException] {
+      FastSsIndex.ingest(Seq(99L -> "zzz").toDF("key", "name"), p, batch = 2, tau = 1)
+    }
+    assert(e.getMessage.contains("tau"))
+    assert(FastSsIndex.storedTau(spark, p) == 2)
+  }
+
   test("streamed cross-length screen hashes each entity once, equals one-shot") {
     val base = Files.createTempDirectory("graft_fssstream_").toString
     for (sl <- 0 to 2)
