@@ -41,6 +41,13 @@ import org.apache.spark.sql.functions._
   * ingest+probe per micro-batch under real pinned batch ids;
   * forget/compact ride the shared [[Tombstones]]/[[IndexMaintenance]]
   * machinery.
+  *
+  * The lifecycle is RADIUS-GENERIC (r14): every kerneling entry point
+  * takes `tau` (1 = single-edit, 2 = [[signatures2]] two-edit
+  * neighborhoods), the radius persists in a `_graft_tau` marker, and a
+  * mixed-radius writer fails loudly — candidates/forget/compact never
+  * touch the kernel, so the probe and maintenance paths are shared by
+  * both radii unchanged.
   */
 object FastSsIndex {
 
@@ -101,10 +108,8 @@ object FastSsIndex {
 
   /** `(key, name, sig, bb)` rows under the tau = 2 neighborhood — the
     * kernel for edit-distance <= 2 screening ([[graft.queries.NorthStar
-    * .ed2Match]]). Same row shape as [[signatures]], so the persisted
-    * lifecycle (build/ingest/candidates/stream/forget/compact) would
-    * carry over verbatim were a tau = 2 index required; only the batch
-    * query ships, the index cells stay tau = 1.
+    * .ed2Match]] in-query; the stored/streamed cells pass `tau = 2` to
+    * the radius-generic lifecycle below, same row shape by design).
     */
   def signatures2(entities: DataFrame): DataFrame =
     entities.select(col("key"), col("name"), explode(expr(sig2Expr)).as("sig"))
