@@ -46,18 +46,51 @@ private[operators] object BatchBuckets {
       .write.mode(if (overwrite) "overwrite" else "append").parquet(dir(path))
 
   /** The manifested bucket ids of `batch`, or None when the manifest (or
-    * the batch's rows in it) is absent — pre-r14 indexes and the
-    * crash window fall back to the caller's discovery scan.
+    * the batch's rows in it) is absent OR unreadable — pre-r14 indexes,
+    * the crash window (including a dir created by the committer with no
+    * data file landed, which the parquet reader rejects as footerless),
+    * fall back to the caller's discovery scan. Self-healing by contract:
+    * no manifest state may fail a probe.
     */
   def read(spark: SparkSession, path: String, batch: Int): Option[Array[Int]] = {
     val d = new Path(dir(path))
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(d)) None
     else {
-      val ids = spark.read.parquet(dir(path))
-        .filter(col("batch") === batch)
-        .select("bb").distinct().collect().map(_.getInt(0))
-      if (ids.isEmpty) None else Some(ids)
+      try {
+        val ids = spark.read.parquet(dir(path))
+          .filter(col("batch") === batch)
+          .select("bb").distinct().collect().map(_.getInt(0))
+        if (ids.isEmpty) None else Some(ids)
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
     }
   }
+
+  /** THE shared append discipline of the manifested indexes
+    * ([[EntityBlockIndex]]/[[FastSsIndex]] build, ingest, and streamed
+    * screens — one copy so the contract cannot drift): `rows` persist
+    * across the batch's data write, the manifest write, and any caller
+    * `use` (the streamed screens probe with the materialized rows), so
+    * the kernel runs ONCE per entity per lifecycle event and a
+    * non-deterministic input cannot land a manifest inconsistent with
+    * the data. Crash order data -> (afterData) -> manifest; [[read]]'s
+    * fallback covers every prefix of it.
+    */
+  private[operators] def appendBatch(rows: DataFrame, path: String, batch: Int,
+      overwriteData: Boolean = false, overwriteManifest: Boolean = false,
+      afterData: () => Unit = () => (),
+      use: DataFrame => Unit = _ => ()): Unit = {
+    val r = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      r.withColumn("batch", lit(batch))
+        .write.partitionBy("bb")
+        .mode(if (overwriteData) "overwrite" else "append").parquet(path)
+      afterData()
+      write(r, path, batch, overwrite = overwriteManifest)
+      use(r)
+    } finally r.unpersist()
+  }
 }
+

@@ -103,33 +103,16 @@ object EntityBlockIndex {
   /** Block the base master list once; write the index as batch 0 under
     * the `bb=` bucket layout.
     */
-  def build(entities: DataFrame, path: String): Unit = {
-    // persist across the two writes: the kernel runs ONCE per entity
-    // (the family's contract) and a non-deterministic input is evaluated
-    // once, with the manifest derived from the same rows the data write
-    // landed
-    val blk = blocks(entities)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      blk.withColumn("batch", lit(0))
-        .write.partitionBy("bb").mode("overwrite").parquet(path)
-      // bucket manifest AFTER the data (BatchBuckets crash order): probes
-      // discover a batch's buckets from this sidecar instead of scanning
-      // every bb= partition's footers
-      BatchBuckets.write(blk, path, batch = 0, overwrite = true)
-    } finally blk.unpersist()
-  }
+  def build(entities: DataFrame, path: String): Unit =
+    // the shared append discipline ([[BatchBuckets.appendBatch]]): one
+    // kernel run lands the data AND the bucket manifest probes use for
+    // discovery instead of scanning every bb= partition's footers
+    BatchBuckets.appendBatch(blocks(entities), path, batch = 0,
+      overwriteData = true, overwriteManifest = true)
 
   /** Block ONLY the delta; append its rows as `batch`. */
-  def ingest(entities: DataFrame, path: String, batch: Int): Unit = {
-    val blk = blocks(entities)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      blk.withColumn("batch", lit(batch))
-        .write.partitionBy("bb").mode("append").parquet(path)
-      BatchBuckets.write(blk, path, batch)
-    } finally blk.unpersist()
-  }
+  def ingest(entities: DataFrame, path: String, batch: Int): Unit =
+    BatchBuckets.appendBatch(blocks(entities), path, batch)
 
   /** Next free batch id — the shared fail-loud implementation. */
   def nextBatch(spark: SparkSession, path: String): Int =
@@ -219,7 +202,7 @@ object EntityBlockIndex {
     IndexStream.appendWithBatchIds(blocks(entities),
       nextBatch(entities.sparkSession, path), path, checkpoint,
       autoCompactFragments, partitionCols = Seq("bb"),
-      onBatchAppended = (df, b) => BatchBuckets.write(df, path, b))
+      onBatchAppended = Some((df, b) => BatchBuckets.write(df, path, b)))
 
   /** Streamed ingest AND screen — the real-time record-linkage gate.
     * Each micro-batch: the BATCH alone is blocked and appended under a
@@ -244,21 +227,13 @@ object EntityBlockIndex {
     entities.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val b = base + batchId.toInt
-        // persisted for the trigger: the append, the manifest, and the
-        // probe all read the SAME materialized batch blocks — the kernel
-        // runs once per entity, as the lifecycle contract states
-        val blk = blocks(df)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          blk.withColumn("batch", lit(b))
-            .write.partitionBy("bb").mode("append").parquet(path)
-          BatchBuckets.write(blk, path, b)
-          // probe with the in-memory batch blocks — no per-trigger index
-          // re-read to rediscover rows this trigger just wrote
+        // the shared discipline persists the trigger's blocks across the
+        // append, the manifest, AND the probe (`use`) — one kernel run,
+        // no per-trigger index re-read to rediscover just-written rows
+        BatchBuckets.appendBatch(blocks(df), path, b, use = blk =>
           verifyTypo(candidates(df.sparkSession, path, b, Some(blk)))
             .withColumn("batch", lit(b))
-            .write.mode("append").parquet(outPath)
-        } finally blk.unpersist()
+            .write.mode("append").parquet(outPath))
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -170,30 +170,26 @@ object FastSsIndex {
     * the `bb=` bucket layout.
     */
   def build(entities: DataFrame, path: String, tau: Int = 1): Unit = {
-    // persisted across the two writes ([[EntityBlockIndex.build]]'s
-    // rationale: one kernel run, manifest from the landed rows)
-    val sigs = sigsFor(entities, tau)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      sigs.withColumn("batch", lit(0))
-        .write.partitionBy("bb").mode("overwrite").parquet(path)
-      // markers AFTER the data write (overwrite mode clears the dir first)
-      writeTauMarker(entities.sparkSession, path, tau)
-      // bucket manifest AFTER the data ([[BatchBuckets]] crash order)
-      BatchBuckets.write(sigs, path, batch = 0, overwrite = true)
-    } finally sigs.unpersist()
+    val spark = entities.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // radius marker BEFORE the data (so mode is append into the manually
+    // cleared dir, not overwrite): a crash between the two leaves
+    // marker-without-data — a half-built index that fails LOUDLY on any
+    // tau-mismatched writer — where data-before-marker would leave a
+    // marker-less tau-2 index silently validating tau-1 writers, the
+    // exact mixed-radius hole the marker closes. (A crashed build must
+    // be re-run either way, the mode-overwrite family's contract.)
+    fs.delete(root, true)
+    writeTauMarker(spark, path, tau)
+    BatchBuckets.appendBatch(sigsFor(entities, tau), path, batch = 0,
+      overwriteManifest = true)
   }
 
   /** Hash ONLY the delta; append its rows as `batch`. */
   def ingest(entities: DataFrame, path: String, batch: Int, tau: Int = 1): Unit = {
     validateTau(entities.sparkSession, path, tau)
-    val sigs = sigsFor(entities, tau)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      sigs.withColumn("batch", lit(batch))
-        .write.partitionBy("bb").mode("append").parquet(path)
-      BatchBuckets.write(sigs, path, batch)
-    } finally sigs.unpersist()
+    BatchBuckets.appendBatch(sigsFor(entities, tau), path, batch)
   }
 
   /** Next free batch id — the shared fail-loud implementation. */
@@ -269,10 +265,10 @@ object FastSsIndex {
     IndexStream.appendWithBatchIds(sigsFor(entities, tau),
       nextBatch(spark, path), path, checkpoint,
       autoCompactFragments, partitionCols = Seq("bb"),
-      onBatchAppended = (df, b) => {
+      onBatchAppended = Some((df, b) => {
         if (!fs.exists(tauMarkerPath(path))) writeTauMarker(df.sparkSession, path, tau)
         BatchBuckets.write(df, path, b)
-      })
+      }))
   }
 
   /** Streamed ingest AND cross-length screen — [[EntityBlockIndex
@@ -296,20 +292,20 @@ object FastSsIndex {
     entities.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val b = base + batchId.toInt
-        // persisted for the trigger ([[EntityBlockIndex.screenStream]]):
-        // append, manifest, and probe share one kernel run
-        val sigs = sigsFor(df, tau)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          sigs.withColumn("batch", lit(b))
-            .write.partitionBy("bb").mode("append").parquet(path)
-          if (!fs.exists(tauMarkerPath(path))) writeTauMarker(df.sparkSession, path, tau)
-          BatchBuckets.write(sigs, path, b)
-          EntityBlockIndex.verifyTypo(
-              candidates(df.sparkSession, path, b, Some(sigs)), tau = tau)
-            .withColumn("batch", lit(b))
-            .write.mode("append").parquet(outPath)
-        } finally sigs.unpersist()
+        // shared discipline ([[BatchBuckets.appendBatch]]): append,
+        // radius marker (first trigger of a fresh index — the replayable
+        // crash window is one trigger wide and heals on restart), bucket
+        // manifest, and probe share one kernel run
+        BatchBuckets.appendBatch(sigsFor(df, tau), path, b,
+          afterData = () => {
+            if (!fs.exists(tauMarkerPath(path)))
+              writeTauMarker(df.sparkSession, path, tau)
+          },
+          use = sigs =>
+            EntityBlockIndex.verifyTypo(
+                candidates(df.sparkSession, path, b, Some(sigs)), tau = tau)
+              .withColumn("batch", lit(b))
+              .write.mode("append").parquet(outPath))
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -101,7 +101,7 @@ private[operators] object IndexStream {
                          checkpoint: String,
                          autoCompactFragments: Int = DefaultAutoCompactFragments,
                          partitionCols: Seq[String] = Nil,
-                         onBatchAppended: (DataFrame, Int) => Unit = (_, _) => ())
+                         onBatchAppended: Option[(DataFrame, Int) => Unit] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.lit
     // heal a crashed in-stream compaction BEFORE anything reads or appends:
@@ -117,12 +117,23 @@ private[operators] object IndexStream {
       else 0)
     rows.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        val w = df.withColumn("batch", lit(base + batchId.toInt)).write
-        (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
-          .mode("append").parquet(path)
-        // per-index sidecar maintenance (e.g. [[BatchBuckets]] bucket
-        // manifests) — AFTER the data append, the sidecars' crash order
-        onBatchAppended(df, base + batchId.toInt)
+        // with a sidecar hook the micro-batch persists across the data
+        // append AND the hook: the hook's rows are the SAME materialized
+        // rows the append landed (a re-evaluated non-deterministic input
+        // could otherwise land an inconsistent sidecar — and the kernel
+        // would run twice per trigger). Hook-less streams skip the cache.
+        val batchRows =
+          if (onBatchAppended.isDefined)
+            df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else df
+        try {
+          val w = batchRows.withColumn("batch", lit(base + batchId.toInt)).write
+          (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+            .mode("append").parquet(path)
+          // per-index sidecar maintenance (e.g. [[BatchBuckets]] bucket
+          // manifests) — AFTER the data append, the sidecars' crash order
+          onBatchAppended.foreach(_(batchRows, base + batchId.toInt))
+        } finally if (onBatchAppended.isDefined) batchRows.unpersist()
         if (autoCompactFragments > 0) {
           val est = estFiles.addAndGet(math.max(1, df.rdd.getNumPartitions))
           if (est > autoCompactFragments) {
@@ -138,3 +149,4 @@ private[operators] object IndexStream {
       .start()
   }
 }
+

@@ -365,7 +365,14 @@ object Scd2Dim {
     */
   val PinTtlMs: Long = 6L * 3600 * 1000
 
-  /** The oldest ledger value any live (non-expired) reader pin holds. */
+  /** The oldest ledger value any live (non-expired) reader pin holds.
+    * Runs under the merge's single-WRITER discipline but races READER
+    * brackets freely: a pin released between the listing and the open is
+    * skipped (its reader is done — protecting nothing is correct), and
+    * expired pins are deleted here so `_reader_pins` stays bounded by
+    * the live-reader count instead of growing one file per crashed
+    * bracket forever.
+    */
   private def activePinFloor(spark: SparkSession, path: String): Option[Int] = {
     val d = pinsDir(path)
     val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
@@ -373,12 +380,21 @@ object Scd2Dim {
     else {
       val now = System.currentTimeMillis()
       fs.listStatus(d).iterator
-        .filter(st => st.isFile && now - st.getModificationTime <= PinTtlMs)
+        .filter(_.isFile)
         .flatMap { st =>
-          val in = fs.open(st.getPath)
-          val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                    finally in.close()
-          raw.toIntOption
+          if (now - st.getModificationTime > PinTtlMs) {
+            fs.delete(st.getPath, false) // presumed-crashed reader
+            None
+          } else {
+            try {
+              val in = fs.open(st.getPath)
+              val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                        finally in.close()
+              raw.toIntOption
+            } catch {
+              case _: java.io.FileNotFoundException => None // released mid-listing
+            }
+          }
         }
         .reduceOption(_ min _)
     }
@@ -409,3 +425,4 @@ object Scd2Dim {
     finally fs.delete(pin, false)
   }
 }
+

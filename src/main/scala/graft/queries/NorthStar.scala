@@ -259,20 +259,32 @@ object NorthStar {
     * (key, 8-byte hash) x ~(len+1) rows; names re-join output-sized for
     * the single exact levenshtein per pair.
     */
-  private[queries] def xlenMatch(ents: DataFrame): DataFrame = {
-    val sigs = graft.operators.FastSsIndex.signatures(ents).select("key", "sig")
+  /** The in-query FastSS match at radius `tau` — THE single copy of the
+    * candidate shape shared by the tau = 1 (xlen/typos) and tau = 2
+    * families: signature collisions pair 8-byte keys ONLY, the early
+    * DISTINCT folds multi-signature agreement (up to ~L duplicate
+    * candidate rows per pair at tau = 1, ~C(L,2) at tau = 2 — folding
+    * BEFORE the name joins keeps them output-sized), names re-join
+    * output-sized, and the shared [[graft.operators.EntityBlockIndex
+    * .verifyTypo]] lattice runs the one exact levenshtein per pair.
+    */
+  private[queries] def fastSsMatch(ents: DataFrame, tau: Int): DataFrame = {
+    val sigs = (if (tau == 1) graft.operators.FastSsIndex.signatures(ents)
+                else graft.operators.FastSsIndex.signatures2(ents))
+      .select("key", "sig")
     val cands = sigs.as("a").join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.key") < col("b.key"))
       .select(col("a.key").as("a_key"), col("b.key").as("b_key"))
       .distinct()
     val names = ents.select(col("key"), col("name"))
-    cands
-      .join(names.select(col("key").as("a_key"), col("name").as("a_name")), "a_key")
-      .join(names.select(col("key").as("b_key"), col("name").as("b_name")), "b_key")
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
-      .filter(col("dist") <= 1)
-      .select(col("a_key"), col("b_key"), col("dist"))
+    graft.operators.EntityBlockIndex.verifyTypo(
+      cands
+        .join(names.select(col("key").as("a_key"), col("name").as("a_name")), "a_key")
+        .join(names.select(col("key").as("b_key"), col("name").as("b_name")), "b_key"),
+      tau = tau)
   }
+
+  private[queries] def xlenMatch(ents: DataFrame): DataFrame = fastSsMatch(ents, 1)
 
   private[queries] val entityMatchXlenOracleSql: String =
     """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
@@ -356,20 +368,7 @@ object NorthStar {
     * (the r13 verdict's task: tau = 2 in the short-name regime, long
     * strings stay PassJoin's published territory).
     */
-  private[queries] def ed2Match(ents: DataFrame): DataFrame = {
-    val sigs = graft.operators.FastSsIndex.signatures2(ents).select("key", "sig")
-    val cands = sigs.as("a").join(sigs.as("b"),
-        col("a.sig") === col("b.sig") && col("a.key") < col("b.key"))
-      .select(col("a.key").as("a_key"), col("b.key").as("b_key"))
-      .distinct()
-    val names = ents.select(col("key"), col("name"))
-    cands
-      .join(names.select(col("key").as("a_key"), col("name").as("a_name")), "a_key")
-      .join(names.select(col("key").as("b_key"), col("name").as("b_name")), "b_key")
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
-      .filter(col("dist") <= 2)
-      .select(col("a_key"), col("b_key"), col("dist"))
-  }
+  private[queries] def ed2Match(ents: DataFrame): DataFrame = fastSsMatch(ents, 2)
 
   private[queries] val entityMatchEd2OracleSql: String =
     """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
