@@ -75,6 +75,18 @@ object EntityScaleRun {
           .write.format("noop").mode("overwrite").save()
       }
 
+      // BATCH-probe shape (d_entity_index: no in-memory blocks): bucket
+      // discovery from the r14 _batch_buckets manifest vs the pre-r14
+      // index-wide footer scan (manifest deleted -> counted fallback)
+      def batchProbe(): Unit =
+        EntityBlockIndex.verifyTypo(EntityBlockIndex.candidates(spark, p, 1))
+          .write.format("noop").mode("overwrite").save()
+      timeMedian(s"$label batch probe, manifest discovery")(batchProbe())
+      val md = new org.apache.hadoop.fs.Path(p + "/_batch_buckets")
+      val mfs = md.getFileSystem(spark.sessionState.newHadoopConf())
+      mfs.delete(md, true)
+      timeMedian(s"$label batch probe, index-wide discovery")(batchProbe())
+
       // OLD: the pre-r13 trigger body — kernel master+batch every trigger
       timeMedian(s"$label OLD re-kernel master") {
         val pa = EntityBlockIndex.blocks(batch).as("a")
