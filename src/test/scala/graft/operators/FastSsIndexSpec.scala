@@ -93,6 +93,20 @@ class FastSsIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("tau"))
     assert(FastSsIndex.storedTau(spark, p) == 2)
+    // the radius marker rides compaction's sidecar rescue: the rewritten
+    // index still knows (and enforces) its radius, and probes still answer
+    FastSsIndex.compact(spark, p)
+    assert(FastSsIndex.storedTau(spark, p) == 2,
+      "the _graft_tau marker must survive the compaction swap")
+    intercept[IllegalArgumentException] {
+      FastSsIndex.ingest(Seq(99L -> "zzz").toDF("key", "name"), p, batch = 2, tau = 1)
+    }
+    val afterCompact = (0 to 1).map(b => EntityBlockIndex.verifyTypo(
+        FastSsIndex.candidates(spark, p, b), tau = 2))
+      .reduce(_ unionByName _).dropDuplicates("a_key", "b_key")
+      .collect().map(r => (r.getAs[Long]("a_key"), r.getAs[Long]("b_key"),
+        r.getAs[Long]("dist"))).toSet
+    assert(afterCompact == want, "compaction must not change tau=2 probe answers")
   }
 
   test("streamed cross-length screen hashes each entity once, equals one-shot") {
