@@ -75,19 +75,31 @@ private[operators] object BatchBuckets {
     * `use` (the streamed screens probe with the materialized rows), so
     * the kernel runs ONCE per entity per lifecycle event and a
     * non-deterministic input cannot land a manifest inconsistent with
-    * the data. Crash order data -> (afterData) -> manifest; [[read]]'s
-    * fallback covers every prefix of it.
+    * the data. Crash order data -> manifest; [[read]]'s fallback covers
+    * every prefix of it.
     */
   private[operators] def appendBatch(rows: DataFrame, path: String, batch: Int,
       overwriteData: Boolean = false, overwriteManifest: Boolean = false,
-      afterData: () => Unit = () => (),
       use: DataFrame => Unit = _ => ()): Unit = {
+    // overwriteData must truncate the WHOLE root, independent of the
+    // session's partitionOverwriteMode (r14 ADVICE): under `dynamic`, a
+    // mode-overwrite write would replace only the bb= partitions this
+    // batch touches, leaving stale buckets the freshly-overwritten
+    // manifest no longer names — an UNDER-approximating manifest whose
+    // probes silently miss rows the legacy scan would find. Explicit
+    // fs.delete + plain append is mode-independent ([[FastSsIndex.build]]
+    // already does its own root delete for the tau-marker ordering and
+    // passes overwriteData = false).
+    if (overwriteData) {
+      val root = new Path(path)
+      val fs = root.getFileSystem(rows.sparkSession.sessionState.newHadoopConf())
+      fs.delete(root, true)
+    }
     val r = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       r.withColumn("batch", lit(batch))
         .write.partitionBy("bb")
-        .mode(if (overwriteData) "overwrite" else "append").parquet(path)
-      afterData()
+        .mode("append").parquet(path)
       write(r, path, batch, overwrite = overwriteManifest)
       use(r)
     } finally r.unpersist()

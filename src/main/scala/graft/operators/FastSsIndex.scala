@@ -256,19 +256,28 @@ object FastSsIndex {
                    tau: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = entities.sparkSession
+    // heal a crashed compaction BEFORE touching the root: the marker
+    // write below may create the dir, which would confuse recover's
+    // live-dir-absent detection if it ran after
+    IndexMaintenance.recover(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    // validate an existing index up front; a fresh one gets its marker
-    // with the first append (writing it before would create the dir and
-    // confuse nextBatch's empty-path handling)
     if (fs.exists(root)) validateTau(spark, path, tau)
+    // radius marker BEFORE any data lands (r14 ADVICE): the old
+    // first-trigger afterData write left a one-trigger crash window —
+    // data appended, marker not yet written — that a restart REJECTED
+    // loudly as a tau mismatch (storedTau defaults to 1 on a marker-less
+    // dir), costing a fresh tau=2 index its whole first batch. build()'s
+    // marker-first ordering now applies to the streamed writers too:
+    // nextBatch treats a data-less marker-only dir as fresh, so the
+    // worst crash leaves a loud-on-mismatch half-built index, never a
+    // rejected healthy one. (Also upgrades a just-validated pre-r14
+    // tau=1 artifact in place.)
+    if (!fs.exists(tauMarkerPath(path))) writeTauMarker(spark, path, tau)
     IndexStream.appendWithBatchIds(sigsFor(entities, tau),
       nextBatch(spark, path), path, checkpoint,
       autoCompactFragments, partitionCols = Seq("bb"),
-      onBatchAppended = Some((df, b) => {
-        if (!fs.exists(tauMarkerPath(path))) writeTauMarker(df.sparkSession, path, tau)
-        BatchBuckets.write(df, path, b)
-      }))
+      onBatchAppended = Some((df, b) => BatchBuckets.write(df, path, b)))
   }
 
   /** Streamed ingest AND cross-length screen — [[EntityBlockIndex
@@ -288,19 +297,17 @@ object FastSsIndex {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(root)) validateTau(spark, path, tau)
+    // marker BEFORE any data lands — [[ingestStream]]'s rationale (r14
+    // ADVICE: the afterData ordering left a one-trigger crash window a
+    // restart rejected loudly instead of healing)
+    if (!fs.exists(tauMarkerPath(path))) writeTauMarker(spark, path, tau)
     val base = IndexStream.pinnedBase(entities, nextBatch(spark, path), checkpoint)
     entities.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val b = base + batchId.toInt
         // shared discipline ([[BatchBuckets.appendBatch]]): append,
-        // radius marker (first trigger of a fresh index — the replayable
-        // crash window is one trigger wide and heals on restart), bucket
-        // manifest, and probe share one kernel run
+        // bucket manifest, and probe share one kernel run
         BatchBuckets.appendBatch(sigsFor(df, tau), path, b,
-          afterData = () => {
-            if (!fs.exists(tauMarkerPath(path)))
-              writeTauMarker(df.sparkSession, path, tau)
-          },
           use = sigs =>
             EntityBlockIndex.verifyTypo(
                 candidates(df.sparkSession, path, b, Some(sigs)), tau = tau)

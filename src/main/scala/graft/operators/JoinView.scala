@@ -388,8 +388,17 @@ object JoinView {
     // same question this probe answered at forget time.)
     val c = committedBatch(spark, path)
     val buckets = bucketsOf(idsK, key)
+    // the existence probe reads WITHOUT the ledger filter (r14 ADVICE):
+    // ids present only in a crashed writer's uncommitted orphan batch
+    // would otherwise be tombstoned with no floor raise, and once the
+    // retried ingest commits that batch, an as-of at it would silently
+    // omit the forgotten keys instead of failing loudly at the floor.
+    // Orphans destined for cleanup raise the floor conservatively — the
+    // safe direction (loud where exactness was possible, never silent).
     val hidesStored = Seq("a", "b", "view").exists { sub =>
-      !storedPruned(spark, s"$path/$sub", c, buckets, key)
+      !live(readSub(spark, s"$path/$sub")
+          .filter(col("kb").isin(buckets.map(Int.box): _*))
+          .drop("kb", "batch"), spark, s"$path/$sub", key)
         .join(idsK, Seq(key), "left_semi").isEmpty
     }
     if (hidesStored)

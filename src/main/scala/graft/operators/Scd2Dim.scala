@@ -380,7 +380,10 @@ object Scd2Dim {
     else {
       val now = System.currentTimeMillis()
       fs.listStatus(d).iterator
-        .filter(_.isFile)
+        // name filter: a crashed [[withSnapshot]] rename can strand a
+        // `.pin-*.tmp`; it must not masquerade as a live pin (it would be
+        // TTL-bounded anyway, but skipping it is free and exact)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("pin-"))
         .flatMap { st =>
           if (now - st.getModificationTime > PinTtlMs) {
             fs.delete(st.getPath, false) // presumed-crashed reader
@@ -401,28 +404,49 @@ object Scd2Dim {
   }
 
   /** LEDGER-PINNED snapshot read (r13 verdict task 6): resolve the
-    * dimension under the ledger at entry, register a reader pin holding
-    * that value, run `f` over the frozen snapshot, and release the pin —
+    * dimension under the ledger, register a reader pin holding that
+    * value, run `f` over the frozen snapshot, and release the pin —
     * [[gcSuperseded]] retains, per bucket, every version an active pin
     * can still resolve, so the snapshot's files survive ANY number of
     * concurrent merges for the bracket's lifetime (vs plain [[read]]'s
     * one-generation grace). Pins expire after [[PinTtlMs]] so a crashed
-    * reader cannot block reclamation forever; the pin is registered
-    * BEFORE version resolution, so the registration window itself is
-    * covered by the standard grace.
+    * reader cannot block reclamation forever.
+    *
+    * The pin is registered immediately AFTER the ledger read and before
+    * bucket-version resolution (r14 verdict/ADVICE: the earlier doc
+    * claimed the reverse order), and the read->pin window is closed by
+    * construction, not by the grace: the pin lands via temp-file +
+    * ATOMIC RENAME (a concurrent GC can never open a half-written pin,
+    * parse "" to None, and ignore it), and the ledger is RE-READ after
+    * the rename. Any merge+GC pair that could have reclaimed the
+    * resolved version inside the read->pin window must have advanced the
+    * ledger before its GC listed pins — i.e. before our rename, hence
+    * before the re-read — so a re-read returning the pinned value proves
+    * every later GC sees the pin; a changed value re-pins and re-checks.
     */
   def withSnapshot[T](spark: SparkSession, path: String)(f: DataFrame => T): T = {
     val conf = spark.sessionState.newHadoopConf()
-    val c = committedVersion(spark, path)
     val d = pinsDir(path)
     val fs = d.getFileSystem(conf)
     fs.mkdirs(d)
-    val pin = new Path(d, s"pin-${java.util.UUID.randomUUID()}")
-    val out = fs.create(pin, false)
-    try out.write(c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    try f(presentation(committedRows(spark, path, None, c)))
-    finally fs.delete(pin, false)
+    val id = java.util.UUID.randomUUID()
+    val pin = new Path(d, s"pin-$id")
+    def pinAt(v: Int): Unit = {
+      val tmp = new Path(d, s".pin-$id.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(pin),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    try {
+      var c = committedVersion(spark, path)
+      pinAt(c)
+      var c2 = committedVersion(spark, path)
+      while (c2 != c) { c = c2; pinAt(c); c2 = committedVersion(spark, path) }
+      f(presentation(committedRows(spark, path, None, c)))
+    } finally fs.delete(pin, false)
   }
 }
 

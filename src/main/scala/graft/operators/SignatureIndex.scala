@@ -94,10 +94,10 @@ object SignatureIndex {
         if (r.isNullAt(0)) None else Some(r.getInt(0))
       } catch {
         // ONLY a genuinely absent path means "fresh index". Any other
-        // analysis failure — empty dir from a crashed build, corrupt
-        // footer, missing batch column — must fail loudly: starting over at
-        // base 0 would hand out batch ids an existing half-written index
-        // already uses, silently corrupting the same-batch witness rule.
+        // analysis failure — corrupt footer, missing batch column — must
+        // fail loudly: starting over at base 0 would hand out batch ids an
+        // existing half-written index already uses, silently corrupting
+        // the same-batch witness rule.
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "PATH_NOT_FOUND" =>
           if (IndexMaintenance.crashRemnants(spark, path))
@@ -106,6 +106,20 @@ object SignatureIndex {
                 "absent but .compact_tmp/.compact_trash remnants exist. Refusing to " +
                 "answer batch 0 for a non-fresh index; heal via a writer entry point " +
                 "(IndexMaintenance.recover / compact / a restarted ingest stream).")
+          None
+        // A dir holding ONLY underscore sidecars (no data file at all) is
+        // the known marker-before-data crash window of [[FastSsIndex]]'s
+        // build/streamed entry points (r14 ADVICE: the `_graft_tau` radius
+        // marker lands first so a tau-mismatched writer fails loudly even
+        // on a half-built index). Zero data files means zero batch ids in
+        // use — answering from the max-batch marker alone (or 0) cannot
+        // collide with data. The data-file listing is the defense against
+        // mistaking a CORRUPT-footer failure for this window: any data
+        // file present keeps the loud failure.
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "UNABLE_TO_INFER_SCHEMA" &&
+              !IndexMaintenance.crashRemnants(spark, path) &&
+              IndexMaintenance.dataFileCount(spark, path) == 0 =>
           None
       }
     val markerMax = IndexMaintenance.readMaxBatchMarker(spark, path)

@@ -186,4 +186,24 @@ class EntityBlockIndexSpec extends SparkSpec {
     assert(pairs.isEmpty,
       "a tombstoned entity re-arriving mid-stream must stay hidden until compaction")
   }
+
+  test("rebuild truncates stale buckets even under dynamic partitionOverwriteMode") {
+    import spark.implicits._
+    // r14 ADVICE: the old mode-overwrite write relied on STATIC
+    // partitionOverwriteMode semantics (whole-dir truncate); under
+    // `dynamic`, a rebuild overwrote only the new build's bb= partitions,
+    // leaving stale buckets the fresh manifest no longer names — probes
+    // would silently miss rows the legacy scan would have found
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val p = Files.createTempDirectory("graft_entidx_dyn_").toString + "/idx"
+      EntityBlockIndex.build(Seq(1L -> "abcdef", 2L -> "Xbcdef").toDF("key", "name"), p)
+      EntityBlockIndex.build(Seq(10L -> "qrstuv").toDF("key", "name"), p)
+      val keys = spark.read.parquet(p).select("key").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(keys == Set(10L),
+        s"rebuild left stale rows from the previous build: $keys")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
 }

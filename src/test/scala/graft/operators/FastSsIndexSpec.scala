@@ -204,4 +204,38 @@ class FastSsIndexSpec extends SparkSpec {
     assert(pairs.isEmpty,
       "a tombstoned entity re-arriving mid-stream must stay hidden until compaction")
   }
+
+  test("the radius marker lands BEFORE any streamed data; marker-only dirs restart cleanly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_fss_mkfirst_").toString
+    graft.StreamFixtures.oneFile(Seq(1L -> "abcdef").toDF("key", "name"),
+      s"$base/src/s0.parquet", 1000000000000L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("key BIGINT, name STRING")
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = FastSsIndex.screenStream(streamed, s"$base/idx", s"$base/m", s"$base/cp", tau = 2)
+    try {
+      // the marker exists the moment the stream is CREATED — before any
+      // trigger commits — so no crash point can leave data without it
+      // (r14 ADVICE: the old afterData ordering made a restart after a
+      // first-trigger crash fail loudly as a tau mismatch)
+      assert(FastSsIndex.storedTau(spark, s"$base/idx") == 2)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the worst crash window is now marker-WITHOUT-data: nextBatch treats
+    // a data-less marker-only dir as fresh (zero data files means zero
+    // batch ids in use) instead of failing the restart's listing
+    val p2 = Files.createTempDirectory("graft_fss_mkonly_").toString + "/idx"
+    val pp = new org.apache.hadoop.fs.Path(p2)
+    val fs = pp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(pp)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p2, "_graft_tau"), true)
+    try out.write("2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    assert(FastSsIndex.storedTau(spark, p2) == 2)
+    assert(FastSsIndex.nextBatch(spark, p2) == 0,
+      "a marker-only dir is the known crash window and must restart at batch 0")
+    FastSsIndex.ingest(Seq(1L -> "abcdef").toDF("key", "name"), p2, batch = 0, tau = 2)
+    assert(FastSsIndex.candidates(spark, p2, 0).collect().isEmpty)
+  }
 }

@@ -173,6 +173,27 @@ class JoinViewSpec extends SparkSpec {
     assert(e.getMessage.contains("forget"))
   }
 
+  test("forget raises the floor for ids present ONLY in an uncommitted orphan batch") {
+    val path = Files.createTempDirectory("graft_jv_orphfgt_").toString
+    JoinView.build(mkA(A.take(14)), mkB(B.take(10)), "k", path)
+    JoinView.ingest(mkA(A.slice(14, 28)), mkB(B.slice(10, 20)), "k", path)
+    // a crashed writer's orphan append: key 999 exists NOWHERE committed
+    val orphan = mkA(Seq(999L -> "orphan")).withColumn("bv", lit(0L))
+    val kb = orphan.select(KeyBuckets.kbFor(orphan, "k").as("kb")).first().getInt(0)
+    orphan.write.parquet(s"$path/view/kb=$kb/batch=2")
+    val spark0 = spark
+    import spark0.implicits._
+    // the existence probe must SEE the orphan rows (r14 ADVICE): once the
+    // retried ingest commits batch 2, an as-of below the floor would
+    // otherwise silently omit the forgotten key instead of failing loudly
+    JoinView.forget(spark, path, Seq(999L).toDF("k"))
+    val e = intercept[IllegalArgumentException] {
+      JoinView.mergedAsOf(spark, path, 0)
+    }
+    assert(e.getMessage.contains("forget"),
+      "ids hidden only from an orphan batch must still raise the retention floor")
+  }
+
   test("a pre-r13 in-dir schema sidecar fails loudly with a rebuild instruction") {
     val path = Files.createTempDirectory("graft_jv_legacy_").toString
     JoinView.build(mkA(A.take(14)), mkB(B.take(10)), "k", path)
