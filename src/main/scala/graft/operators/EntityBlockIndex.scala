@@ -100,6 +100,23 @@ object EntityBlockIndex {
       .filter(col("dist") <= tau)
       .select(col("a_key"), col("b_key"), col("dist"))
 
+  /** [[verifyTypo]] under the TRANSPOSITION-AS-ONE-EDIT metric
+    * ([[graft.functions.OsaDistance]], the codegen OSA kernel) — the
+    * verify-lattice swap that makes "Custoemr" one edit from "Customer"
+    * instead of two. Candidate generation is unchanged: the tau = 1
+    * deletion neighborhoods already CATCH every adjacent transposition
+    * (swapping positions i, i+1 leaves both sides sharing the deletion
+    * at i — x·c2·y, spec-pinned in OsaDistanceSpec), so only the exact
+    * distance per pair changes.
+    */
+  def verifyOsa(cands: DataFrame, tau: Int = 1): DataFrame =
+    cands
+      .dropDuplicates("a_key", "b_key")
+      .withColumn("dist",
+        graft.functions.EditDistances.osa(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= tau)
+      .select(col("a_key"), col("b_key"), col("dist"))
+
   /** Block the base master list once; write the index as batch 0 under
     * the `bb=` bucket layout.
     */

@@ -268,7 +268,7 @@ object NorthStar {
     * output-sized, and the shared [[graft.operators.EntityBlockIndex
     * .verifyTypo]] lattice runs the one exact levenshtein per pair.
     */
-  private[queries] def fastSsMatch(ents: DataFrame, tau: Int): DataFrame = {
+  private[queries] def fastSsCandidates(ents: DataFrame, tau: Int): DataFrame = {
     val sigs = (if (tau == 1) graft.operators.FastSsIndex.signatures(ents)
                 else graft.operators.FastSsIndex.signatures2(ents))
       .select("key", "sig")
@@ -277,12 +277,13 @@ object NorthStar {
       .select(col("a.key").as("a_key"), col("b.key").as("b_key"))
       .distinct()
     val names = ents.select(col("key"), col("name"))
-    graft.operators.EntityBlockIndex.verifyTypo(
-      cands
-        .join(names.select(col("key").as("a_key"), col("name").as("a_name")), "a_key")
-        .join(names.select(col("key").as("b_key"), col("name").as("b_name")), "b_key"),
-      tau = tau)
+    cands
+      .join(names.select(col("key").as("a_key"), col("name").as("a_name")), "a_key")
+      .join(names.select(col("key").as("b_key"), col("name").as("b_name")), "b_key")
   }
+
+  private[queries] def fastSsMatch(ents: DataFrame, tau: Int): DataFrame =
+    graft.operators.EntityBlockIndex.verifyTypo(fastSsCandidates(ents, tau), tau = tau)
 
   private[queries] def xlenMatch(ents: DataFrame): DataFrame = fastSsMatch(ents, 1)
 
@@ -386,7 +387,7 @@ object NorthStar {
     * typos, insert+substitute.
     */
   val d_entity_match_ed2: Query = q("d_entity_match_ed2",
-    Some(entityMatchEd2OracleSql)) { (s, dir) =>
+    Some(entityMatchEd2OracleSql), headline = true) { (s, dir) =>
     ed2Match(Tables.load(s, dir, "customer")
         .select(col("c_custkey").as("key"), col("c_name").as("name")))
       .orderBy("a_key", "b_key")
@@ -494,7 +495,7 @@ object NorthStar {
     * variant to different batches for most keys).
     */
   val d_entity_typos_index: Query = q("d_entity_typos_index",
-    Some(entityTyposOracleSql)) { (s, dir) =>
+    Some(entityTyposOracleSql), headline = true) { (s, dir) =>
     val ents = typoPerturbed(Tables.load(s, dir, "customer")
       .select(col("c_custkey").as("key"), col("c_name").as("name")))
     val p = java.nio.file.Files.createTempDirectory("graft_fsstypo_").toString + "/idx"
@@ -505,6 +506,318 @@ object NorthStar {
       .reduce(_ unionByName _)
       .dropDuplicates("a_key", "b_key")
       .orderBy("a_key", "b_key")
+  }
+
+  /** Per-JVM memo of a built scratch entity index (r14 verdict task 4):
+    * the lifecycle-total bench slots (d_entity_index / d_entity_xlen_index)
+    * are build-dominated — ~10 mostly-fixed-cost jobs around a 0.6 s
+    * probe — so a 2x probe regression moves them ~10%, inside run-to-run
+    * spread. The probe-only companion slots build ONCE per bench process
+    * through this memo and time candidates + verify alone, so a probe
+    * regression moves its own number. (The same memo discipline as
+    * [[graft.queries.EventAnalytics]]'s joinViewCache.)
+    */
+  private val entityIdxMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def memoEntityIndex(dir: String, kind: String)(mk: String => Unit): String =
+    entityIdxMemo.computeIfAbsent(s"$kind|$dir", _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_entmemo_$kind").toString + "/idx"
+      mk(path)
+      path
+    })
+
+  /** PROBE-ONLY twin of [[d_entity_index]]: the same two-batch parity
+    * index, built once per JVM ([[memoEntityIndex]]), with only the
+    * stored-state probes + verify in the timed path — the bench slot that
+    * guards probe-plan regressions directly (its lifecycle-total sibling
+    * keeps guarding total-path drift). Same oracle: the probe set over
+    * all batches IS the full answer.
+    */
+  val d_entity_index_probe: Query = q("d_entity_index_probe",
+    Some(entityMatchOracleSql), headline = true) { (s, dir) =>
+    val p = memoEntityIndex(dir, "parity") { path =>
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))
+      EntityBlockIndex.build(cust.filter(pmod(col("key"), lit(3)) =!= 2), path)
+      EntityBlockIndex.ingest(cust.filter(pmod(col("key"), lit(3)) === 2), path, batch = 1)
+    }
+    (0 to 1).map(b => EntityBlockIndex.verifyTypo(EntityBlockIndex.candidates(s, p, b)))
+      .reduce(_ unionByName _)
+      .dropDuplicates("a_key", "b_key")
+      .orderBy("a_key", "b_key")
+  }
+
+  /** PROBE-ONLY twin of [[d_entity_xlen_index]] (the FastSS tau = 1
+    * stored probe) — [[d_entity_index_probe]]'s rationale on the
+    * cross-length cell.
+    */
+  val d_entity_xlen_index_probe: Query = q("d_entity_xlen_index_probe",
+    Some(entityMatchXlenOracleSql), headline = true) { (s, dir) =>
+    val p = memoEntityIndex(dir, "fss1") { path =>
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))
+      graft.operators.FastSsIndex.build(cust.filter(pmod(col("key"), lit(3)) =!= 2), path)
+      graft.operators.FastSsIndex.ingest(
+        cust.filter(pmod(col("key"), lit(3)) === 2), path, batch = 1)
+    }
+    (0 to 1).map(b => EntityBlockIndex.verifyTypo(
+        graft.operators.FastSsIndex.candidates(s, p, b)))
+      .reduce(_ unionByName _)
+      .dropDuplicates("a_key", "b_key")
+      .orderBy("a_key", "b_key")
+  }
+
+  private[queries] val entityMatchCappedOracleSql: String =
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      | AND a.c_custkey < 3000 AND b.c_custkey < 3000
+      | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY a_key, b_key""".stripMargin
+
+  /** [[d_entity_match_xlen]] restricted to keys < 3000 — the KEY-RANGE-
+    * CAPPED oracle that gives the entity family an sf0.1 differential
+    * (r14 verdict task 7): the unrestricted all-pairs oracles are
+    * quadratic in DuckDB at 15k+ customers and sit on the exclusion
+    * list, so the family's only large-scale signal was sf0.01 plus spec
+    * brute-force twins. The cap bounds the oracle at 3000^2/2
+    * levenshtein calls (~5 s in DuckDB at sf0.1, inside the compare
+    * budget) while the Spark side runs the SAME FastSS kernel + verify
+    * lattice it runs unrestricted — the filter pushes to the scan, the
+    * blocking/verify plan is identical.
+    */
+  val d_entity_match_capped: Query = q("d_entity_match_capped",
+    Some(entityMatchCappedOracleSql)) { (s, dir) =>
+    xlenMatch(Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 3000)
+        .select(col("c_custkey").as("key"), col("c_name").as("name")))
+      .orderBy("a_key", "b_key")
+  }
+
+  private[queries] val entityMatchOsaOracleSql: String =
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |       CAST(damerau_levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |WHERE damerau_levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY a_key, b_key""".stripMargin
+
+  /** All-pairs matching under the TRANSPOSITION-AS-ONE-EDIT metric
+    * ([[graft.functions.OsaDistance]], codegen OSA — r14 verdict task 3):
+    * linkage practice ranks "Custoemr" (one keyboard slip) as ONE edit,
+    * where plain levenshtein charges two substitutions. Candidate
+    * generation is the UNCHANGED tau = 1 deletion neighborhood — an
+    * adjacent swap of positions i, i+1 leaves both strings sharing the
+    * i-deletion signature (x·c2·y), so FastSS blocking already catches
+    * every transposed pair (OsaDistanceSpec pins it adversarially) and
+    * only the verify lattice swaps. The fixture makes the differential
+    * non-vacuous: digit-swap neighbors ("...12" vs "...21") are dist-2
+    * under levenshtein and dist-1 here — 1,325 transposition-only pairs
+    * at sf0.01 that d_entity_match_xlen provably excludes. DuckDB's
+    * native damerau_levenshtein (unrestricted DL) oracles exactly
+    * because OSA == DL at threshold 1 (they diverge only at >= 2).
+    */
+  val d_entity_match_osa: Query = q("d_entity_match_osa",
+    Some(entityMatchOsaOracleSql)) { (s, dir) =>
+    EntityBlockIndex.verifyOsa(
+        fastSsCandidates(Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("key"), col("c_name").as("name")), tau = 1))
+      .orderBy("a_key", "b_key")
+  }
+
+  private[queries] val entityScoreOracleSql: String =
+    """SELECT a_key, b_key, score FROM (
+      |  SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |         CAST(2 * (3 - levenshtein(a.c_name, b.c_name))
+      |           + CASE WHEN a.c_nationkey = b.c_nationkey THEN 3 ELSE 0 END
+      |           + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 2 ELSE 0 END
+      |           + CASE WHEN (CAST(ROUND(a.c_acctbal * 100) AS BIGINT) + 100000) // 100000
+      |                     = (CAST(ROUND(b.c_acctbal * 100) AS BIGINT) + 100000) // 100000
+      |             THEN 1 ELSE 0 END AS BIGINT) AS score
+      |  FROM customer a JOIN customer b
+      |    ON a.c_custkey < b.c_custkey
+      |   AND abs(length(a.c_name) - length(b.c_name)) <= 2
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 2) s
+      |WHERE score >= 6
+      |ORDER BY a_key, b_key""".stripMargin
+
+  /** MULTI-ATTRIBUTE scored matching (r14 verdict task 2) — Fellegi-
+    * Sunter-lite over the FastSS tau = 2 name candidates: real linkage
+    * blocks on the name but DECIDES on an agreement vector, so each
+    * candidate pair scores an integer lattice — name distance (dist 1 ->
+    * 4, dist 2 -> 2), nation equality (+3), market-segment equality
+    * (+2), account-balance band equality (+1, band = cents div 100000
+    * shifted positive so truncating and flooring division agree) — and
+    * the match set is the threshold score >= 6 (a two-edit name alone
+    * never matches; agreement on nation or segment rescues it). All
+    * weights deterministic integers: zero float surface, exact oracle.
+    *
+    * Scale shape: candidates are the tau = 2 blocking's output-shaped
+    * pair set; the attribute pickup is TWO output-sized hash joins
+    * against a 4-column projection of the dimension (no new corpus
+    * scan — the projection prunes at the parquet reader); scoring is
+    * per-row expression work. At sf0.01 the threshold keeps 6,553 of
+    * 204,096 candidate pairs.
+    */
+  val d_entity_score: Query = q("d_entity_score",
+    Some(entityScoreOracleSql)) { (s, dir) =>
+    val cust = Tables.load(s, dir, "customer")
+    val pairs = ed2Match(cust.select(col("c_custkey").as("key"), col("c_name").as("name")))
+    val attrs = cust.select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+      expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000").as("band"))
+    val a = attrs.select(col("c_custkey").as("a_key"), col("c_nationkey").as("a_nat"),
+      col("c_mktsegment").as("a_seg"), col("band").as("a_band"))
+    val b = attrs.select(col("c_custkey").as("b_key"), col("c_nationkey").as("b_nat"),
+      col("c_mktsegment").as("b_seg"), col("band").as("b_band"))
+    pairs.join(a, "a_key").join(b, "b_key")
+      .select(col("a_key"), col("b_key"),
+        (lit(2) * (lit(3) - col("dist")) +
+          when(col("a_nat") === col("b_nat"), 3).otherwise(0) +
+          when(col("a_seg") === col("b_seg"), 2).otherwise(0) +
+          when(col("a_band") === col("b_band"), 1).otherwise(0)).cast("long").as("score"))
+      .filter(col("score") >= 6)
+      .orderBy("a_key", "b_key")
+  }
+
+  /** Deterministic PLANTED-DUPLICATE entity relation — the cluster-
+    * resolution fixture (the typoPerturbed injection discipline, pushed
+    * to where clustering is non-degenerate): the raw fixture names form
+    * ONE giant ed<=1 component (every "Customer#%09d" is reachable from
+    * every other through single-digit steps), which collapses any
+    * clustering differential to a single label. Here every 3 consecutive
+    * keys form a planted entity group around a random 12-hex-char base
+    * name (md5-derived, computable verbatim in both engines): member 0
+    * is the base, member 1 substitutes an md5-derived character at
+    * md5-derived position p, member 2 DELETES the character at position
+    * q = p + 6 (mod 12) — so (0,1) and (0,2) are direct ed<=1 pairs
+    * while (1,2) is ed 2 (different positions), found ONLY by the
+    * transitive closure. Cross-group base names are random 12-hex
+    * strings: never within edit distance 1 of each other.
+    */
+  private[queries] def clusterEnts(cust: DataFrame): DataFrame =
+    cust.select(col("c_custkey").as("key"),
+        expr("substring(md5(cast(c_custkey div 3 as string)), 1, 12)").as("base"))
+      .select(col("key"), col("base"),
+        expr("1 + (ascii(substring(md5(base), 1, 1)) % 12)").as("p"),
+        expr("1 + ((ascii(substring(md5(base), 1, 1)) + 6) % 12)").as("q"),
+        expr("substring(md5(base), 2, 1)").as("ch"))
+      .select(col("key"),
+        expr("""CASE key % 3
+          WHEN 0 THEN base
+          WHEN 1 THEN concat(substring(base, 1, p - 1), ch, substring(base, p + 1, 12))
+          ELSE concat(substring(base, 1, q - 1), substring(base, q + 1, 12)) END""").as("name"))
+
+  /** DuckDB CTE chain shared by d_entity_clusters and d_entity_golden:
+    * the planted relation, its all-pairs ed<=1 matches, and the recursive
+    * transitive closure into per-key cluster minima (the
+    * simhashClusterCte discipline on the entity family).
+    */
+  private val entityClusterCte: String =
+    """ents AS (
+      |  SELECT key, CASE key % 3
+      |      WHEN 0 THEN base
+      |      WHEN 1 THEN concat(substring(base, 1, p - 1), ch, substring(base, p + 1, 12))
+      |      ELSE concat(substring(base, 1, q - 1), substring(base, q + 1, 12)) END AS name
+      |  FROM (SELECT key, base,
+      |               1 + (ascii(substring(md5(base), 1, 1)) % 12) AS p,
+      |               1 + ((ascii(substring(md5(base), 1, 1)) + 6) % 12) AS q,
+      |               substring(md5(base), 2, 1) AS ch
+      |        FROM (SELECT c_custkey AS key,
+      |                     substring(md5(CAST(c_custkey // 3 AS VARCHAR)), 1, 12) AS base
+      |              FROM customer) b) t),
+      |pr AS (
+      |  SELECT a.key AS a_key, b.key AS b_key
+      |  FROM ents a JOIN ents b
+      |    ON a.key < b.key AND abs(length(a.name) - length(b.name)) <= 1
+      |  WHERE levenshtein(a.name, b.name) <= 1),
+      |e AS (SELECT a_key AS s, b_key AS d FROM pr UNION ALL SELECT b_key, a_key FROM pr),
+      |reach AS (SELECT s, d FROM e
+      |          UNION SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s),
+      |cl AS (SELECT s AS key, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster
+      |       FROM reach GROUP BY s)""".stripMargin
+
+  /** Cluster labels for the planted relation: verified ed<=1 pairs from
+    * the PERSISTED tau = 1 deletion-neighborhood index (kernel-free,
+    * bucket-pruned probes — the stored-index pair feed the r14 verdict
+    * names), closed by [[graft.operators.ConnectedComponents]]. Labels
+    * are output-sized (only keys with at least one pair), the
+    * d_dup_clusters contract.
+    */
+  private def entityClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val p = memoEntityIndex(dir, "cluster_fss") { path =>
+      val e = clusterEnts(Tables.load(s, dir, "customer"))
+      graft.operators.FastSsIndex.build(e.filter(pmod(col("key"), lit(3)) =!= 2), path)
+      graft.operators.FastSsIndex.ingest(
+        e.filter(pmod(col("key"), lit(3)) === 2), path, batch = 1)
+    }
+    val pairs = (0 to 1).map(b => EntityBlockIndex.verifyTypo(
+        graft.operators.FastSsIndex.candidates(s, p, b)))
+      .reduce(_ unionByName _)
+      .dropDuplicates("a_key", "b_key")
+      .select("a_key", "b_key")
+    val (labels, _) = ConnectedComponents.label(pairs)
+    labels.select(col("id").as("key"), col("lab").as("cluster"))
+  }
+
+  /** Entity RESOLUTION — pairs into the partition (r14 verdict task 1):
+    * the step after matching that record linkage actually consumes, via
+    * the d_dup_clusters discipline on the entity family: the stored
+    * index's verified pair feed closes transitively under
+    * [[graft.operators.ConnectedComponents]] (large-star/small-star,
+    * O(log n) rounds; union-find below the driver budget), each entity
+    * labeled with its cluster's minimum key. The planted (1,2) member
+    * pairs are ed 2 — absent from the pair feed, clustered HERE — so the
+    * differential gates the closure, not just the matcher.
+    */
+  val d_entity_clusters: Query = q("d_entity_clusters", Some(
+    s"""WITH RECURSIVE $entityClusterCte
+       |SELECT key, cluster FROM cl ORDER BY key""".stripMargin)) { (s, dir) =>
+    entityClusterLabels(s, dir).orderBy("key")
+  }
+
+  /** GOLDEN RECORD per resolved entity (r14 verdict task 1's second
+    * half) — survivorship over the cluster's real attributes: the
+    * canonical record keeps the representative (minimum-key) member's
+    * nation and market segment, the cluster MAX of the account balance
+    * (integer cents — value selection, zero float surface), and the
+    * member count. Scale shape: labels are output-sized, the attribute
+    * pickup is ONE hash join against a 4-column projection, the
+    * survivorship agg is map-side combinable, and the representative
+    * attributes come from a key == cluster filter (no second join
+    * against the corpus).
+    */
+  val d_entity_golden: Query = q("d_entity_golden", Some(
+    s"""WITH RECURSIVE $entityClusterCte,
+       |m AS (SELECT cl.key, cl.cluster, c.c_nationkey, c.c_mktsegment, c.c_acctbal
+       |      FROM cl JOIN customer c ON cl.key = c.c_custkey),
+       |agg AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS members,
+       |               MAX(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS max_acctbal_cents
+       |        FROM m GROUP BY cluster),
+       |rep AS (SELECT cluster, CAST(c_nationkey AS BIGINT) AS rep_nationkey,
+       |               c_mktsegment AS rep_mktsegment
+       |        FROM m WHERE key = cluster)
+       |SELECT agg.cluster, rep_nationkey, rep_mktsegment, max_acctbal_cents, members
+       |FROM agg JOIN rep ON agg.cluster = rep.cluster
+       |ORDER BY agg.cluster""".stripMargin)) { (s, dir) =>
+    val labels = entityClusterLabels(s, dir)
+    val m = labels.join(
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_nationkey"),
+          col("c_mktsegment"), col("c_acctbal")), Seq("key"))
+    val agg = m.groupBy("cluster").agg(
+      count(lit(1)).as("members"),
+      max(expr("cast(round(c_acctbal * 100) as bigint)")).as("max_acctbal_cents"))
+    val rep = m.filter(col("key") === col("cluster"))
+      .select(col("cluster"), col("c_nationkey").cast("long").as("rep_nationkey"),
+        col("c_mktsegment").as("rep_mktsegment"))
+    agg.join(rep, Seq("cluster"))
+      .select(col("cluster"), col("rep_nationkey"), col("rep_mktsegment"),
+        col("max_acctbal_cents"), col("members"))
+      .orderBy("cluster")
   }
 
   val d_ngram_jaccard: Query = q("d_ngram_jaccard", Some(
@@ -4792,6 +5105,8 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
     d_entity_match, d_entity_index, d_entity_match_xlen, d_entity_xlen_index,
     d_entity_typos, d_entity_typos_index, d_entity_match_ed2, d_entity_ed2_index,
+    d_entity_index_probe, d_entity_xlen_index_probe, d_entity_match_capped,
+    d_entity_match_osa, d_entity_score, d_entity_clusters, d_entity_golden,
     d_containment, d_containment_collapse, d_containment_probe,
     d_minhash_lsh, d_minhash_collapse, d_minhash_index, d_simhash, d_dedup_incremental,
     d_dedup_index, d_index_compact, d_forget, d_substring_dedup, d_substring_index, p_cut_spans,
