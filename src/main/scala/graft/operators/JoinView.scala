@@ -228,13 +228,28 @@ object JoinView {
                 key: String): DataFrame =
     deltaTerms(spark, path, da, db, key, committedBatch(spark, path))
 
-  /** Seed the view: batch 0 = the base join. */
-  def build(a0: DataFrame, b0: DataFrame, key: String, path: String): Unit = {
+  /** Seed the view: batch 0 = the base join.
+    *
+    * `cdc = true` builds an UPSERT-capable view ([[ingestCdc]]): the view
+    * subtable carries a `sgn` sign column (+1 inserts, -1 retractions —
+    * the classic z-set/delta-relation generalization of the Blakeley
+    * rule), reads resolve by sign-sum, and the sgn column in the
+    * persisted view schema IS the mode marker — a plain [[ingest]]
+    * against a CDC view (or [[ingestCdc]] against a plain one) fails
+    * loudly instead of appending rows the other mode's reads would
+    * misinterpret (the `_graft_tau` discipline applied to the maintenance
+    * mode). CDC contract: each side holds at most ONE live row per key —
+    * the Debezium row-image shape — and a delta carries at most one row
+    * per key.
+    */
+  def build(a0: DataFrame, b0: DataFrame, key: String, path: String,
+            cdc: Boolean = false): Unit = {
     val spark = a0.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    val v0 = a0.join(b0, Seq(key))
+    val v0 = if (cdc) a0.join(b0, Seq(key)).withColumn("sgn", lit(1))
+             else a0.join(b0, Seq(key))
     writeSchemaSidecar(a0, key, s"$path/a")
     writeSchemaSidecar(b0, key, s"$path/b")
     writeSchemaSidecar(v0, key, s"$path/view")
@@ -245,6 +260,13 @@ object JoinView {
     KeyBuckets.publish(spark, path)
     markCommitted(spark, path, 0, writer = "build")
   }
+
+  /** Whether the view was built `cdc = true` — read off the persisted
+    * view schema (the sgn column is the marker; no extra sidecar).
+    */
+  def isCdc(spark: SparkSession, path: String): Boolean =
+    spark.read.parquet(schemaSidecarPath(s"$path/view"))
+      .schema.fieldNames.contains("sgn")
 
   /** Apply one batch of appends (either side may be empty): materialize
     * ΔV by the delta rule, append all three tables, advance the ledger.
@@ -262,6 +284,10 @@ object JoinView {
              batch: Int = -1, writer: String = "batch"): Int = {
     val spark = da.sparkSession
     KeyBuckets.validate(spark, path) // an NB mismatch would prune wrong buckets
+    require(!isCdc(spark, path),
+      s"view at $path was built cdc = true — use ingestCdc (an append-only " +
+        "delta-rule batch would land unsigned rows the sign-resolving reads " +
+        "cannot interpret)")
     val c = committedBatch(spark, path)
     val b = if (batch >= 0) batch else c + 1
     if (b <= c) return b // fully-committed replay: exactly-once by no-op
@@ -280,6 +306,90 @@ object JoinView {
     val dv = deltaTerms(spark, path,
       justWritten(s"$path/a"), justWritten(s"$path/b"), key, c)
     append(dv, key, s"$path/view", b)
+    markCommitted(spark, path, b, writer)
+    b
+  }
+
+  /** A stored side pruned to the given buckets and resolved to its
+    * CURRENT row per key (latest committed batch wins) — the upsert-mode
+    * read: under the CDC contract each key's newest row image IS the
+    * row, so the delta terms must join current state, not the append-only
+    * union a plain view's terms see. Same bucket-pruned scan shape as
+    * [[storedPruned]] plus one delta-sized window.
+    */
+  private def currentPruned(spark: SparkSession, sub: String, committed: Int,
+                            buckets: Array[Int], key: String): DataFrame = {
+    val raw = live(readSub(spark, sub)
+      .filter(col("batch") <= committed && col("kb").isin(buckets.map(Int.box): _*))
+      .drop("kb"), spark, sub, key)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("batch").desc)
+    raw.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "batch")
+  }
+
+  /** Apply one batch of CDC UPSERTS to either side (the Debezium
+    * row-image shape — r14 verdict task 6): each delta row REPLACES its
+    * key's previous row on that side, so a fact-side correction needs no
+    * manual forget + re-ingest. The delta rule generalizes with
+    * RETRACTION terms (z-sets over the Blakeley rule): with touched keys
+    * K = keys(Δa) ∪ keys(Δb) and A/B the pre-batch current states,
+    *
+    * {{{ ΔV = -(A ⋈ B)[K]  ∪  +(A' ⋈ B')[K] }}}
+    *
+    * where A' = Δa ∪ (A \ keys(Δa)) is the post-batch state — a pair is
+    * dead iff its key was touched on either side (one retraction even
+    * when BOTH sides update the same key in one batch), and the signed
+    * log sums to exactly A_latest ⋈ B_latest after every batch
+    * (JoinViewCdcSpec pins it under arbitrary interleavings). The view
+    * stays APPEND-ONLY — retraction rows are value-identical to the rows
+    * they cancel (deterministic from stored state), so sign-sum reads and
+    * prefix-filter time travel both stay exact; no history is rewritten,
+    * so the as-of floor never rises here.
+    *
+    * Scale shape: both current-state reads are partition-pruned to the
+    * delta's key buckets ([[currentPruned]]); retract and insert terms
+    * are semi-joined to the touched keys, so every term is delta-sized.
+    * Ledger/replay/crash discipline is [[ingest]]'s verbatim: same
+    * commit marker, same orphan cleanup, same explicit-id idempotence.
+    */
+  def ingestCdc(da: DataFrame, db: DataFrame, key: String, path: String,
+                batch: Int = -1, writer: String = "cdc"): Int = {
+    val spark = da.sparkSession
+    KeyBuckets.validate(spark, path)
+    require(isCdc(spark, path),
+      s"view at $path was not built cdc = true — plain [[ingest]] maintains it; " +
+        "upserts need the signed view (rebuild with build(cdc = true))")
+    val c = committedBatch(spark, path)
+    val b = if (batch >= 0) batch else c + 1
+    if (b <= c) return b // fully-committed replay: exactly-once by no-op
+    require(b == c + 1,
+      s"batch $b skips ahead of ledger $c at $path — a foreign writer is interleaving")
+    cleanupOrphans(spark, path, c)
+    append(da, key, s"$path/a", b)
+    append(db, key, s"$path/b", b)
+    def justWritten(sub: String) =
+      readSub(spark, sub).filter(col("batch") === b).drop("kb", "batch")
+    val daW = justWritten(s"$path/a")
+    val dbW = justWritten(s"$path/b")
+    val buckets = (bucketsOf(daW, key) ++ bucketsOf(dbW, key)).distinct
+    val touched = daW.select(col(key)).unionByName(dbW.select(col(key))).distinct()
+    val aCur = currentPruned(spark, s"$path/a", c, buckets, key)
+    val bCur = currentPruned(spark, s"$path/b", c, buckets, key)
+    val retract = aCur.join(bCur, Seq(key))
+      .join(touched, Seq(key), "left_semi")
+      .withColumn("sgn", lit(-1))
+    val aAfter = daW.unionByName(aCur.join(daW.select(col(key)), Seq(key), "left_anti"))
+    val bAfter = dbW.unionByName(bCur.join(dbW.select(col(key)), Seq(key), "left_anti"))
+    val insert = aAfter.join(bAfter, Seq(key))
+      .join(touched, Seq(key), "left_semi")
+      .withColumn("sgn", lit(1))
+    // positional append: align the signed delta to the persisted view
+    // schema's column order
+    val viewCols = spark.read.parquet(schemaSidecarPath(s"$path/view")).schema
+      .fieldNames.filterNot(n => n == "kb" || n == "batch")
+    append(retract.unionByName(insert).select(viewCols.map(col).toIndexedSeq: _*),
+      key, s"$path/view", b)
     markCommitted(spark, path, b, writer)
     b
   }
@@ -444,6 +554,14 @@ object JoinView {
   /** The view as it stood after `upToBatch` — time travel by prefix
     * filter on the immutable batch column ([[AggIndex.mergedAsOf]]'s
     * contract: exact between maintenance events).
+    *
+    * CDC views ([[build]] `cdc = true`) resolve the signed delta log by
+    * SIGN-SUM on the prefix: group by the payload, keep sum(sgn) > 0 —
+    * exactly the state A_asof ⋈ B_asof because every upsert batch's
+    * retraction is value-identical to the rows it cancels. Merge-on-read
+    * (the [[AggIndex]] discipline): the resolve is one view-sized
+    * hash aggregation; a physical sign-fold could ride compact if a
+    * deployment reads far more than it upserts.
     */
   def mergedAsOf(spark: SparkSession, path: String, upToBatch: Int): DataFrame = {
     // retention-floor gate ([[AsofFloor]]): an as-of below the last
@@ -451,8 +569,53 @@ object JoinView {
     // rewritten (keys-hidden) history as if it were the past
     AsofFloor.check(spark, path, upToBatch)
     val c = committedBatch(spark, path)
-    live(readSub(spark, s"$path/view")
+    val raw = live(readSub(spark, s"$path/view")
       .filter(col("batch") <= math.min(c, upToBatch))
       .drop("kb", "batch"), spark, s"$path/view", joinKey(spark, path))
+    if (!raw.columns.contains("sgn")) raw
+    else {
+      val payload = raw.columns.filterNot(_ == "sgn")
+      raw.groupBy(payload.map(col).toIndexedSeq: _*)
+        .agg(sum("sgn").as("_cnt"))
+        .filter(col("_cnt") > 0)
+        .drop("_cnt")
+    }
   }
+
+  /** Stream CDC upserts of side `a` into the view — [[ingestStream]]'s
+    * wiring (pinned batch ids, applied marker, writer-line crash window)
+    * with [[ingestCdc]] as the per-trigger apply, so a streamed row image
+    * REPLACES its key's previous row instead of appending a duplicate
+    * pair. Exactly-once carries over unchanged: ingestCdc is
+    * explicit-id idempotent and the two markers close the same windows.
+    */
+  def upsertStream(da: DataFrame, key: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    da.writeStream
+      .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
+        val spark = batchDf.sparkSession
+        val base = IndexStream.pinnedBase(batchDf,
+          committedBatch(spark, path) + 1, checkpoint)
+        if (batchId > readApplied(spark, checkpoint)) {
+          val b = base + batchId.toInt
+          val c = committedBatch(spark, path)
+          if (b == c + 1) {
+            val db = readSub(spark, s"$path/b").drop("kb", "batch").limit(0)
+            ingestCdc(batchDf, db, key, path, batch = b, writer = checkpoint)
+            writeApplied(spark, checkpoint, batchId)
+          } else if (b == c && committedWriter(spark, path).contains(checkpoint)) {
+            writeApplied(spark, checkpoint, batchId)
+          } else {
+            throw new IllegalStateException(
+              s"view ledger at $c (writer ${committedWriter(spark, path).getOrElse("?")}) " +
+                s"but this checkpoint's pinned id space expects batch $b — the view " +
+                "was advanced outside this checkpoint while it was stopped; a silent " +
+                "no-op would drop this micro-batch. Restart with a FRESH checkpoint " +
+                "(the view data itself is intact).")
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

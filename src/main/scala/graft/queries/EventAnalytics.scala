@@ -718,8 +718,74 @@ object EventAnalytics {
     pipelineIvmGate(s, dir, s"$root/agg")
   }
 
+  /** Per-JVM memo of a CDC (upsert-mode) join view over the orders
+    * fixture: both sides keyed by o_orderkey (key-unique, the row-image
+    * contract) — a = order status, b = order priority. Three upsert
+    * batches exercise every retraction shape: a fact-side correction
+    * (batch 1 updates status for key % 7 = 3), a dim-side correction
+    * (batch 2 updates priority for key % 5 = 1, overlapping batch 1's
+    * keys at % 35), and a BOTH-sides-same-batch update (batch 3, key %
+    * 11 = 4 — one retraction per pair, not two).
+    */
+  private def cdcViewPath(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    joinViewCache.computeIfAbsent(s"$dir#cdc", _ => {
+      val ord = Tables.load(s, dir, "orders")
+      val a0 = ord.select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+      val b0 = ord.select(col("o_orderkey").as("key"), col("o_orderpriority").as("prio"))
+      val p = java.nio.file.Files.createTempDirectory("graft_joinview_cdc_").toString
+      graft.operators.JoinView.build(a0, b0, "key", p, cdc = true)
+      graft.operators.JoinView.ingestCdc(
+        a0.filter(col("key") % 7 === 3).select(col("key"), lit("U").as("status")),
+        b0.limit(0), "key", p)
+      graft.operators.JoinView.ingestCdc(a0.limit(0),
+        b0.filter(col("key") % 5 === 1).select(col("key"), lit("P9").as("prio")),
+        "key", p)
+      graft.operators.JoinView.ingestCdc(
+        a0.filter(col("key") % 11 === 4).select(col("key"), lit("W").as("status")),
+        b0.filter(col("key") % 11 === 4).select(col("key"), lit("P8").as("prio")),
+        "key", p)
+      p
+    })
+
+  /** CDC UPSERTS into the maintained join view ([[graft.operators
+    * .JoinView.ingestCdc]] — r14 verdict task 6): later batches UPDATE
+    * earlier facts (the Debezium row-image shape) and the sign-resolved
+    * view must equal the one-shot join over LATEST-STATE inputs — the
+    * oracle writes that state directly as CASE overrides (batch 3 beats
+    * batch 1 on the overlap keys), so a stale pair surviving retraction,
+    * a double retraction, or a lost insert all hash-diverge.
+    */
+  private[queries] val joinUpsertOracleSql: String =
+    """SELECT o_orderkey AS key,
+      |       CASE WHEN o_orderkey % 11 = 4 THEN 'W'
+      |            WHEN o_orderkey % 7 = 3 THEN 'U'
+      |            ELSE o_orderstatus END AS status,
+      |       CASE WHEN o_orderkey % 11 = 4 THEN 'P8'
+      |            WHEN o_orderkey % 5 = 1 THEN 'P9'
+      |            ELSE o_orderpriority END AS prio
+      |FROM orders ORDER BY key""".stripMargin
+
+  val e_join_upsert: Query = q("e_join_upsert", joinUpsertOracleSql) { (s, dir) =>
+    graft.operators.JoinView.merged(s, cdcViewPath(s, dir)).orderBy("key")
+  }
+
+  /** Time travel on the CDC view: the prefix sign-resolve at batch 1 is
+    * the state after the FIRST correction only — retractions are part of
+    * history, not rewrites of it, so the as-of floor never rose and the
+    * read is exact (e_join_asof's contract under upserts).
+    */
+  val e_join_upsert_asof: Query = q("e_join_upsert_asof",
+    """SELECT o_orderkey AS key,
+      |       CASE WHEN o_orderkey % 7 = 3 THEN 'U' ELSE o_orderstatus END AS status,
+      |       o_orderpriority AS prio
+      |FROM orders ORDER BY key""".stripMargin) { (s, dir) =>
+    graft.operators.JoinView.mergedAsOf(s, cdcViewPath(s, dir), upToBatch = 1)
+      .orderBy("key")
+  }
+
   val all: Seq[Query] =
     Seq(e_funnel, e_retention, w_range_frame, e_gapfill, e_locf, e_agg_maintain,
       e_agg_quantile, e_agg_overlap, e_agg_topbucket, e_agg_asof, e_agg_forget,
-      e_join_maintain, e_join_forget, e_join_asof, e_join_compact, e_pipeline_ivm)
+      e_join_maintain, e_join_forget, e_join_asof, e_join_compact, e_pipeline_ivm,
+      e_join_upsert, e_join_upsert_asof)
 }

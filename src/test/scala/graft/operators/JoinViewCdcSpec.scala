@@ -1,0 +1,131 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The CDC (upsert-mode) join view: the sign-resolved view equals the
+  * one-shot join over LATEST-STATE inputs after every batch, under any
+  * interleaving of side-a/side-b/both-sides upserts; replay is
+  * exactly-once; the mode markers fail a mismatched writer loudly; time
+  * travel stays exact (retractions are history, not rewrites); forget
+  * still hides a key end to end.
+  */
+class JoinViewCdcSpec extends SparkSpec {
+
+  private def mkA(rows: Seq[(Long, String)]): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("k", "av")
+  }
+
+  private def mkB(rows: Seq[(Long, Long)]): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("k", "bv")
+  }
+
+  private def viewSet(path: String): Set[(Long, String, Long)] =
+    JoinView.merged(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  /** Latest-state reference: apply upsert batches in order, join. */
+  private def latestJoin(aBatches: Seq[Seq[(Long, String)]],
+                         bBatches: Seq[Seq[(Long, Long)]]): Set[(Long, String, Long)] = {
+    val a = aBatches.flatten.groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    val b = bBatches.flatten.groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+    (for ((k, av) <- a; bv <- b.get(k)) yield (k, av, bv)).toSet
+  }
+
+  private val A0 = (1L to 12L).map(k => (k, s"a$k"))
+  private val B0 = (1L to 10L).map(k => (k, k * 100))
+
+  test("sign-resolved view equals the latest-state join after every upsert batch") {
+    val path = Files.createTempDirectory("graft_jvcdc_").toString
+    JoinView.build(mkA(A0), mkB(B0), "k", path, cdc = true)
+    val a1 = Seq(3L -> "a3'", 7L -> "a7'", 13L -> "a13") // update + insert
+    val b1 = Seq.empty[(Long, Long)]
+    val a2 = Seq.empty[(Long, String)]
+    val b2 = Seq(3L -> 333L, 13L -> 1300L, 11L -> 1100L) // overlap + new pair
+    val a3 = Seq(5L -> "a5'") // both sides, same key, same batch
+    val b3 = Seq(5L -> 555L, 9L -> 900L)
+    val as = Seq(A0, a1, a2, a3); val bs = Seq(B0, b1, b2, b3)
+    JoinView.ingestCdc(mkA(a1), mkB(b1), "k", path)
+    assert(viewSet(path) == latestJoin(as.take(2), bs.take(2)))
+    JoinView.ingestCdc(mkA(a2), mkB(b2), "k", path)
+    assert(viewSet(path) == latestJoin(as.take(3), bs.take(3)))
+    JoinView.ingestCdc(mkA(a3), mkB(b3), "k", path)
+    assert(viewSet(path) == latestJoin(as, bs))
+    // re-upserting an IDENTICAL row image is a net no-op in the resolve
+    JoinView.ingestCdc(mkA(Seq(5L -> "a5'")), mkB(Nil), "k", path)
+    assert(viewSet(path) == latestJoin(as, bs))
+  }
+
+  test("explicit already-committed batch id is an exactly-once no-op; gaps fail") {
+    val path = Files.createTempDirectory("graft_jvcdc_replay_").toString
+    JoinView.build(mkA(A0), mkB(B0), "k", path, cdc = true)
+    JoinView.ingestCdc(mkA(Seq(3L -> "a3'")), mkB(Nil), "k", path, batch = 1)
+    val once = viewSet(path)
+    JoinView.ingestCdc(mkA(Seq(3L -> "a3'")), mkB(Nil), "k", path, batch = 1)
+    assert(viewSet(path) == once, "a replayed upsert batch must not double-apply")
+    intercept[IllegalArgumentException] {
+      JoinView.ingestCdc(mkA(Nil), mkB(Nil), "k", path, batch = 7)
+    }
+  }
+
+  test("mode markers: plain ingest on a CDC view (and the reverse) fail loudly") {
+    val cdcPath = Files.createTempDirectory("graft_jvcdc_mode_").toString
+    JoinView.build(mkA(A0), mkB(B0), "k", cdcPath, cdc = true)
+    val e1 = intercept[IllegalArgumentException] {
+      JoinView.ingest(mkA(Seq(3L -> "x")), mkB(Nil), "k", cdcPath)
+    }
+    assert(e1.getMessage.contains("ingestCdc"))
+    val plainPath = Files.createTempDirectory("graft_jvplain_mode_").toString
+    JoinView.build(mkA(A0), mkB(B0), "k", plainPath)
+    val e2 = intercept[IllegalArgumentException] {
+      JoinView.ingestCdc(mkA(Seq(3L -> "x")), mkB(Nil), "k", plainPath)
+    }
+    assert(e2.getMessage.contains("cdc = true"))
+  }
+
+  test("time travel: the prefix sign-resolve is the state as of that batch, floor intact") {
+    val path = Files.createTempDirectory("graft_jvcdc_asof_").toString
+    JoinView.build(mkA(A0), mkB(B0), "k", path, cdc = true)
+    JoinView.ingestCdc(mkA(Seq(3L -> "a3'")), mkB(Nil), "k", path)
+    JoinView.ingestCdc(mkA(Seq(3L -> "a3''")), mkB(Seq(9L -> 999L)), "k", path)
+    def asOf(b: Int) = JoinView.mergedAsOf(spark, path, b).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(asOf(0) == latestJoin(Seq(A0), Seq(B0)))
+    assert(asOf(1) == latestJoin(Seq(A0, Seq(3L -> "a3'")), Seq(B0)))
+    assert(asOf(2) == viewSet(path))
+  }
+
+  test("forget hides a key from the resolved view; streamed upserts equal batch ones") {
+    val path = Files.createTempDirectory("graft_jvcdc_fgt_").toString
+    JoinView.build(mkA(A0), mkB(B0), "k", path, cdc = true)
+    JoinView.ingestCdc(mkA(Seq(3L -> "a3'")), mkB(Nil), "k", path)
+    val spark0 = spark
+    import spark0.implicits._
+    JoinView.forget(spark, path, Seq(3L).toDF("k"))
+    assert(viewSet(path).forall(_._1 != 3L), "forgotten key visible after upserts")
+    // streamed wiring: one upsert per trigger through upsertStream
+    val base = Files.createTempDirectory("graft_jvcdc_stream_").toString
+    graft.StreamFixtures.oneFile(mkA(Seq(5L -> "a5'")), s"$base/src/s0.parquet",
+      1000000000000L)
+    graft.StreamFixtures.oneFile(mkA(Seq(5L -> "a5''", 6L -> "a6'")),
+      s"$base/src/s1.parquet", 1000000060000L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, av STRING")
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = JoinView.upsertStream(streamed, "k", path, s"$base/cp")
+    try q.processAllAvailable() finally q.stop()
+    val got = viewSet(path)
+    assert(got.contains((5L, "a5''", 500L)) && got.contains((6L, "a6'", 600L)),
+      s"streamed upserts not applied: $got")
+    assert(!got.exists(r => r._1 == 5L && r._2 != "a5''"),
+      "stale row image survived a streamed upsert")
+  }
+}
