@@ -370,29 +370,41 @@ object JoinView {
     append(db, key, s"$path/b", b)
     def justWritten(sub: String) =
       readSub(spark, sub).filter(col("batch") === b).drop("kb", "batch")
-    val daW = justWritten(s"$path/a")
-    val dbW = justWritten(s"$path/b")
-    val buckets = (bucketsOf(daW, key) ++ bucketsOf(dbW, key)).distinct
-    val touched = daW.select(col(key)).unionByName(dbW.select(col(key))).distinct()
-    val aCur = currentPruned(spark, s"$path/a", c, buckets, key)
-    val bCur = currentPruned(spark, s"$path/b", c, buckets, key)
-    val retract = aCur.join(bCur, Seq(key))
-      .join(touched, Seq(key), "left_semi")
-      .withColumn("sgn", lit(-1))
-    val aAfter = daW.unionByName(aCur.join(daW.select(col(key)), Seq(key), "left_anti"))
-    val bAfter = dbW.unionByName(bCur.join(dbW.select(col(key)), Seq(key), "left_anti"))
-    val insert = aAfter.join(bAfter, Seq(key))
-      .join(touched, Seq(key), "left_semi")
-      .withColumn("sgn", lit(1))
+    val dv = cdcTerms(spark, path,
+      justWritten(s"$path/a"), justWritten(s"$path/b"), key, c)
     // positional append: align the signed delta to the persisted view
     // schema's column order
     val viewCols = spark.read.parquet(schemaSidecarPath(s"$path/view")).schema
       .fieldNames.filterNot(n => n == "kb" || n == "batch")
-    append(retract.unionByName(insert).select(viewCols.map(col).toIndexedSeq: _*),
-      key, s"$path/view", b)
+    append(dv.select(viewCols.map(col).toIndexedSeq: _*), key, s"$path/view", b)
     markCommitted(spark, path, b, writer)
     b
   }
+
+  /** The signed CDC view increment for one upsert batch, as a (lazy)
+    * DataFrame — factored like [[deltaTerms]] so JoinViewCdcSpec can
+    * plan-assert the pruned current-state reads.
+    */
+  private def cdcTerms(spark: SparkSession, path: String, da: DataFrame,
+                       db: DataFrame, key: String, committed: Int): DataFrame = {
+    val buckets = (bucketsOf(da, key) ++ bucketsOf(db, key)).distinct
+    val touched = da.select(col(key)).unionByName(db.select(col(key))).distinct()
+    val aCur = currentPruned(spark, s"$path/a", committed, buckets, key)
+    val bCur = currentPruned(spark, s"$path/b", committed, buckets, key)
+    val retract = aCur.join(bCur, Seq(key))
+      .join(touched, Seq(key), "left_semi")
+      .withColumn("sgn", lit(-1))
+    val aAfter = da.unionByName(aCur.join(da.select(col(key)), Seq(key), "left_anti"))
+    val bAfter = db.unionByName(bCur.join(db.select(col(key)), Seq(key), "left_anti"))
+    val insert = aAfter.join(bAfter, Seq(key))
+      .join(touched, Seq(key), "left_semi")
+      .withColumn("sgn", lit(1))
+    retract.unionByName(insert)
+  }
+
+  def cdcDeltaView(spark: SparkSession, path: String, da: DataFrame,
+                   db: DataFrame, key: String): DataFrame =
+    cdcTerms(spark, path, da, db, key, committedBatch(spark, path))
 
   private def appliedMarkerPath(checkpoint: String) =
     new org.apache.hadoop.fs.Path(checkpoint, "graft_applied_batchid")

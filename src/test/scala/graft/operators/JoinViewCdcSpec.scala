@@ -64,6 +64,25 @@ class JoinViewCdcSpec extends SparkSpec {
     assert(viewSet(path) == latestJoin(as, bs))
   }
 
+  test("upsert current-state reads are bucket-pruned to the delta's keys") {
+    val path = Files.createTempDirectory("graft_jvcdc_prune_").toString
+    JoinView.build(mkA((0L until 64L).map(i => (i, s"a$i"))),
+      mkB((0L until 64L).map(i => (i, i))), "k", path, cdc = true)
+    val dv = JoinView.cdcDeltaView(spark, path,
+      mkA(Seq(5L -> "new")), mkB(Seq(9L -> 900L)), "k")
+    val stored = fileScans(dv).filter(
+      _.relation.location.rootPaths.exists(p =>
+        p.toString.endsWith("/a") || p.toString.endsWith("/b")))
+    assert(stored.nonEmpty, "no stored-side scans found in the CDC delta plan")
+    stored.foreach { scan =>
+      assert(scan.partitionFilters.exists(_.toString.contains("kb")),
+        s"stored scan not bucket-pruned: ${scan.partitionFilters}")
+      // two touched keys -> at most 2 of NB bucket directories survive
+      assert(scan.selectedPartitions.partitionCount <= 2,
+        s"expected <=2 pruned partitions, got ${scan.selectedPartitions.partitionCount}")
+    }
+  }
+
   test("explicit already-committed batch id is an exactly-once no-op; gaps fail") {
     val path = Files.createTempDirectory("graft_jvcdc_replay_").toString
     JoinView.build(mkA(A0), mkB(B0), "k", path, cdc = true)
