@@ -406,6 +406,72 @@ object JoinView {
                    db: DataFrame, key: String): DataFrame =
     cdcTerms(spark, path, da, db, key, committedBatch(spark, path))
 
+  /** Consolidate a CDC view's signed history into its RESOLVED state —
+    * the bound on merge-on-read cost ([[mergedAsOf]]'s sign-sum groupBy
+    * is log-sized; after a fold it is state-sized, so a deployment that
+    * reads far more than it upserts folds on its own cadence). All three
+    * subtables rewrite under the single consolidated batch = the current
+    * ledger: the sides collapse to their latest row per key (the exact
+    * state every later [[ingestCdc]] current-read resolves anyway), the
+    * view to its sign-resolved rows at sgn = +1 — value-identical to
+    * what later retractions emit, so upserts after a fold cancel
+    * correctly. Pending tombstones are applied by the rewrite and retire
+    * with it (compact's deletion-vector contract).
+    *
+    * Time travel below the fold point is GONE (those states lived only
+    * in the folded-away deltas), so the retention floor rises to the
+    * ledger FIRST — [[AggIndex.compact]]'s consolidation contract and
+    * [[forget]]'s crash order: a crash leaves floor-without-rewrite
+    * (loud on reads that would have been exact), never the reverse.
+    * Each subtable swaps via the `.compact_tmp`/`.compact_trash` scheme,
+    * so [[IndexMaintenance.recover]] (run here per subtable on entry)
+    * heals any crash window; a crash BETWEEN subtable swaps is benign —
+    * each subtable's fold independently preserves every read. Runs under
+    * the single-writer maintenance-window contract.
+    */
+  def foldCdc(spark: SparkSession, path: String): Unit = {
+    require(isCdc(spark, path),
+      s"foldCdc only applies to CDC views — $path has no signed view")
+    val key = joinKey(spark, path)
+    for (sub <- Seq("a", "b", "view"))
+      IndexMaintenance.recover(spark, s"$path/$sub")
+    val c = committedBatch(spark, path)
+    AsofFloor.write(spark, path, floor = c,
+      rewrite = s"foldCdc (signed history at or below batch $c consolidated)")
+    val conf = spark.sessionState.newHadoopConf()
+    def swapIn(sub: String, folded: DataFrame): Unit = {
+      val liveP = new org.apache.hadoop.fs.Path(sub)
+      val fs = liveP.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(sub + ".compact_tmp")
+      val trash = new org.apache.hadoop.fs.Path(sub + ".compact_trash")
+      folded.write.partitionBy("kb", "batch").mode("overwrite").parquet(tmp.toString)
+      require(fs.rename(liveP, trash), s"failed to move $sub aside for the fold swap")
+      require(fs.rename(tmp, liveP), s"failed to swap folded table into $sub")
+      fs.delete(trash, true)
+    }
+    def liveRows(sub: String) =
+      live(readSub(spark, sub).filter(col("batch") <= c), spark, sub, key)
+    for (side <- Seq("a", "b")) {
+      val sub = s"$path/$side"
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(key)).orderBy(col("batch").desc)
+      swapIn(sub, liveRows(sub)
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .drop("_rn")
+        .withColumn("batch", lit(c)))
+    }
+    val vsub = s"$path/view"
+    val payload = readSub(spark, vsub).columns
+      .filterNot(Set("sgn", "kb", "batch").contains)
+    val resolved = liveRows(vsub).drop("kb", "batch")
+      .groupBy(payload.map(col).toIndexedSeq: _*)
+      .agg(sum("sgn").as("_cnt"))
+      .filter(col("_cnt") > 0).drop("_cnt")
+      .withColumn("sgn", lit(1))
+    swapIn(vsub, resolved
+      .withColumn("kb", kbOf(resolved, key)).withColumn("batch", lit(c)))
+  }
+
   private def appliedMarkerPath(checkpoint: String) =
     new org.apache.hadoop.fs.Path(checkpoint, "graft_applied_batchid")
 

@@ -783,9 +783,40 @@ object EventAnalytics {
       .orderBy("key")
   }
 
+  /** Sign-fold consolidation MID-LIFECYCLE under the oracled gate
+    * (d_index_compact's discipline for the CDC view): the same upsert
+    * batches as e_join_upsert, but with [[graft.operators.JoinView
+    * .foldCdc]] run between them — the rewrite that collapses the signed
+    * log to its resolved state (bounding merge-on-read) must not change
+    * a single answer, and upserts AFTER the fold must still retract
+    * correctly against the folded (value-identical) rows.
+    */
+  val e_join_upsert_fold: Query = q("e_join_upsert_fold", joinUpsertOracleSql) { (s, dir) =>
+    val path = joinViewCache.computeIfAbsent(s"$dir#cdcfold", _ => {
+      val ord = Tables.load(s, dir, "orders")
+      val a0 = ord.select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+      val b0 = ord.select(col("o_orderkey").as("key"), col("o_orderpriority").as("prio"))
+      val p = java.nio.file.Files.createTempDirectory("graft_joinview_cdcf_").toString
+      graft.operators.JoinView.build(a0, b0, "key", p, cdc = true)
+      graft.operators.JoinView.ingestCdc(
+        a0.filter(col("key") % 7 === 3).select(col("key"), lit("U").as("status")),
+        b0.limit(0), "key", p)
+      graft.operators.JoinView.foldCdc(s, p)
+      graft.operators.JoinView.ingestCdc(a0.limit(0),
+        b0.filter(col("key") % 5 === 1).select(col("key"), lit("P9").as("prio")),
+        "key", p)
+      graft.operators.JoinView.ingestCdc(
+        a0.filter(col("key") % 11 === 4).select(col("key"), lit("W").as("status")),
+        b0.filter(col("key") % 11 === 4).select(col("key"), lit("P8").as("prio")),
+        "key", p)
+      p
+    })
+    graft.operators.JoinView.merged(s, path).orderBy("key")
+  }
+
   val all: Seq[Query] =
     Seq(e_funnel, e_retention, w_range_frame, e_gapfill, e_locf, e_agg_maintain,
       e_agg_quantile, e_agg_overlap, e_agg_topbucket, e_agg_asof, e_agg_forget,
       e_join_maintain, e_join_forget, e_join_asof, e_join_compact, e_pipeline_ivm,
-      e_join_upsert, e_join_upsert_asof)
+      e_join_upsert, e_join_upsert_asof, e_join_upsert_fold)
 }

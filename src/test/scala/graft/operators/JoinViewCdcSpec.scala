@@ -122,6 +122,35 @@ class JoinViewCdcSpec extends SparkSpec {
     assert(asOf(2) == viewSet(path))
   }
 
+  test("foldCdc consolidates to the resolved state: answers invariant, floor raised, later upserts exact") {
+    val path = Files.createTempDirectory("graft_jvcdc_fold_").toString
+    JoinView.build(mkA(A0), mkB(B0), "k", path, cdc = true)
+    JoinView.ingestCdc(mkA(Seq(3L -> "a3'", 13L -> "a13")), mkB(Seq(13L -> 1300L)), "k", path)
+    val before = viewSet(path)
+    JoinView.foldCdc(spark, path)
+    assert(viewSet(path) == before, "fold changed the resolved state")
+    // the signed log is now state-sized: one +1 row per live pair
+    val raw = spark.read.parquet(s"$path/view")
+    assert(raw.count() == before.size, "folded view must hold exactly the resolved rows")
+    assert(raw.select("sgn").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+    // time travel below the fold point fails loudly at the floor
+    val e = intercept[IllegalArgumentException] { JoinView.mergedAsOf(spark, path, 0) }
+    assert(e.getMessage.contains("foldCdc"))
+    // upserts AFTER the fold retract against the folded rows exactly
+    JoinView.ingestCdc(mkA(Seq(3L -> "a3''")), mkB(Seq(9L -> 999L)), "k", path)
+    val want = latestJoin(Seq(A0, Seq(3L -> "a3'", 13L -> "a13"), Seq(3L -> "a3''")),
+      Seq(B0, Seq(13L -> 1300L), Seq(9L -> 999L)))
+    assert(viewSet(path) == want, "post-fold upsert diverged from latest-state join")
+    // a fold after a forget applies + retires the tombstones (keys stay hidden)
+    val spark0 = spark
+    import spark0.implicits._
+    JoinView.forget(spark, path, Seq(13L).toDF("k"))
+    JoinView.foldCdc(spark, path)
+    assert(viewSet(path) == want.filterNot(_._1 == 13L))
+    assert(!new java.io.File(s"$path/view/_tombstones").exists,
+      "fold must retire applied delete vectors with the swap")
+  }
+
   test("forget hides a key from the resolved view; streamed upserts equal batch ones") {
     val path = Files.createTempDirectory("graft_jvcdc_fgt_").toString
     JoinView.build(mkA(A0), mkB(B0), "k", path, cdc = true)
