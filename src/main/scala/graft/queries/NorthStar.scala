@@ -716,7 +716,7 @@ object NorthStar {
     * transitive closure into per-key cluster minima (the
     * simhashClusterCte discipline on the entity family).
     */
-  private val entityClusterCte: String =
+  private[queries] val entityClusterCte: String =
     """ents AS (
       |  SELECT key, CASE key % 3
       |      WHEN 0 THEN base

@@ -1229,6 +1229,50 @@ object StreamingQueries {
     },
     Some(NorthStar.entityMatchEd2OracleSql))
 
+  /** Entity RESOLUTION maintained from a STREAM — the streamed cell of
+    * the cluster family (d_entity_clusters' production shape): entities
+    * arrive as micro-batches over the planted-duplicate relation, each
+    * trigger screens ONLY its batch against the stored deletion-
+    * neighborhood index ([[graft.operators.FastSsIndex.screenStream]])
+    * and lands its verified pairs the moment the increment commits —
+    * the accumulated pair LOG is output-sized, and the label refresh
+    * (ConnectedComponents over the log) runs over exactly that log,
+    * never the corpus. That split is the 100 TB shape: pair discovery
+    * is incremental and delta-priced; the closure re-runs edge-sized on
+    * whatever cadence the consumer needs labels (a per-trigger
+    * incremental union-find would save only the edge-sized CC pass —
+    * the corpus-sized work is already incremental). Same recursive-
+    * closure oracle as the batch row: the streamed pair feed provably
+    * loses nothing, including pairs whose members arrive in different
+    * triggers.
+    */
+  val st_entity_clusters: Query = Query(
+    "st_entity_clusters",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_entcl_").toString
+      val ents = NorthStar.clusterEnts(graft.tables.Tables.load(s, dir, "customer"))
+      // slice by key: group members (key div 3 siblings) land in
+      // DIFFERENT triggers, so cross-trigger pairs ride the stored probe
+      for (sl <- 0 to 2)
+        oneFile(ents.filter(pmod(col("key"), lit(3)) === sl),
+          s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, name STRING")
+      val streamed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.FastSsIndex.screenStream(
+        streamed, s"$base/idx", s"$base/matches", s"$base/cp")
+      try q.processAllAvailable() finally q.stop()
+      val pairs = s.read.parquet(s"$base/matches")
+        .dropDuplicates("a_key", "b_key")
+        .select("a_key", "b_key")
+      val (labels, _) = graft.operators.ConnectedComponents.label(pairs)
+      labels.select(col("id").as("key"), col("lab").as("cluster"))
+        .orderBy("key")
+    },
+    Some(s"""WITH RECURSIVE ${NorthStar.entityClusterCte}
+            |SELECT key, cluster FROM cl ORDER BY key""".stripMargin))
+
   /** The composed incremental pipeline STREAMED — e_pipeline_ivm's
     * production shape: facts arrive as micro-batches and ONE trigger
     * advances BOTH maintained stages under the SAME pinned batch id —
@@ -1359,5 +1403,6 @@ object StreamingQueries {
     st_substring_probe, st_minhash_probe, st_pq_probe, st_ivfpq_probe,
     st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget, st_scd2,
     st_sq8_ingest, st_join_ingest, st_scd2_lookup, st_pipeline_ivm,
-    st_entity_screen, st_entity_screen_xlen, st_entity_typos, st_entity_ed2)
+    st_entity_screen, st_entity_screen_xlen, st_entity_typos, st_entity_ed2,
+    st_entity_clusters)
 }
