@@ -78,6 +78,16 @@ case class OsaDistance(left: Expression, right: Expression)
 }
 
 object EditDistances {
+  /** OSA (restricted Damerau–Levenshtein) distance of two string columns.
+    *
+    * UNIT: UTF-16 code units (`String.charAt`), like Spark's own
+    * `levenshtein` — NOT code points. On non-BMP input (surrogate pairs:
+    * emoji, rare CJK) one code point counts as two units, so results can
+    * diverge from code-point-counting engines (DuckDB's
+    * `damerau_levenshtein`). Identical on BMP text, byte-for-byte equal
+    * to DuckDB on ASCII; callers feeding arbitrary text should normalize
+    * or accept the unit (r15 ADVICE).
+    */
   def osa(a: Column, b: Column): Column =
     Bridge.column(OsaDistance(Bridge.expression(a), Bridge.expression(b)))
 }

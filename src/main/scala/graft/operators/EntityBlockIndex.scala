@@ -109,13 +109,25 @@ object EntityBlockIndex {
     * at i — x·c2·y, spec-pinned in OsaDistanceSpec), so only the exact
     * distance per pair changes.
     */
-  def verifyOsa(cands: DataFrame, tau: Int = 1): DataFrame =
+  def verifyOsa(cands: DataFrame, tau: Int = 1): DataFrame = {
+    // both guarantees this verify rests on hold ONLY at threshold <= 1
+    // (r15 ADVICE): (a) tau = 1 deletion-neighborhood blocking is
+    // complete for adjacent transpositions (OsaDistanceSpec), but an
+    // OSA-2 pair can differ by two swaps four positions apart, which no
+    // tau = 1 neighborhood shares; (b) OSA == unrestricted
+    // Damerau-Levenshtein (the DuckDB oracle) only below distance 2
+    // (EditDistances scaladoc: DL("CA","ABC") = 2, OSA = 3)
+    require(tau <= 1,
+      s"verifyOsa supports tau <= 1 only (got $tau): tau = 1 deletion " +
+        "blocking is incomplete for OSA distance >= 2, and OSA diverges " +
+        "from unrestricted Damerau-Levenshtein there")
     cands
       .dropDuplicates("a_key", "b_key")
       .withColumn("dist",
         graft.functions.EditDistances.osa(col("a_name"), col("b_name")).cast("long"))
       .filter(col("dist") <= tau)
       .select(col("a_key"), col("b_key"), col("dist"))
+  }
 
   /** Block the base master list once; write the index as batch 0 under
     * the `bb=` bucket layout.

@@ -381,9 +381,17 @@ object Scd2Dim {
       val now = System.currentTimeMillis()
       fs.listStatus(d).iterator
         // name filter: a crashed [[withSnapshot]] rename can strand a
-        // `.pin-*.tmp`; it must not masquerade as a live pin (it would be
-        // TTL-bounded anyway, but skipping it is free and exact)
-        .filter(st => st.isFile && st.getPath.getName.startsWith("pin-"))
+        // `.pin-*.tmp`; it must not masquerade as a live pin — but it
+        // must still be TTL-DELETED (not merely skipped), else a reader
+        // that dies between create and rename leaks the tmp file forever
+        // (r15 ADVICE): reap expired tmps here, never parsing them
+        .filter { st =>
+          val n = st.getPath.getName
+          if (st.isFile && n.startsWith(".pin-") && n.endsWith(".tmp") &&
+              now - st.getModificationTime > PinTtlMs)
+            fs.delete(st.getPath, false) // stranded tmp of a crashed reader
+          st.isFile && n.startsWith("pin-")
+        }
         .flatMap { st =>
           if (now - st.getModificationTime > PinTtlMs) {
             fs.delete(st.getPath, false) // presumed-crashed reader
