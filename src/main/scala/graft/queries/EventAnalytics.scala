@@ -814,9 +814,91 @@ object EventAnalytics {
     graft.operators.JoinView.merged(s, path).orderBy("key")
   }
 
+  /** The CDC DELETE lifecycle over the upsert fixture (r15 verdict task
+    * 1): update → delete (both sides, one batch) → RE-INSERT a subset of
+    * the deleted keys. The latest-state oracle drops a pair iff its
+    * a-key was deleted and not re-inserted (%13 = 2 minus %26 = 2) OR its
+    * b-key was deleted (%17 = 5) — a marker that fails to kill the pair,
+    * a retraction that kills too much, or a re-insert blocked by the
+    * stale marker all hash-diverge. `foldWhere = 2` interleaves
+    * [[graft.operators.JoinView.foldCdc]] after the delete batch, so the
+    * folded sides must physically DROP the marked keys yet still admit
+    * the re-insert (the fold twin's contract).
+    */
+  private def cdcDeleteView(s: org.apache.spark.sql.SparkSession, dir: String,
+                            fold: Boolean): String =
+    joinViewCache.computeIfAbsent(s"$dir#cdcdel$fold", _ => {
+      val ord = Tables.load(s, dir, "orders")
+      val a0 = ord.select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+      val b0 = ord.select(col("o_orderkey").as("key"), col("o_orderpriority").as("prio"))
+      val keys = ord.select(col("o_orderkey").as("key"))
+      val p = java.nio.file.Files.createTempDirectory("graft_joinview_cdcdel_").toString
+      graft.operators.JoinView.build(a0, b0, "key", p, cdc = true)
+      graft.operators.JoinView.ingestCdc(
+        a0.filter(col("key") % 7 === 3).select(col("key"), lit("U").as("status")),
+        b0.limit(0), "key", p)
+      graft.operators.JoinView.ingestCdc(a0.limit(0), b0.limit(0), "key", p,
+        delA = keys.filter(col("key") % 13 === 2),
+        delB = keys.filter(col("key") % 17 === 5))
+      if (fold) graft.operators.JoinView.foldCdc(s, p)
+      graft.operators.JoinView.ingestCdc(
+        a0.filter(col("key") % 26 === 2).select(col("key"), lit("R").as("status")),
+        b0.limit(0), "key", p)
+      p
+    })
+
+  private[queries] val joinDeleteOracleSql: String =
+    """SELECT o_orderkey AS key,
+      |       CASE WHEN o_orderkey % 26 = 2 THEN 'R'
+      |            WHEN o_orderkey % 7 = 3 THEN 'U'
+      |            ELSE o_orderstatus END AS status,
+      |       o_orderpriority AS prio
+      |FROM orders
+      |WHERE (o_orderkey % 13 <> 2 OR o_orderkey % 26 = 2)
+      |  AND o_orderkey % 17 <> 5
+      |ORDER BY key""".stripMargin
+
+  val e_join_delete: Query = q("e_join_delete", joinDeleteOracleSql) { (s, dir) =>
+    graft.operators.JoinView.merged(s, cdcDeleteView(s, dir, fold = false)).orderBy("key")
+  }
+
+  val e_join_delete_fold: Query = q("e_join_delete_fold", joinDeleteOracleSql) { (s, dir) =>
+    graft.operators.JoinView.merged(s, cdcDeleteView(s, dir, fold = true)).orderBy("key")
+  }
+
+  /** HEADLINE lifecycle slot for the CDC/IVM-upsert family (r15 verdict
+    * task 8): a FRESH view per execution — build + three upsert batches
+    * + sign-fold consolidation + the sign-resolved merged read — so the
+    * CDC view's merge-on-read and fold costs enter the round record and
+    * are tracked round-over-round (the d_entity_index discipline:
+    * lifecycle cost IS the number; the memoized e_join_upsert fixture
+    * would amortize the builds away and time only the final read).
+    */
+  val e_join_cdc_lifecycle: Query = q("e_join_cdc_lifecycle", joinUpsertOracleSql,
+    headline = true) { (s, dir) =>
+    val ord = Tables.load(s, dir, "orders")
+    val a0 = ord.select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+    val b0 = ord.select(col("o_orderkey").as("key"), col("o_orderpriority").as("prio"))
+    val p = java.nio.file.Files.createTempDirectory("graft_joinview_cdclc_").toString
+    graft.operators.JoinView.build(a0, b0, "key", p, cdc = true)
+    graft.operators.JoinView.ingestCdc(
+      a0.filter(col("key") % 7 === 3).select(col("key"), lit("U").as("status")),
+      b0.limit(0), "key", p)
+    graft.operators.JoinView.ingestCdc(a0.limit(0),
+      b0.filter(col("key") % 5 === 1).select(col("key"), lit("P9").as("prio")),
+      "key", p)
+    graft.operators.JoinView.ingestCdc(
+      a0.filter(col("key") % 11 === 4).select(col("key"), lit("W").as("status")),
+      b0.filter(col("key") % 11 === 4).select(col("key"), lit("P8").as("prio")),
+      "key", p)
+    graft.operators.JoinView.foldCdc(s, p)
+    graft.operators.JoinView.merged(s, p).orderBy("key")
+  }
+
   val all: Seq[Query] =
     Seq(e_funnel, e_retention, w_range_frame, e_gapfill, e_locf, e_agg_maintain,
       e_agg_quantile, e_agg_overlap, e_agg_topbucket, e_agg_asof, e_agg_forget,
       e_join_maintain, e_join_forget, e_join_asof, e_join_compact, e_pipeline_ivm,
-      e_join_upsert, e_join_upsert_asof, e_join_upsert_fold)
+      e_join_upsert, e_join_upsert_asof, e_join_upsert_fold,
+      e_join_delete, e_join_delete_fold, e_join_cdc_lifecycle)
 }

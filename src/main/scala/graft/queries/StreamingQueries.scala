@@ -1270,7 +1270,7 @@ object StreamingQueries {
       labels.select(col("id").as("key"), col("lab").as("cluster"))
         .orderBy("key")
     },
-    Some(s"""WITH RECURSIVE ${NorthStar.entityClusterCte}
+    Some(s"""WITH RECURSIVE ${NorthStar.entityClusterCte()}
             |SELECT key, cluster FROM cl ORDER BY key""".stripMargin))
 
   /** The composed incremental pipeline STREAMED — e_pipeline_ivm's
@@ -1397,6 +1397,55 @@ object StreamingQueries {
            |       vt IS NULL AS is_current
            |FROM x ORDER BY user_id, valid_from""".stripMargin))
 
+  /** Streamed CDC upserts into the maintained join view (r15 verdict
+    * task 3 — [[graft.operators.JoinView.upsertStream]]): fact-side row
+    * images arrive across three triggers (an update wave, then a second
+    * correction split over two triggers), each applied by [[graft
+    * .operators.JoinView.ingestCdc]] under a checkpoint-pinned REAL
+    * batch id (the st_join_ingest discipline verbatim: applied marker +
+    * ledger writer line close both replay crash windows), then the
+    * dimension-side correction lands by BATCH after the stream stops —
+    * the production interleave (facts stream continuously, dimensions
+    * batch-correct between stream runs). The sign-resolved view must
+    * equal the one-shot join over latest-state inputs, keys overlapping
+    * across triggers resolved by arrival order (%7 = 3 ∩ %11 = 4 keys
+    * take the LATER 'W').
+    */
+  val st_join_cdc: Query = Query(
+    "st_join_cdc",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_jvcdc_").toString
+      val ord = graft.tables.Tables.load(s, dir, "orders")
+      val a0 = ord.select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+      val b0 = ord.select(col("o_orderkey").as("key"), col("o_orderpriority").as("prio"))
+      graft.operators.JoinView.build(a0, b0, "key", s"$base/view", cdc = true)
+      oneFile(a0.filter(col("key") % 7 === 3).select(col("key"), lit("U").as("status")),
+        s"$base/src/s0.parquet", 1000000000000L)
+      oneFile(a0.filter(col("key") % 11 === 4 && col("key") % 2 === 0)
+          .select(col("key"), lit("W").as("status")),
+        s"$base/src/s1.parquet", 1000000060000L)
+      oneFile(a0.filter(col("key") % 11 === 4 && col("key") % 2 === 1)
+          .select(col("key"), lit("W").as("status")),
+        s"$base/src/s2.parquet", 1000000120000L)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, status STRING")
+      val streamed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.JoinView.upsertStream(
+        streamed, "key", s"$base/view", s"$base/cp")
+      try q.processAllAvailable() finally q.stop()
+      graft.operators.JoinView.ingestCdc(a0.limit(0),
+        b0.filter(col("key") % 5 === 1).select(col("key"), lit("P9").as("prio")),
+        "key", s"$base/view")
+      graft.operators.JoinView.merged(s, s"$base/view").orderBy("key")
+    },
+    Some("""SELECT o_orderkey AS key,
+           |       CASE WHEN o_orderkey % 11 = 4 THEN 'W'
+           |            WHEN o_orderkey % 7 = 3 THEN 'U'
+           |            ELSE o_orderstatus END AS status,
+           |       CASE WHEN o_orderkey % 5 = 1 THEN 'P9' ELSE o_orderpriority END AS prio
+           |FROM orders ORDER BY key""".stripMargin))
+
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
     st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
     st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe,
@@ -1404,5 +1453,5 @@ object StreamingQueries {
     st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget, st_scd2,
     st_sq8_ingest, st_join_ingest, st_scd2_lookup, st_pipeline_ivm,
     st_entity_screen, st_entity_screen_xlen, st_entity_typos, st_entity_ed2,
-    st_entity_clusters)
+    st_entity_clusters, st_join_cdc)
 }

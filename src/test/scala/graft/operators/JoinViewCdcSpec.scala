@@ -151,6 +151,102 @@ class JoinViewCdcSpec extends SparkSpec {
       "fold must retire applied delete vectors with the swap")
   }
 
+  test("CDC deletes: insert -> update -> delete -> re-insert tracks the latest state; history stays exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    val path = Files.createTempDirectory("graft_jvcdc_del_").toString
+    JoinView.build(mkA(A0), mkB(B0), "k", path, cdc = true)
+    // batch 1: update 3, insert 13 (a-side)
+    JoinView.ingestCdc(mkA(Seq(3L -> "a3'", 13L -> "a13")), mkB(Nil), "k", path)
+    // batch 2: DELETE a-keys 3 and 7; DELETE b-key 9 — pairs must vanish
+    JoinView.ingestCdc(mkA(Nil), mkB(Nil), "k", path,
+      delA = Seq(3L, 7L).toDF("k"), delB = Seq(9L).toDF("k"))
+    val afterDel = viewSet(path)
+    assert(!afterDel.exists(r => Set(3L, 7L, 9L)(r._1)),
+      s"deleted keys still joined: $afterDel")
+    assert(afterDel == latestJoin(Seq(A0, Seq(3L -> "a3'", 13L -> "a13")), Seq(B0))
+      .filterNot(r => Set(3L, 7L, 9L)(r._1)))
+    // batch 3: RE-INSERT key 3 with a fresh image — ordinary +1 row,
+    // out-batches the delete marker
+    JoinView.ingestCdc(mkA(Seq(3L -> "a3+")), mkB(Nil), "k", path)
+    val afterRe = viewSet(path)
+    assert(afterRe.contains((3L, "a3+", 300L)), s"re-inserted key missing: $afterRe")
+    assert(!afterRe.exists(r => r._1 == 7L || r._1 == 9L))
+    // same-batch delete-a + upsert-b on DIFFERENT keys composes
+    JoinView.ingestCdc(mkA(Nil), mkB(Seq(2L -> 222L)), "k", path, delA = Seq(4L).toDF("k"))
+    val afterMix = viewSet(path)
+    assert(afterMix.contains((2L, "a2", 222L)) && !afterMix.exists(_._1 == 4L))
+    // history: the as-of BEFORE the delete batch still shows the pairs alive
+    val asOf1 = JoinView.mergedAsOf(spark, path, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(asOf1 == latestJoin(Seq(A0, Seq(3L -> "a3'", 13L -> "a13")), Seq(B0)),
+      "CDC delete rewrote history — prefix time travel must keep pre-delete pairs")
+    // deleting a never-present key is a benign no-op
+    JoinView.ingestCdc(mkA(Nil), mkB(Nil), "k", path, delA = Seq(99L).toDF("k"))
+    assert(viewSet(path) == afterMix)
+  }
+
+  test("foldCdc drops delete-marked keys from the folded sides; post-fold re-insert works") {
+    val spark0 = spark
+    import spark0.implicits._
+    val path = Files.createTempDirectory("graft_jvcdc_delfold_").toString
+    JoinView.build(mkA(A0), mkB(B0), "k", path, cdc = true)
+    JoinView.ingestCdc(mkA(Nil), mkB(Nil), "k", path, delA = Seq(3L, 7L).toDF("k"))
+    val before = viewSet(path)
+    JoinView.foldCdc(spark, path)
+    assert(viewSet(path) == before, "fold changed the resolved state under deletes")
+    // folded a-side holds neither the deleted keys' images nor their markers
+    val aFolded = spark.read.parquet(s"$path/a")
+    assert(aFolded.filter(col("k").isin(3L, 7L)).isEmpty,
+      "delete-marked keys survived the side fold")
+    assert(aFolded.select("sgn").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+    // re-insert after the fold: retracts nothing (pair is gone), inserts fresh
+    JoinView.ingestCdc(mkA(Seq(3L -> "a3+")), mkB(Nil), "k", path)
+    assert(viewSet(path) == before + ((3L, "a3+", 300L)))
+  }
+
+  test("one-row-per-key delta contract is enforced loudly; the aborted batch stays invisible") {
+    val spark0 = spark
+    import spark0.implicits._
+    val path = Files.createTempDirectory("graft_jvcdc_guard_").toString
+    JoinView.build(mkA(A0), mkB(B0), "k", path, cdc = true)
+    val before = viewSet(path)
+    // two row images for one key in one batch
+    val e1 = intercept[IllegalArgumentException] {
+      JoinView.ingestCdc(mkA(Seq(3L -> "x", 3L -> "y")), mkB(Nil), "k", path)
+    }
+    assert(e1.getMessage.contains("row-image contract"))
+    // an upsert AND a delete for the same key in one batch is ambiguous too
+    val e2 = intercept[IllegalArgumentException] {
+      JoinView.ingestCdc(mkA(Seq(5L -> "z")), mkB(Nil), "k", path, delA = Seq(5L).toDF("k"))
+    }
+    assert(e2.getMessage.contains("row-image contract"))
+    // aborted batches never committed: reads unchanged, next ingest heals
+    assert(viewSet(path) == before)
+    JoinView.ingestCdc(mkA(Seq(3L -> "ok")), mkB(Nil), "k", path)
+    assert(viewSet(path) == before.filterNot(_._1 == 3L) + ((3L, "ok", 300L)))
+    // the base build enforces the contract as well
+    val e3 = intercept[IllegalArgumentException] {
+      JoinView.build(mkA(Seq(1L -> "p", 1L -> "q")), mkB(B0), "k",
+        Files.createTempDirectory("graft_jvcdc_guard0_").toString, cdc = true)
+    }
+    assert(e3.getMessage.contains("row-image contract"))
+  }
+
+  test("a payload column named sgn is rejected at build on both modes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val withSgn = Seq((1L, "a", 1)).toDF("k", "av", "sgn")
+    val other = Seq((1L, 10L)).toDF("k", "bv")
+    for (cdc <- Seq(true, false)) {
+      val e = intercept[IllegalArgumentException] {
+        JoinView.build(withSgn, other, "k",
+          Files.createTempDirectory("graft_jvcdc_sgncol_").toString, cdc = cdc)
+      }
+      assert(e.getMessage.contains("sgn"))
+    }
+  }
+
   test("forget hides a key from the resolved view; streamed upserts equal batch ones") {
     val path = Files.createTempDirectory("graft_jvcdc_fgt_").toString
     JoinView.build(mkA(A0), mkB(B0), "k", path, cdc = true)
