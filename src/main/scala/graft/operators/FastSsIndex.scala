@@ -229,15 +229,39 @@ object FastSsIndex {
           .select("bb").distinct().collect().map(_.getInt(0))
       }
     }
+    // EXACT-SAFE collision prefilters scaled to the stored radius (the
+    // r15 verdict task-7 bound, shared shape with the in-query kernel in
+    // graft.queries.NorthStar.fastSsCandidates): a tau = 2 collision only
+    // certifies deletion-distance <= 2 per side (true ed up to 4) and a
+    // qualifying pair re-collides on up to ~C(L,2) shared signatures, so
+    // the pair fold below shuffles far more rows than it keeps. Length
+    // (each edit moves it <= 1) and the 64-bit character-parity sketch
+    // (a substitution flips <= 2 bits, insert/delete <= 1 — bucket
+    // collisions only lower the XOR popcount, never a false reject)
+    // bound every true ed <= tau pair, so filtering INSIDE the join cuts
+    // the fold's input with zero recall loss. Derived per signature row
+    // at probe time (cheap expressions on the pruned scan); the stored
+    // layout is untouched. Measured: the d_entity_ed2_index LIFECYCLE
+    // slot is build-dominated and stays flat (~23 s at sf0.1 either
+    // way); the bound pays on probe-heavy paths, where the fold's
+    // shuffle is the slot (the in-query twin measured 2.2x — see
+    // NorthStar.fastSsCandidates).
+    val tau = storedTau(spark, path)
+    def withFeat(df: DataFrame) = df
+      .withColumn("_len", length(col("name")))
+      .withColumn("_chsk", expr("aggregate(split(name, ''), 0L, " +
+        "(acc, c) -> acc ^ shiftleft(1L, pmod(hash(c), 64)))"))
     val idx = live.filter(col("bb").isin(buckets.map(Int.box): _*))
-    val a = batchLive.getOrElse(idx.filter(col("batch") === batch))
-      .select("key", "name", "sig")
+    val a = withFeat(batchLive.getOrElse(idx.filter(col("batch") === batch))
+        .select("key", "name", "sig"))
       .hint("SHUFFLE_HASH").as("a")
-    val b = idx.as("b")
+    val b = withFeat(idx).as("b")
     val first = col("a.key") < col("b.key")
     a.join(b,
         col("a.sig") === col("b.sig") &&
           col("a.key") =!= col("b.key") &&
+          abs(col("a._len") - col("b._len")) <= tau &&
+          expr(s"bit_count(a._chsk ^ b._chsk) <= ${2 * tau}") &&
           (col("b.batch") < batch ||
             (col("b.batch") === batch && col("b.key") < col("a.key"))))
       .select(
