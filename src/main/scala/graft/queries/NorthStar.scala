@@ -759,7 +759,13 @@ object NorthStar {
     */
   val d_entity_score_mp: Query = q("d_entity_score_mp",
     Some(entityScoreMpOracleSql)) { (s, dir) =>
-    val cust = Tables.load(s, dir, "customer")
+    scoreMultiPass(Tables.load(s, dir, "customer"))
+  }
+
+  /** The multi-pass union + score lattice over a customer frame — one
+    * copy for d_entity_score_mp and its key-range-capped sf0.1 twin.
+    */
+  private def scoreMultiPass(cust: DataFrame): DataFrame = {
     val attrs = cust.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
       col("c_mktsegment"),
       expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000").as("band"))
@@ -798,6 +804,29 @@ object NorthStar {
           when(col("a_band") === col("b_band"), 1).otherwise(0)).cast("long").as("score"))
       .filter(col("score") >= 6)
       .orderBy("a_key", "b_key")
+  }
+
+  /** d_entity_score_mp's keys < 3000 twin — the capped discipline on the
+    * union-completeness differential: the mp oracle is a full cross join
+    * (no candidate gate at all — the threshold does the work), quadratic
+    * at sf0.1, so the cap keeps the STRONGEST oracle form un-excluded at
+    * scale (4.5M scored pairs in DuckDB).
+    */
+  val d_entity_score_mp_capped: Query = q("d_entity_score_mp_capped", Some(
+    """SELECT a_key, b_key, score FROM (
+      |  SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |         CAST(2 * (3 - levenshtein(a.c_name, b.c_name))
+      |           + CASE WHEN a.c_nationkey = b.c_nationkey THEN 3 ELSE 0 END
+      |           + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 2 ELSE 0 END
+      |           + CASE WHEN (CAST(ROUND(a.c_acctbal * 100) AS BIGINT) + 100000) // 100000
+      |                     = (CAST(ROUND(b.c_acctbal * 100) AS BIGINT) + 100000) // 100000
+      |             THEN 1 ELSE 0 END AS BIGINT) AS score
+      |  FROM customer a JOIN customer b
+      |    ON a.c_custkey < b.c_custkey
+      |   AND a.c_custkey < 3000 AND b.c_custkey < 3000) s
+      |WHERE score >= 6
+      |ORDER BY a_key, b_key""".stripMargin)) { (s, dir) =>
+    scoreMultiPass(Tables.load(s, dir, "customer").filter(col("c_custkey") < 3000))
   }
 
   /** Deterministic PLANTED-DUPLICATE entity relation — the cluster-
@@ -5326,7 +5355,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     d_entity_match, d_entity_index, d_entity_match_xlen, d_entity_xlen_index,
     d_entity_typos, d_entity_typos_index, d_entity_match_ed2, d_entity_ed2_index,
     d_entity_index_probe, d_entity_xlen_index_probe, d_entity_match_capped,
-    d_entity_match_osa, d_entity_score, d_entity_score_mp,
+    d_entity_match_osa, d_entity_score, d_entity_score_mp, d_entity_score_mp_capped,
     d_entity_clusters, d_entity_golden, d_entity_clusters_capped,
     d_entity_golden_capped, d_entity_score_capped, d_entity_osa_capped,
     d_containment, d_containment_collapse, d_containment_probe,
