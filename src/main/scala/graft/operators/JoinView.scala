@@ -777,6 +777,30 @@ object JoinView {
     */
   def upsertStream(da: DataFrame, key: String, path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    cdcStreamApply(da, key, path, checkpoint, df => (df, null))
+
+  /** Stream a FULL CHANGEFEED of side `a` — upserts AND deletes in one
+    * stream, the complete Debezium op set: each row carries its op in
+    * `opCol` ('d' = delete, only the key is read; anything else = an
+    * upsert row image). A trigger carrying upserts and deletes for
+    * DIFFERENT keys applies atomically under one batch id (one
+    * [[ingestCdc]] call); a same-key collision within a trigger fails
+    * the one-row-per-key guard loudly rather than applying in an
+    * arbitrary order. Wiring (pinned ids, applied marker, writer-line
+    * crash window) is [[upsertStream]]'s verbatim — they share
+    * [[cdcStreamApply]].
+    */
+  def cdcStream(da: DataFrame, key: String, path: String, checkpoint: String,
+                opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    cdcStreamApply(da, key, path, checkpoint, df => (
+      df.filter(col(opCol) =!= "d").drop(opCol),
+      df.filter(col(opCol) === "d").select(col(key))))
+
+  private def cdcStreamApply(da: DataFrame, key: String, path: String,
+                             checkpoint: String,
+                             split: DataFrame => (DataFrame, DataFrame))
+      : org.apache.spark.sql.streaming.StreamingQuery =
     da.writeStream
       .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
         val spark = batchDf.sparkSession
@@ -789,7 +813,9 @@ object JoinView {
             // drop the persisted side sign too: ingestCdc takes RAW row
             // images and manages the marker itself
             val db = readSub(spark, s"$path/b").drop("kb", "batch", "sgn").limit(0)
-            ingestCdc(batchDf, db, key, path, batch = b, writer = checkpoint)
+            val (ups, dels) = split(batchDf)
+            ingestCdc(ups, db, key, path, batch = b, writer = checkpoint,
+              delA = dels)
             writeApplied(spark, checkpoint, batchId)
           } else if (b == c && committedWriter(spark, path).contains(checkpoint)) {
             writeApplied(spark, checkpoint, batchId)

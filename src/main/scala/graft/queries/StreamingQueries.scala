@@ -1446,6 +1446,51 @@ object StreamingQueries {
            |       CASE WHEN o_orderkey % 5 = 1 THEN 'P9' ELSE o_orderpriority END AS prio
            |FROM orders ORDER BY key""".stripMargin))
 
+  /** The FULL streamed changefeed ([[graft.operators.JoinView
+    * .cdcStream]]): one stream carries upserts AND deletes via the
+    * Debezium-style op column — trigger 1 updates (%7 = 3 -> 'U'),
+    * trigger 2 DELETES (%13 = 2, op = 'd'), trigger 3 RE-INSERTS half of
+    * the deleted keys (%26 = 2 -> 'R'). The latest-state oracle drops a
+    * key iff deleted and not re-inserted; a delete marker that fails to
+    * kill the pair, a retraction that kills too much, or a re-insert
+    * blocked by the stale marker all hash-diverge (e_join_delete's
+    * contract, arriving through the stream wiring with its op split).
+    */
+  val st_join_cdc_delete: Query = Query(
+    "st_join_cdc_delete",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_jvcdcd_").toString
+      val ord = graft.tables.Tables.load(s, dir, "orders")
+      val a0 = ord.select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+      val b0 = ord.select(col("o_orderkey").as("key"), col("o_orderpriority").as("prio"))
+      graft.operators.JoinView.build(a0, b0, "key", s"$base/view", cdc = true)
+      oneFile(a0.filter(col("key") % 7 === 3)
+          .select(col("key"), lit("U").as("status"), lit("u").as("op")),
+        s"$base/src/s0.parquet", 1000000000000L)
+      oneFile(a0.filter(col("key") % 13 === 2)
+          .select(col("key"), lit(null).cast("string").as("status"), lit("d").as("op")),
+        s"$base/src/s1.parquet", 1000000060000L)
+      oneFile(a0.filter(col("key") % 26 === 2)
+          .select(col("key"), lit("R").as("status"), lit("u").as("op")),
+        s"$base/src/s2.parquet", 1000000120000L)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, status STRING, op STRING")
+      val streamed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.JoinView.cdcStream(
+        streamed, "key", s"$base/view", s"$base/cp")
+      try q.processAllAvailable() finally q.stop()
+      graft.operators.JoinView.merged(s, s"$base/view").orderBy("key")
+    },
+    Some("""SELECT o_orderkey AS key,
+           |       CASE WHEN o_orderkey % 26 = 2 THEN 'R'
+           |            WHEN o_orderkey % 7 = 3 THEN 'U'
+           |            ELSE o_orderstatus END AS status,
+           |       o_orderpriority AS prio
+           |FROM orders
+           |WHERE o_orderkey % 13 <> 2 OR o_orderkey % 26 = 2
+           |ORDER BY key""".stripMargin))
+
   val all: Seq[Query] = Seq(st_tumbling, st_session, st_user_totals, st_enriched,
     st_dedup, st_stream_join, st_stream_join_left, st_foreachbatch, st_sig_ingest,
     st_pq_ingest, st_substring_ingest, st_ivfpq_ingest, st_sig_probe,
@@ -1453,5 +1498,5 @@ object StreamingQueries {
     st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget, st_scd2,
     st_sq8_ingest, st_join_ingest, st_scd2_lookup, st_pipeline_ivm,
     st_entity_screen, st_entity_screen_xlen, st_entity_typos, st_entity_ed2,
-    st_entity_clusters, st_join_cdc)
+    st_entity_clusters, st_join_cdc, st_join_cdc_delete)
 }

@@ -233,6 +233,43 @@ class JoinViewCdcSpec extends SparkSpec {
     assert(e3.getMessage.contains("row-image contract"))
   }
 
+  test("cdcStream: upserts and deletes in one changefeed, a mixed trigger applies atomically") {
+    val spark0 = spark
+    import spark0.implicits._
+    val path = Files.createTempDirectory("graft_jvcdc_opstream_").toString
+    JoinView.build(mkA(A0), mkB(B0), "k", path, cdc = true)
+    val base = Files.createTempDirectory("graft_jvcdc_opsrc_").toString
+    def mkOps(rows: Seq[(Long, String, String)]): DataFrame =
+      rows.toDF("k", "av", "op")
+    // trigger 0: plain upsert; trigger 1 MIXES an upsert (key 6) with
+    // deletes (keys 3 and 9) — different keys, one batch id, atomic
+    graft.StreamFixtures.oneFile(mkOps(Seq((3L, "a3'", "u"))),
+      s"$base/src/s0.parquet", 1000000000000L)
+    graft.StreamFixtures.oneFile(
+      mkOps(Seq((6L, "a6'", "u"), (3L, null, "d"), (9L, null, "d"))),
+      s"$base/src/s1.parquet", 1000000060000L)
+    // trigger 2: re-insert a deleted key
+    graft.StreamFixtures.oneFile(mkOps(Seq((3L, "a3+", "u"))),
+      s"$base/src/s2.parquet", 1000000120000L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, av STRING, op STRING")
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = JoinView.cdcStream(streamed, "k", path, s"$base/cp")
+    try q.processAllAvailable() finally q.stop()
+    val got = viewSet(path)
+    assert(got.contains((3L, "a3+", 300L)), s"re-insert after streamed delete lost: $got")
+    assert(got.contains((6L, "a6'", 600L)), "mixed-trigger upsert lost")
+    assert(!got.exists(_._1 == 9L), "streamed delete did not kill the pair")
+    // the mixed trigger landed under ONE batch id: ledger = 3 triggers + build
+    // and the as-of after trigger 1 (batch 2) shows upsert AND deletes applied
+    val asOf2 = JoinView.mergedAsOf(spark, path, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(asOf2.contains((6L, "a6'", 600L)) &&
+      !asOf2.exists(r => r._1 == 3L || r._1 == 9L),
+      s"mixed trigger was not atomic under one batch id: $asOf2")
+  }
+
   test("a payload column named sgn is rejected at build on both modes") {
     val spark0 = spark
     import spark0.implicits._
