@@ -452,6 +452,31 @@ object NorthStar {
       .orderBy("a_key", "b_key")
   }
 
+  /** PROBE-ONLY twin of [[d_entity_ed2_index]] (the r14 probe-twin
+    * discipline extended to tau = 2): the index is memoized per JVM, so
+    * the slot times the batch-0 + batch-1 probes and verify alone —
+    * where the collision-fold prefilter (FastSsIndex.candidates) does
+    * its work. A probe-plan regression at the two-edit radius now moves
+    * a whole slot instead of ~a third of the build-dominated lifecycle
+    * one.
+    */
+  val d_entity_ed2_index_probe: Query = q("d_entity_ed2_index_probe",
+    Some(entityMatchEd2OracleSql), headline = true) { (s, dir) =>
+    val p = memoEntityIndex(dir, "fss2") { path =>
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))
+      graft.operators.FastSsIndex.build(
+        cust.filter(pmod(col("key"), lit(3)) =!= 2), path, tau = 2)
+      graft.operators.FastSsIndex.ingest(
+        cust.filter(pmod(col("key"), lit(3)) === 2), path, batch = 1, tau = 2)
+    }
+    (0 to 1).map(b => EntityBlockIndex.verifyTypo(
+        graft.operators.FastSsIndex.candidates(s, p, b), tau = 2))
+      .reduce(_ unionByName _)
+      .dropDuplicates("a_key", "b_key")
+      .orderBy("a_key", "b_key")
+  }
+
   /** Deterministically typo-perturbed entity relation — the NON-VACUOUS
     * cross-length gate fixture (r13 verdict: every fixture name is
     * exactly 18 characters, so the unperturbed xlen rows hash-match the
@@ -5354,7 +5379,8 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     q21_dup_counts, q21_dedup_first, d_ngram_jaccard, d_ngram_jaccard_prefix,
     d_entity_match, d_entity_index, d_entity_match_xlen, d_entity_xlen_index,
     d_entity_typos, d_entity_typos_index, d_entity_match_ed2, d_entity_ed2_index,
-    d_entity_index_probe, d_entity_xlen_index_probe, d_entity_match_capped,
+    d_entity_index_probe, d_entity_xlen_index_probe, d_entity_ed2_index_probe,
+    d_entity_match_capped,
     d_entity_match_osa, d_entity_score, d_entity_score_mp, d_entity_score_mp_capped,
     d_entity_clusters, d_entity_golden, d_entity_clusters_capped,
     d_entity_golden_capped, d_entity_score_capped, d_entity_osa_capped,
