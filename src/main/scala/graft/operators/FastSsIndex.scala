@@ -256,8 +256,21 @@ object FastSsIndex {
         .select("key", "name", "sig"))
       .hint("SHUFFLE_HASH").as("a")
     val b = withFeat(idx).as("b")
-    val first = col("a.key") < col("b.key")
-    a.join(b,
+    // the pair fold carries 8-BYTE KEYS ONLY (the in-query kernel's
+    // shape, NorthStar.fastSsCandidates): folding (a_key, b_key, a_name,
+    // b_name) rows shuffled the two name strings once per surviving
+    // collision; folding keys and re-joining names afterwards makes the
+    // dedup exchange's width independent of string length, and the name
+    // pickup two OUTPUT-sized hash joins against the per-entity
+    // (key, name) projection (union of stored + in-memory sides, so the
+    // probe is correct whether or not the batch's rows have landed yet).
+    // Measured NEUTRAL on this fixture (16.25 -> 16.03 s BenchOne median
+    // on d_entity_ed2_index_probe — 18-char names are cheap to fold and
+    // the re-joins buy back the width saving); kept because the fold
+    // width no longer scales with the entity string (addresses/titles at
+    // 50-200 chars would fold 10-20x the bytes), matching the shape the
+    // in-query kernel already chose for the same reason.
+    val pairs = a.join(b,
         col("a.sig") === col("b.sig") &&
           col("a.key") =!= col("b.key") &&
           abs(col("a._len") - col("b._len")) <= tau &&
@@ -265,11 +278,16 @@ object FastSsIndex {
           (col("b.batch") < batch ||
             (col("b.batch") === batch && col("b.key") < col("a.key"))))
       .select(
-        when(first, col("a.key")).otherwise(col("b.key")).as("a_key"),
-        when(first, col("b.key")).otherwise(col("a.key")).as("b_key"),
-        when(first, col("a.name")).otherwise(col("b.name")).as("a_name"),
-        when(first, col("b.name")).otherwise(col("a.name")).as("b_name"))
+        least(col("a.key"), col("b.key")).as("a_key"),
+        greatest(col("a.key"), col("b.key")).as("b_key"))
       .dropDuplicates("a_key", "b_key")
+    val names = (batchLive.map(_.select(col("key"), col("name"))).toSeq
+        :+ idx.select(col("key"), col("name")))
+      .reduce(_ unionByName _)
+      .dropDuplicates("key")
+    pairs
+      .join(names.select(col("key").as("a_key"), col("name").as("a_name")), "a_key")
+      .join(names.select(col("key").as("b_key"), col("name").as("b_name")), "b_key")
   }
 
   /** Streamed ingest (no probe): signature rows appended under real
