@@ -77,7 +77,11 @@ object MisraGries {
   final class MisraGriesMergeAgg(k: Int) extends Aggregator[Summary, Summary, Summary] {
     private val inner = new MisraGriesAgg(k)
     override def zero: Summary = Map.empty
-    override def reduce(b: Summary, in: Summary): Summary = inner.merge(b, in)
+    // typed Aggregators see null input rows as null (unlike built-in aggs,
+    // which skip them) — a CDC empty-replacement partial carries typed-null
+    // sketches ([[graft.operators.AggIndex.ingestCdc]]), so skip explicitly
+    override def reduce(b: Summary, in: Summary): Summary =
+      if (in == null) b else inner.merge(b, in)
     override def merge(x: Summary, y: Summary): Summary = inner.merge(x, y)
     override def finish(b: Summary): Summary = b
     override def bufferEncoder: Encoder[Summary] = ExpressionEncoder[Summary]()

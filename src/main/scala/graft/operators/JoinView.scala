@@ -287,6 +287,23 @@ object JoinView {
     spark.read.parquet(schemaSidecarPath(s"$path/view"))
       .schema.fieldNames.contains("sgn")
 
+  /** Side-layout version guard (r16 ADVICE; the [[KeyBuckets]] /
+    * `_graft_tau` upgrade-axis discipline applied to the signed-side
+    * layout): CDC views persisted before delete markers landed in the
+    * sides carry UNSIGNED a/ and b/ subtables, and the first signed read
+    * ([[currentPruned]]'s `sgn === 1` filter) would die with a raw
+    * unresolved-column AnalysisException — after this batch's side files
+    * had already been appended. Checked at writer entry, BEFORE any
+    * files land, with the rebuild path named.
+    */
+  private def requireSignedSides(spark: SparkSession, path: String): Unit =
+    for (side <- Seq("a", "b"))
+      require(readSub(spark, s"$path/$side").schema.fieldNames.contains("sgn"),
+        s"CDC view at $path has a pre-signed-side layout (side $side carries no " +
+          "sgn column — it was persisted before delete markers moved into the " +
+          "sides). Rebuild with build(cdc = true); mergedAsOf reads of the " +
+          "existing view remain exact in the meantime.")
+
   /** Apply one batch of appends (either side may be empty): materialize
     * ΔV by the delta rule, append all three tables, advance the ledger.
     * Returns the applied batch id.
@@ -449,6 +466,7 @@ object JoinView {
         "upserts need the signed view (rebuild with build(cdc = true))")
     require(!da.columns.contains("sgn") && !db.columns.contains("sgn"),
       "CDC deltas carry raw row images — the sgn marker is writer-managed")
+    requireSignedSides(spark, path)
     val c = committedBatch(spark, path)
     val b = if (batch >= 0) batch else c + 1
     if (b <= c) return b // fully-committed replay: exactly-once by no-op
@@ -504,11 +522,13 @@ object JoinView {
 
   def cdcDeltaView(spark: SparkSession, path: String, da: DataFrame,
                    db: DataFrame, key: String, delA: DataFrame = null,
-                   delB: DataFrame = null): DataFrame =
+                   delB: DataFrame = null): DataFrame = {
+    requireSignedSides(spark, path)
     cdcTerms(spark, path,
       signedSide(spark, da, delA, key, s"$path/a"),
       signedSide(spark, db, delB, key, s"$path/b"),
       key, committedBatch(spark, path))
+  }
 
   /** Consolidate a CDC view's signed history into its RESOLVED state —
     * the bound on merge-on-read cost ([[mergedAsOf]]'s sign-sum groupBy
@@ -781,8 +801,11 @@ object JoinView {
 
   /** Stream a FULL CHANGEFEED of side `a` — upserts AND deletes in one
     * stream, the complete Debezium op set: each row carries its op in
-    * `opCol` ('d' = delete, only the key is read; anything else = an
-    * upsert row image). A trigger carrying upserts and deletes for
+    * `opCol` ('d' = delete, only the key is read; anything else —
+    * INCLUDING a NULL op, null-safe split per the r16 ADVICE — is an
+    * upsert row image, so a malformed feed row is applied-and-visible
+    * rather than silently landing in neither branch). A trigger
+    * carrying upserts and deletes for
     * DIFFERENT keys applies atomically under one batch id (one
     * [[ingestCdc]] call); a same-key collision within a trigger fails
     * the one-row-per-key guard loudly rather than applying in an
@@ -794,8 +817,8 @@ object JoinView {
                 opCol: String = "op")
       : org.apache.spark.sql.streaming.StreamingQuery =
     cdcStreamApply(da, key, path, checkpoint, df => (
-      df.filter(col(opCol) =!= "d").drop(opCol),
-      df.filter(col(opCol) === "d").select(col(key))))
+      df.filter(!col(opCol).eqNullSafe("d")).drop(opCol),
+      df.filter(col(opCol).eqNullSafe("d")).select(col(key))))
 
   private def cdcStreamApply(da: DataFrame, key: String, path: String,
                              checkpoint: String,

@@ -158,9 +158,16 @@ object Scd2Dim {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "user_id BIGINT, segment STRING, valid_from TIMESTAMP, " +
-            "valid_to TIMESTAMP, is_current BOOLEAN, eid BIGINT, kb INT"))
-    else
-      spark.read.option("basePath", path).parquet(dirs: _*).drop("v")
+            "valid_to TIMESTAMP, is_current BOOLEAN, eid BIGINT, del BOOLEAN, kb INT"))
+    else {
+      val raw = spark.read.option("basePath", path).parquet(dirs: _*).drop("v")
+      // a pre-tombstone-layout dim (seeded before `del` existed) reads
+      // exactly with del = false injected — by definition it holds no
+      // tombstones; WRITERS refuse such a dim ([[mergeUncommitted]]'s
+      // layout guard), so the two layouts never mix within one root
+      if (raw.columns.contains("del")) raw
+      else raw.withColumn("del", lit(false))
+    }
   }
 
   /** Seed the dimension from an initial snapshot `(user_id, segment)`,
@@ -176,6 +183,7 @@ object Scd2Dim {
         lit(asOf).cast("timestamp").as("valid_from"),
         lit(OpenEnd).cast("timestamp").as("valid_to"),
         lit(true).as("is_current"), lit(-1L).as("eid"),
+        lit(false).as("del"),
         kb(col("user_id")).as("kb"), lit(0).as("v"))
       .write.partitionBy("kb", "v").mode("overwrite").parquet(path)
     // AFTER the write: overwrite mode clears the directory first
@@ -210,13 +218,32 @@ object Scd2Dim {
     recover(spark, path) // writer entry point: clear orphans of a crashed merge
     val c = committedVersion(spark, path)
     val v = c + 1
+    // layout guard (the KeyBuckets/JoinView signed-side discipline): a
+    // dim seeded before tombstone change points existed stores no `del`
+    // column; merging it here would leave MIXED per-bucket schemas a
+    // multi-dir read resolves unreliably — refuse loudly with the fix
+    // named. Reads of such a dim stay exact ([[committedRows]] injects
+    // del = false; a pre-tombstone dim holds no tombstones by definition).
+    committedDirs(spark, path, None, c).headOption.foreach { d =>
+      require(spark.read.option("basePath", path).parquet(d)
+          .schema.fieldNames.contains("del"),
+        s"dimension at $path has a pre-tombstone layout (no del column — it was " +
+          "seeded before changefeed deletes existed). Re-seed it with this " +
+          "version's seed() and replay the updates; reads of the existing " +
+          "dim remain exact in the meantime.")
+    }
     // SINGLE evaluation of the caller's frame (ADVICE r11): stage it,
     // then derive emptiness, buckets, and the rebuilt timelines from the
-    // staged bytes — never from a re-evaluation
+    // staged bytes — never from a re-evaluation. `del` marks a DELETE
+    // change point ([[cdcBatch]]); plain upsert batches carry none and
+    // stage del = false throughout.
     val stage = stagePath(path)
+    val delCol = if (updates.columns.contains("del"))
+      coalesce(col("del"), lit(false)) else lit(false)
     updates.select(col("user_id").cast("bigint").as("user_id"),
         col("ts").cast("timestamp").as("valid_from"),
-        col("segment"), col("event_id").cast("bigint").as("eid"))
+        col("segment"), col("event_id").cast("bigint").as("eid"),
+        delCol.as("del"))
       .withColumn("kb", kb(col("user_id")))
       .write.mode("overwrite").parquet(stage.toString)
     val upd = spark.read.parquet(stage.toString)
@@ -230,17 +257,25 @@ object Scd2Dim {
     val keys = upd.select("user_id").distinct()
     val pass = cur.join(keys, Seq("user_id"), "left_anti")
     val hist = cur.join(keys, Seq("user_id"), "left_semi")
-      .select(col("user_id"), col("valid_from"), col("segment"), col("eid"), col("kb"))
+      .select(col("user_id"), col("valid_from"), col("segment"), col("eid"),
+        col("del"), col("kb"))
     val timeline = hist.unionByName(upd)
       .withColumn("rn", row_number().over(
         Window.partitionBy("user_id", "valid_from").orderBy(col("eid").desc)))
       .filter(col("rn") === 1).drop("rn")
+    // a DELETE change point closes the preceding version at the delete
+    // ts via the same LEAD (no successor row in the presentation — the
+    // tombstone row itself is stored for future rebuilds but filtered
+    // from reads), and a later re-insert is an ordinary change point
+    // opening a fresh version; a tombstone as the LAST point leaves the
+    // key with NO current row (churned)
     val rebuilt = timeline
       .withColumn("vt", lead(col("valid_from"), 1).over(
         Window.partitionBy("user_id").orderBy("valid_from")))
       .select(col("user_id"), col("segment"), col("valid_from"),
         coalesce(col("vt"), lit(OpenEnd).cast("timestamp")).as("valid_to"),
-        col("vt").isNull.as("is_current"), col("eid"), col("kb"))
+        (col("vt").isNull && !col("del")).as("is_current"), col("eid"),
+        col("del"), col("kb"))
     // append the touched buckets' rewrite as NEW (invisible until the
     // ledger advances) v= directories beside the old versions
     pass.select(rebuilt.columns.map(col): _*).unionByName(rebuilt)
@@ -340,9 +375,47 @@ object Scd2Dim {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Apply one batch of a FULL CHANGEFEED — upserts AND deletes in one
+    * frame, the complete Debezium op set for a dimension (r16 verdict
+    * missing #2): each row carries its op in `opCol` ('d' = delete —
+    * null-safe, so a NULL op is an upsert row image, [[JoinView
+    * .cdcStream]]'s contract). A delete CLOSES the key's current version
+    * at the delete ts (valid_to = ts, no successor row); a later
+    * re-insert opens a fresh version; LATE deletes splice exactly like
+    * late updates (the tombstone is just another change point in the
+    * rebuilt timeline), and replay/commutativity carry over unchanged.
+    */
+  def cdcBatch(spark: SparkSession, changes: DataFrame, path: String,
+               opCol: String = "op"): Int = {
+    val withDel = changes
+      .withColumn("del", col(opCol).eqNullSafe("d"))
+      // a delete point carries no attribute payload; null it so a stored
+      // tombstone never masquerades as a segment value
+      .withColumn("segment",
+        when(col("del"), lit(null).cast("string")).otherwise(col("segment")))
+      .drop(opCol)
+    upsertBatch(spark, withDel, path)
+  }
+
+  /** Wire a full changefeed stream into the merge — [[upsertStream]]'s
+    * wiring with [[cdcBatch]] as the per-trigger apply; a mixed trigger
+    * (upserts + deletes) applies atomically in one merge/commit.
+    */
+  def cdcStream(changes: DataFrame, path: String, checkpoint: String,
+                opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        cdcBatch(b.sparkSession, b, path, opCol)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   private def presentation(df: DataFrame): DataFrame =
-    df.select(col("user_id"), col("segment"),
-      col("valid_from"), col("valid_to"), col("is_current"))
+    df.filter(!col("del"))
+      .select(col("user_id"), col("segment"),
+        col("valid_from"), col("valid_to"), col("is_current"))
 
   /** The dimension's presentation view (history order, internal columns
     * dropped) — committed versions only, resolved under the ledger AT

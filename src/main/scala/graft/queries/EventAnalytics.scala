@@ -895,10 +895,170 @@ object EventAnalytics {
     graft.operators.JoinView.merged(s, p).orderBy("key")
   }
 
+  /** Per-JVM memo of a CDC-maintained rollup over the events fixture
+    * ([[AggIndex.ingestCdc]] — r16 verdict missing #1): build on the full
+    * log, then batch 1 applies a signed changefeed of DELETES (event_id
+    * % 10 = 3, -1 rows) and value UPDATES (% 10 = 7: -1 original, +1 at
+    * value + 100 — retraction keys recomputed as rep-rows from the
+    * corrected state), and batch 2 RE-INSERTS half the deleted rows at
+    * value + 7 (a pure +1 batch — the delta-sized insert-only path, its
+    * ordinary partials merging ON TOP of batch 1's replacements).
+    */
+  private def cdcAggPath(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    aggIndexCache.computeIfAbsent(s"$dir#cdc", _ => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      val p = java.nio.file.Files.createTempDirectory("graft_aggcdc_").toString
+      AggIndex.build(ev, p, cdc = true)
+      val dels = ev.filter(col("event_id") % 10 === 3).withColumn("sgn", lit(-1))
+      val updOld = ev.filter(col("event_id") % 10 === 7).withColumn("sgn", lit(-1))
+      val updNew = ev.filter(col("event_id") % 10 === 7)
+        .withColumn("value", col("value") + 100).withColumn("sgn", lit(1))
+      val state1 = ev.filter(col("event_id") % 10 =!= 3)
+        .withColumn("value",
+          when(col("event_id") % 10 === 7, col("value") + 100).otherwise(col("value")))
+      AggIndex.ingestCdc(dels.unionByName(updOld).unionByName(updNew),
+        state1, p, batch = 1)
+      val ins = ev.filter(col("event_id") % 20 === 3)
+        .withColumn("value", col("value") + 7).withColumn("sgn", lit(1))
+      AggIndex.ingestCdc(ins, state1.unionByName(ins.drop("sgn")), p, batch = 2)
+      p
+    })
+
+  /** CDC-corrected rollup maintenance: the merged read after deletes,
+    * updates, and re-inserts must equal the one-shot rollup over the
+    * LATEST corrected log — a ghost-counted deleted event, a stale
+    * pre-update sum, an unlearned-user HLL, or a replacement row that
+    * failed to supersede all hash-diverge. Exact columns hash-checked;
+    * the (non-invertible, recomputed) HLL rides the family's 5% gate.
+    */
+  val e_rollup_cdc: Query = q("e_rollup_cdc",
+    """WITH corrected AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |         CASE WHEN event_id % 10 = 7 THEN value + 100
+      |              WHEN event_id % 20 = 3 THEN value + 7
+      |              ELSE value END AS value
+      |  FROM events
+      |  WHERE event_id % 10 <> 3 OR event_id % 20 = 3)
+      |SELECT event_type,
+      |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |       CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_v,
+      |       MIN(value) AS min_v, MAX(value) AS max_v,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       TRUE AS within_5pct
+      |FROM corrected GROUP BY event_type, day ORDER BY event_type, day""".stripMargin) {
+    (s, dir) =>
+      mergedWithGate(s, dir, cdcAggPath(s, dir),
+        evFilter = col("event_id") % 10 =!= 3 || col("event_id") % 20 === 3)
+  }
+
+  /** Time travel UNDER the CDC corrections: replacement rows are append-
+    * only and visibility is resolved inside the as-of prefix, so the
+    * rollup as of batch 0 is exactly the pre-correction whole-log answer
+    * (the later-retracted events included — that is what that history
+    * was), and the floor never rose. Same oracle as e_agg_maintain.
+    */
+  val e_rollup_cdc_asof: Query = q("e_rollup_cdc_asof", aggMaintainOracleSql) {
+    (s, dir) =>
+      mergedWithGate(s, dir, cdcAggPath(s, dir), upToBatch = 0)
+  }
+
+  /** The composed CDC pipeline — a mutable fact source CDC-fed into a
+    * maintained dashboard, the r16 verdict's #1 missing cell: per batch,
+    * upserts/deletes flow into the CDC [[graft.operators.JoinView]]
+    * (sign-resolved enriched facts), and exactly that batch's SIGNED view
+    * partition — the changefeed — corrects the stored [[AggIndex]]
+    * partials ([[AggIndex.ingestCdc]], state = the view's own merged
+    * read, key-pruned inside the operator). The rollup keys on the
+    * ENRICHMENT attribute (order priority), so batch 3's priority upsert
+    * MOVES facts between rollup groups — the changefeed emits -1 under
+    * the old group and +1 under the new, and both groups' partials are
+    * replaced from state. No stage ever rescans history.
+    */
+  val e_pipeline_cdc: Query = q("e_pipeline_cdc",
+    """WITH a AS (
+      |  SELECT o_orderkey AS key, CAST(o_orderdate AS TIMESTAMP) AS ts,
+      |         o_custkey AS user_id,
+      |         CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 100
+      |              ELSE o_totalprice END AS value
+      |  FROM orders WHERE o_orderkey % 13 <> 2),
+      |b AS (
+      |  -- the batch-3 priority upsert RE-INSERTS keys batch 2 deleted:
+      |  -- an ordinary row image out-batches the delete marker
+      |  SELECT o_orderkey AS key,
+      |         CASE WHEN o_orderkey % 5 = 1 THEN 'P9' ELSE o_orderpriority END AS prio
+      |  FROM orders WHERE o_orderkey % 17 <> 5 OR o_orderkey % 5 = 1),
+      |v AS (SELECT b.prio AS event_type, a.ts, a.user_id, a.value
+      |      FROM a JOIN b USING (key))
+      |SELECT event_type,
+      |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |       CAST(COUNT(*) AS BIGINT) AS cnt,
+      |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_v,
+      |       MIN(value) AS min_v, MAX(value) AS max_v,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       TRUE AS within_5pct
+      |FROM v GROUP BY event_type, day ORDER BY event_type, day""".stripMargin,
+    headline = true) { (s, dir) =>
+    val ord = Tables.load(s, dir, "orders")
+    val a0 = ord.select(col("o_orderkey").as("key"), col("o_orderdate").as("ts"),
+      col("o_custkey").as("user_id"), col("o_totalprice").as("value"))
+    val b0 = ord.select(col("o_orderkey").as("key"), col("o_orderpriority").as("prio"))
+    val keys = ord.select(col("o_orderkey").as("key"))
+    val root = joinViewCache.computeIfAbsent(s"$dir#pipelinecdc", _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_jvcdc_ivm_").toString
+      def feed(s2: org.apache.spark.sql.SparkSession, n: Int) =
+        s2.read.parquet(s"$r/jv/view").filter(col("batch") === n)
+          .select(col("prio").as("event_type"), col("ts"),
+            col("value"), col("user_id"), col("sgn"))
+      def state(s2: org.apache.spark.sql.SparkSession) =
+        graft.operators.JoinView.merged(s2, s"$r/jv")
+          .select(col("prio").as("event_type"), col("ts"),
+            col("value"), col("user_id"))
+      graft.operators.JoinView.build(a0, b0, "key", s"$r/jv", cdc = true)
+      AggIndex.build(feed(s, 0).drop("sgn"), s"$r/agg", cdc = true)
+      // 1: fact-side value correction; 2: deletes on both sides;
+      // 3: enrichment-side upsert that MOVES keys across rollup groups
+      graft.operators.JoinView.ingestCdc(
+        a0.filter(col("key") % 7 === 3).withColumn("value", col("value") + 100),
+        b0.limit(0), "key", s"$r/jv")
+      AggIndex.ingestCdc(feed(s, 1), state(s), s"$r/agg", batch = 1)
+      graft.operators.JoinView.ingestCdc(a0.limit(0), b0.limit(0), "key", s"$r/jv",
+        delA = keys.filter(col("key") % 13 === 2),
+        delB = keys.filter(col("key") % 17 === 5))
+      AggIndex.ingestCdc(feed(s, 2), state(s), s"$r/agg", batch = 2)
+      graft.operators.JoinView.ingestCdc(a0.limit(0),
+        b0.filter(col("key") % 5 === 1).select(col("key"), lit("P9").as("prio")),
+        "key", s"$r/jv")
+      AggIndex.ingestCdc(feed(s, 3), state(s), s"$r/agg", batch = 3)
+      r
+    })
+    // gate: exact distinct recomputed from the corrected one-shot join
+    val aCor = a0.filter(col("key") % 13 =!= 2)
+      .withColumn("value",
+        when(col("key") % 7 === 3, col("value") + 100).otherwise(col("value")))
+    val bCor = b0.filter(col("key") % 17 =!= 5 || col("key") % 5 === 1)
+      .withColumn("prio",
+        when(col("key") % 5 === 1, lit("P9")).otherwise(col("prio")))
+    val exact = aCor.join(bCor, Seq("key"))
+      .groupBy(col("prio").as("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    AggIndex.merged(s, s"$root/agg").join(exact, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("cnt"),
+        round(col("sum_v"), 2).cast("double").as("sum_v"),
+        col("min_v"), col("max_v"), col("exact_users"),
+        (abs(col("users") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") * 0.05).as("within_5pct"))
+      .orderBy("event_type", "day")
+  }
+
   val all: Seq[Query] =
     Seq(e_funnel, e_retention, w_range_frame, e_gapfill, e_locf, e_agg_maintain,
       e_agg_quantile, e_agg_overlap, e_agg_topbucket, e_agg_asof, e_agg_forget,
       e_join_maintain, e_join_forget, e_join_asof, e_join_compact, e_pipeline_ivm,
       e_join_upsert, e_join_upsert_asof, e_join_upsert_fold,
-      e_join_delete, e_join_delete_fold, e_join_cdc_lifecycle)
+      e_join_delete, e_join_delete_fold, e_join_cdc_lifecycle,
+      e_rollup_cdc, e_rollup_cdc_asof, e_pipeline_cdc)
 }

@@ -1397,6 +1397,112 @@ object StreamingQueries {
            |       vt IS NULL AS is_current
            |FROM x ORDER BY user_id, valid_from""".stripMargin))
 
+  /** Shared oracle for the SCD2 DELETE lifecycle (batch + streamed): the
+    * full-history timeline where a delete change point (event_id % 11 =
+    * 3) CLOSES the key's version at the delete ts and is itself never a
+    * presentation row — a churned key has no current row until (unless)
+    * a later change point re-opens it.
+    */
+  private val scd2DeleteOracleSql: String =
+    """WITH upd AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS vf,
+      |         CASE WHEN event_id % 11 = 3 THEN NULL ELSE event_type END AS segment,
+      |         event_id AS eid, (event_id % 11 = 3) AS del
+      |  FROM events),
+      |base AS (
+      |  SELECT c_custkey AS user_id, TIMESTAMP '1992-01-01' AS vf,
+      |         c_mktsegment AS segment, CAST(-1 AS BIGINT) AS eid, FALSE AS del
+      |  FROM customer),
+      |t AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+      |d AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, vf ORDER BY eid DESC) AS rn
+      |    FROM t) r WHERE rn = 1),
+      |x AS (
+      |  SELECT user_id, segment, vf, del,
+      |         LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf) AS vt
+      |  FROM d)
+      |SELECT user_id, segment,
+      |       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |       strftime(COALESCE(vt, TIMESTAMP '9999-12-31'), '%Y-%m-%d %H:%M:%S') AS valid_to,
+      |       vt IS NULL AS is_current
+      |FROM x WHERE NOT del ORDER BY user_id, valid_from""".stripMargin
+
+  /** The events feed as a dimension CHANGEFEED: every event is a segment
+    * update for its user, except event_id % 11 = 3 rows which are
+    * DELETES (op = 'd'). Shared by the batch and streamed delete rows.
+    */
+  private def scd2Changefeed(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.tables.Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type").as("segment"),
+        when(col("event_id") % 11 === 3, "d").otherwise("u").as("op"))
+
+  private def scd2Presentation(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("user_id"), col("segment"),
+      date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+      date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+      col("is_current"))
+    .orderBy("user_id", "valid_from")
+
+  /** BATCH SCD2 changefeed deletes ([[graft.operators.Scd2Dim.cdcBatch]]
+    * — r16 verdict missing #2): three mixed upsert+delete batches merged
+    * into the seeded dimension; a delete closes the current version at
+    * the delete ts with no successor, a later change point re-opens the
+    * key, late deletes splice, and the commutative rebuild keeps any
+    * slice order convergent (the upsert family's contract, now over the
+    * full Debezium op set).
+    */
+  val e_scd2_delete: Query = Query(
+    "e_scd2_delete",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_scd2del_").toString
+      val dim = s"$base/dim"
+      graft.operators.Scd2Dim.seed(
+        graft.tables.Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment")),
+        "1992-01-01 00:00:00", dim)
+      val feed = scd2Changefeed(s, dir)
+      for (sl <- 0 to 2)
+        graft.operators.Scd2Dim.cdcBatch(s,
+          feed.filter(pmod(col("event_id"), lit(3)) === sl), dim)
+      scd2Presentation(graft.operators.Scd2Dim.read(s, dim))
+    },
+    Some(scd2DeleteOracleSql))
+
+  /** STREAMED SCD2 changefeed deletes — e_scd2_delete's production shape
+    * ([[graft.operators.Scd2Dim.cdcStream]]): the mixed changefeed
+    * arrives as micro-batches (one trigger may carry upserts AND deletes
+    * — applied atomically in one merge/commit) and the final dimension
+    * must equal the from-scratch timeline row for row.
+    */
+  val st_scd2_delete: Query = Query(
+    "st_scd2_delete",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_scd2dels_").toString
+      val dim = s"$base/dim"
+      graft.operators.Scd2Dim.seed(
+        graft.tables.Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment")),
+        "1992-01-01 00:00:00", dim)
+      val feed = scd2Changefeed(s, dir)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+      val fSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, segment STRING, op STRING")
+      val streamed = s.readStream.schema(fSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.Scd2Dim.cdcStream(streamed, dim, s"$base/cp")
+      try {
+        for (sl <- 0 to 2) {
+          oneFile(feed.filter(pmod(col("event_id"), lit(3)) === sl),
+            s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      scd2Presentation(graft.operators.Scd2Dim.read(s, dim))
+    },
+    Some(scd2DeleteOracleSql))
+
   /** Streamed CDC upserts into the maintained join view (r15 verdict
     * task 3 — [[graft.operators.JoinView.upsertStream]]): fact-side row
     * images arrive across three triggers (an update wave, then a second
@@ -1498,5 +1604,6 @@ object StreamingQueries {
     st_filtered_probe, st_decontam_fuzzy, st_agg_ingest, st_forget, st_scd2,
     st_sq8_ingest, st_join_ingest, st_scd2_lookup, st_pipeline_ivm,
     st_entity_screen, st_entity_screen_xlen, st_entity_typos, st_entity_ed2,
-    st_entity_clusters, st_join_cdc, st_join_cdc_delete)
+    st_entity_clusters, st_join_cdc, st_join_cdc_delete,
+    e_scd2_delete, st_scd2_delete)
 }

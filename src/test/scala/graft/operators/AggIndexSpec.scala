@@ -275,4 +275,85 @@ class AggIndexSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("not committed"), s"wrong failure: ${ex.getMessage}")
   }
+
+  // ——— CDC changefeed maintenance (ingestCdc, r16 verdict missing #1) ———
+
+  private def dayCol = date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+
+  test("CDC changefeed corrects the rollup — incl. a fully-deleted key leaving it") {
+    val p = Files.createTempDirectory("graft_aggidx_cdc_").toString
+    AggIndex.build(events, p, cdc = true)
+    // pick one real (event_type, day) key and delete EVERY event in it —
+    // the empty-replacement path the differential fixture can't reach
+    val first = events.select(col("event_type"), dayCol.as("day"))
+      .orderBy("event_type", "day").limit(1).collect()(0)
+    val (ft, fd) = (first.getString(0), first.getString(1))
+    val inKey = col("event_type") === ft && dayCol === fd
+    val delAll = events.filter(inKey)
+    val upd = events.filter(col("event_id") % 10 === 7 && !inKey)
+    val changes = delAll.withColumn("sgn", lit(-1))
+      .unionByName(upd.withColumn("sgn", lit(-1)))
+      .unionByName(upd.withColumn("value", col("value") * 2).withColumn("sgn", lit(1)))
+    val corrected = events.filter(!inKey)
+      .withColumn("value",
+        when(col("event_id") % 10 === 7, col("value") * 2).otherwise(col("value")))
+    AggIndex.ingestCdc(changes, corrected, p, batch = 1)
+
+    // the fully-deleted key has LEFT the rollup, on every reader
+    assert(AggIndex.merged(spark, p)
+      .filter(col("event_type") === ft && col("day") === fd).isEmpty,
+      "empty replacement must evict the key from merged")
+    assert(AggIndex.quantiles(spark, p)
+      .filter(col("event_type") === ft && col("day") === fd).isEmpty)
+    assert(AggIndex.topBuckets(spark, p)
+      .filter(col("event_type") === ft && col("day") === fd).isEmpty)
+
+    // merged equals a never-corrupted build over the corrected log
+    val twin = Files.createTempDirectory("graft_aggidx_cdc_twin_").toString
+    AggIndex.build(corrected, twin)
+    assert(rows(AggIndex.merged(spark, p)) == rows(AggIndex.merged(spark, twin)),
+      "CDC-corrected rollup must equal the corrected-log one-shot")
+
+    // time travel: as-of 0 is the PRE-correction rollup, exactly (no
+    // floor rise — replacements are appends, not rewrites)
+    val pre = Files.createTempDirectory("graft_aggidx_cdc_pre_").toString
+    AggIndex.build(events, pre)
+    assert(rows(AggIndex.mergedAsOf(spark, p, 0)) ==
+      rows(AggIndex.merged(spark, pre)),
+      "as-of below the CDC batch must show pre-correction history")
+
+    // replay: re-applying the committed batch id is a no-op
+    val before = spark.read.parquet(p).count()
+    AggIndex.ingestCdc(changes, corrected, p, batch = 1)
+    assert(spark.read.parquet(p).count() == before, "replay must no-op by ledger")
+  }
+
+  test("CDC + compact composes: consolidation preserves replacement semantics") {
+    val p = Files.createTempDirectory("graft_aggidx_cdcc_").toString
+    AggIndex.build(events, p, cdc = true)
+    val dels = events.filter(col("event_id") % 10 === 3).withColumn("sgn", lit(-1))
+    val state1 = events.filter(col("event_id") % 10 =!= 3)
+    AggIndex.ingestCdc(dels, state1, p, batch = 1)
+    AggIndex.compact(spark, p)
+    // further corrections after the consolidation: re-insert half at +7
+    val ins = events.filter(col("event_id") % 20 === 3)
+      .withColumn("value", col("value") + 7).withColumn("sgn", lit(1))
+    val state2 = state1.unionByName(ins.drop("sgn"))
+    AggIndex.ingestCdc(ins, state2, p, batch = AggIndex.nextBatch(spark, p))
+    val twin = Files.createTempDirectory("graft_aggidx_cdcc_twin_").toString
+    AggIndex.build(state2, twin)
+    assert(rows(AggIndex.merged(spark, p)) == rows(AggIndex.merged(spark, twin)),
+      "compact mid-CDC-lifecycle must not change any answer")
+  }
+
+  test("ingestCdc on a plain table fails loudly with the rebuild path named") {
+    val p = Files.createTempDirectory("graft_aggidx_cdcm_").toString
+    AggIndex.build(events, p)
+    val ex = intercept[IllegalArgumentException] {
+      AggIndex.ingestCdc(events.limit(1).withColumn("sgn", lit(-1)),
+        events, p, batch = 1)
+    }
+    assert(ex.getMessage.contains("build(cdc = true)"),
+      s"wrong failure: ${ex.getMessage}")
+  }
 }

@@ -200,6 +200,86 @@ class Scd2DimSpec extends SparkSpec {
       "an expired pin must not block reclamation")
   }
 
+  private def mkChanges(rows: Seq[(Long, String, String, Long, String)]): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("user_id", "ts", "segment", "event_id", "op")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("segment"), col("event_id"), col("op"))
+  }
+
+  test("a changefeed delete closes the current version; a re-insert re-opens") {
+    val path = Files.createTempDirectory("graft_scd2_del_").toString
+    Scd2Dim.seed(mkDim0(Seq(7L -> "S0", 8L -> "T0")), "1992-01-01 00:00:00", path)
+    Scd2Dim.cdcBatch(spark, mkChanges(Seq(
+      (7L, "2024-01-05 00:00:00", "S1", 1L, "u"),
+      (7L, "2024-01-10 00:00:00", null, 2L, "d"))), path)
+    val churned = snapshot(path)
+    // 7's current version is CLOSED at the delete ts, no successor row;
+    // 8 untouched
+    assert(churned.map(r => (r.user, r.seg, r.from.take(10), r.to.take(10), r.cur)) == Seq(
+      (7L, "S0", "1992-01-01", "2024-01-05", false),
+      (7L, "S1", "2024-01-05", "2024-01-10", false),
+      (8L, "T0", "1992-01-01", "9999-12-31", true)))
+    // re-insert opens a FRESH version from the re-insert ts
+    Scd2Dim.cdcBatch(spark, mkChanges(Seq(
+      (7L, "2024-02-01 00:00:00", "S2", 3L, "u"))), path)
+    val back = snapshot(path).filter(_.user == 7L)
+    assert(back.map(r => (r.seg, r.from.take(10), r.to.take(10), r.cur)) == Seq(
+      ("S0", "1992-01-01", "2024-01-05", false),
+      ("S1", "2024-01-05", "2024-01-10", false),
+      ("S2", "2024-02-01", "9999-12-31", true)))
+  }
+
+  test("a LATE delete splices: it closes the version it lands inside") {
+    val path = Files.createTempDirectory("graft_scd2_dell_").toString
+    Scd2Dim.seed(mkDim0(Seq(7L -> "S0")), "1992-01-01 00:00:00", path)
+    Scd2Dim.upsertBatch(spark, mkUpdates(Seq((7L, "2024-03-01 00:00:00", "S1", 9L))), path)
+    // a delete OLDER than the open row arrives late — the tombstone must
+    // close S0 at its ts and leave the later S1 change point intact
+    Scd2Dim.cdcBatch(spark, mkChanges(Seq(
+      (7L, "2024-01-15 00:00:00", null, 5L, "d"))), path)
+    val rows = snapshot(path)
+    assert(rows.map(r => (r.seg, r.from.take(10), r.to.take(10), r.cur)) == Seq(
+      ("S0", "1992-01-01", "2024-01-15", false),
+      ("S1", "2024-03-01", "9999-12-31", true)))
+  }
+
+  test("a NULL op is an upsert row image (null-safe split)") {
+    val path = Files.createTempDirectory("graft_scd2_delnull_").toString
+    Scd2Dim.seed(mkDim0(Seq(7L -> "S0")), "1992-01-01 00:00:00", path)
+    Scd2Dim.cdcBatch(spark, mkChanges(Seq(
+      (7L, "2024-01-05 00:00:00", "S1", 1L, null))), path)
+    assert(snapshot(path).map(r => (r.seg, r.cur)) ==
+      Seq(("S0", false), ("S1", true)))
+  }
+
+  test("a pre-tombstone layout fails loudly at the writer, reads stay exact") {
+    val path = Files.createTempDirectory("graft_scd2_legacy_").toString
+    Scd2Dim.seed(mkDim0(Seq(7L -> "S0")), "1992-01-01 00:00:00", path)
+    // simulate a pre-r17 artifact: strip the del column from the stored
+    // bucket (rewrite its v=0 files without it)
+    val spark0 = spark
+    val dirs = new org.apache.hadoop.fs.Path(path)
+    val fs = dirs.getFileSystem(spark0.sessionState.newHadoopConf())
+    val vdirs = fs.globStatus(new org.apache.hadoop.fs.Path(path, "kb=*/v=*"))
+      .filter(_.isDirectory).map(_.getPath)
+    vdirs.foreach { vd =>
+      val legacy = spark0.read.parquet(vd.toString).drop("del")
+      val tmp = vd.toString + ".legacy_tmp"
+      legacy.write.mode("overwrite").parquet(tmp)
+      fs.delete(vd, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), vd)
+    }
+    // reads inject del = false — exact (a legacy dim holds no tombstones)
+    assert(snapshot(path).map(_.seg) == Seq("S0"))
+    // writers refuse with the fix named (no silent mixed-schema store)
+    val ex = intercept[IllegalArgumentException] {
+      Scd2Dim.upsertBatch(spark, mkUpdates(Seq((7L, "2024-01-05 00:00:00", "S1", 1L))), path)
+    }
+    assert(ex.getMessage.contains("pre-tombstone"), s"wrong failure: ${ex.getMessage}")
+  }
+
   test("a merge rewrites only the touched kb= buckets") {
     val path = Files.createTempDirectory("graft_scd2_prune_").toString
     Scd2Dim.seed(mkDim0((0L to 63L).map(_ -> "BASE")), "1992-01-01 00:00:00", path)
