@@ -356,9 +356,18 @@ object FastSsIndex {
     * `outPath`. The probe runs with the in-memory batch signatures — no
     * per-trigger index re-read. At-least-once replay safe
     * (candidate-insensitive DISTINCT, deterministic verification).
+    *
+    * `emit` post-processes each trigger's verified pairs before they
+    * land (given the pairs and the trigger's own batch frame — which may
+    * carry EXTRA columns beyond (key, name); the kernel ignores them) —
+    * the hook the streamed SCORED screen uses to persist an attribute
+    * projection and apply the Fellegi-Sunter lattice per trigger without
+    * duplicating this method's ingest/probe/crash discipline. Must be
+    * deterministic per (pairs, batch) for the replay contract.
     */
   def screenStream(entities: DataFrame, path: String, outPath: String,
-                   checkpoint: String, tau: Int = 1)
+                   checkpoint: String, tau: Int = 1,
+                   emit: (DataFrame, DataFrame) => DataFrame = (pairs, _) => pairs)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = entities.sparkSession
     IndexMaintenance.recover(spark, path)
@@ -377,8 +386,8 @@ object FastSsIndex {
         // bucket manifest, and probe share one kernel run
         BatchBuckets.appendBatch(sigsFor(df, tau), path, b,
           use = sigs =>
-            EntityBlockIndex.verifyTypo(
-                candidates(df.sparkSession, path, b, Some(sigs)), tau = tau)
+            emit(EntityBlockIndex.verifyTypo(
+                candidates(df.sparkSession, path, b, Some(sigs)), tau = tau), df)
               .withColumn("batch", lit(b))
               .write.mode("append").parquet(outPath))
       }

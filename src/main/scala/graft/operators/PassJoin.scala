@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance join for LONG strings — PassJoin (Li, Deng, Feng:
+  * "PASS-JOIN: A Partition-based Method for Similarity Joins", VLDB'11):
+  * the published answer for the regime where deletion neighborhoods are
+  * infeasible ([[FastSsIndex]]'s documented boundary — a tau = 2
+  * neighborhood is C(L,2) signatures, ~7,000 rows for a 120-char title,
+  * where PassJoin emits tau + 1 = 3 segments per indexed string and a
+  * CONSTANT ~((tau+1)(2tau+1)^2) probe substrings regardless of L).
+  *
+  * Scheme: partition every string into k = tau + 1 contiguous segments
+  * (even partition: first k - (L mod k) segments of length floor(L/k),
+  * the rest one longer). By pigeonhole, tau edits destroy at most tau
+  * segments, so ed(r, s) <= tau implies s CONTAINS at least one of r's
+  * segments verbatim — and not anywhere: the multi-match-aware
+  * substring selection (the paper's position lemma) bounds the match's
+  * start in s to the window
+  *
+  * {{{ [max(1, p - (i-1), p + D - (k-i)), min(|s|-l+1, p + (i-1), p + D + (k-i))] }}}
+  *
+  * for segment i at start p, length l, D = |s| - |r| — edits to the left
+  * of the segment shift it by at most i-1 / k-i positions depending on
+  * which side absorbs the length difference. Candidates join on the
+  * 8-byte hash of (indexed length, segment index, segment text) — a
+  * hash collision only ADDS a candidate (exactness is restored by one
+  * levenshtein per surviving pair), never drops one (equal triples hash
+  * equal).
+  *
+  * Why the two regimes coexist (and neither subsumes the other): on
+  * SHORT common-prefix corpora ("Customer#000000042") a PassJoin
+  * segment is the shared prefix and blocks degenerate toward n^2 — the
+  * measured 6.5-minute failure that made [[FastSsIndex]] the name-regime
+  * choice — while on long diverse strings a ~40-char segment is a
+  * near-unique block key and the candidate set is output-shaped.
+  *
+  * Scale shape: the segment side is k rows per string, the probe side a
+  * constant per string; both are narrow (key, 8-byte hash). The join is
+  * one hash shuffle of those projections; names re-join OUTPUT-sized
+  * (the keys-only-fold discipline — at 120-char payloads folding name
+  * strings through the pair dedup is exactly the width this shape
+  * exists to avoid); verification is one levenshtein per surviving pair.
+  */
+object PassJoin {
+
+  /** `(key, sig)` index entries: the k = tau + 1 even-partition segments
+    * of each string, hashed with their (length, index) context. Strings
+    * shorter than k characters cannot partition (k nonempty segments) —
+    * excluded here AND in [[probeEntries]]' length range, so the
+    * contract is symmetric; callers wanting them fall back to the
+    * short-string family ([[FastSsIndex]]), whose neighborhoods are
+    * cheap exactly there.
+    */
+  def segmentEntries(ents: DataFrame, tau: Int): DataFrame = {
+    val k = tau + 1
+    ents.filter(length(col("name")) >= k)
+      .withColumn("lr", length(col("name")))
+      .withColumn("i", explode(sequence(lit(1), lit(k))))
+      .withColumn("base", expr(s"lr div $k"))
+      .withColumn("rem", expr(s"lr % $k"))
+      .withColumn("p", lit(1) + (col("i") - 1) * col("base") +
+        greatest(lit(0), col("i") - 1 - (lit(k) - col("rem"))))
+      .withColumn("l", col("base") +
+        when(col("i") > lit(k) - col("rem"), 1).otherwise(0))
+      .select(col("key"),
+        xxhash64(col("lr"), col("i"), expr("substring(name, p, l)")).as("sig"))
+  }
+
+  /** `(key, sig)` probe entries: for each candidate indexed length
+    * lr in [|s| - tau, |s| + tau] (floored at k) and each segment index,
+    * the substrings of s inside the multi-match-aware window, hashed
+    * with the SAME (lr, i) context the index side used. Constant rows
+    * per string — independent of string length, the long-string win.
+    */
+  def probeEntries(ents: DataFrame, tau: Int): DataFrame = {
+    val k = tau + 1
+    ents.filter(length(col("name")) >= k)
+      .withColumn("ls", length(col("name")))
+      .withColumn("lr", explode(sequence(
+        greatest(col("ls") - tau, lit(k)), col("ls") + tau)))
+      .withColumn("i", explode(sequence(lit(1), lit(k))))
+      .withColumn("base", expr(s"lr div $k"))
+      .withColumn("rem", expr(s"lr % $k"))
+      .withColumn("p", lit(1) + (col("i") - 1) * col("base") +
+        greatest(lit(0), col("i") - 1 - (lit(k) - col("rem"))))
+      .withColumn("l", col("base") +
+        when(col("i") > lit(k) - col("rem"), 1).otherwise(0))
+      .withColumn("d", col("ls") - col("lr"))
+      .withColumn("lo", greatest(lit(1), col("p") - (col("i") - 1),
+        col("p") + col("d") - (lit(k) - col("i"))))
+      .withColumn("hi", least(col("ls") - col("l") + 1, col("p") + (col("i") - 1),
+        col("p") + col("d") + (lit(k) - col("i"))))
+      // an empty window must yield NO rows: Spark's sequence(lo, hi)
+      // with lo > hi counts DOWN instead
+      .filter(col("lo") <= col("hi"))
+      .withColumn("st", explode(sequence(col("lo"), col("hi"))))
+      .select(col("key"),
+        xxhash64(col("lr"), col("i"), expr("substring(name, st, l)")).as("sig"))
+  }
+
+  /** Normalized candidate pairs `(a_key, b_key, a_name, b_name)`:
+    * probe x segment hash join, keys-only pair fold (DISTINCT over two
+    * 8-byte keys), names re-joined output-sized. Every true ed <= tau
+    * pair surfaces (pigeonhole + the position lemma, probing both
+    * directions by construction — each member probes the other's
+    * segments); false candidates (hash collisions, coincidental
+    * substring matches) are culled by [[matchPairs]]' verification.
+    */
+  def candidates(ents: DataFrame, tau: Int): DataFrame = {
+    val pairs = probeEntries(ents, tau).as("a")
+      .join(segmentEntries(ents, tau).hint("SHUFFLE_HASH").as("b"),
+        col("a.sig") === col("b.sig") && col("a.key") =!= col("b.key"))
+      .select(least(col("a.key"), col("b.key")).as("a_key"),
+        greatest(col("a.key"), col("b.key")).as("b_key"))
+      .dropDuplicates("a_key", "b_key")
+    val names = ents.select(col("key"), col("name"))
+    pairs
+      .join(names.select(col("key").as("a_key"), col("name").as("a_name")), "a_key")
+      .join(names.select(col("key").as("b_key"), col("name").as("b_name")), "b_key")
+  }
+
+  /** The verified edit-distance join: `(a_key, b_key, dist)` for every
+    * pair within `tau` — one exact levenshtein per candidate.
+    */
+  def matchPairs(ents: DataFrame, tau: Int): DataFrame =
+    candidates(ents, tau)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("dist") <= tau)
+      .select("a_key", "b_key", "dist")
+}

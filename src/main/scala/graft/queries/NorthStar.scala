@@ -854,6 +854,172 @@ object NorthStar {
     scoreMultiPass(Tables.load(s, dir, "customer").filter(col("c_custkey") < 3000))
   }
 
+  /** The customer frame's scoring attribute projection — `(key, nat,
+    * seg, band)`, band = cents div 100000 shifted positive so truncating
+    * and flooring division agree. One copy for the stored and streamed
+    * scored-matching cells.
+    */
+  private[queries] def custAttrs(cust: DataFrame): DataFrame =
+    cust.select(col("c_custkey").as("key"), col("c_nationkey").as("nat"),
+      col("c_mktsegment").as("seg"),
+      expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000").as("band"))
+
+  /** The Fellegi-Sunter-lite lattice over VERIFIED pairs `(a_key, b_key,
+    * dist)` and an attribute projection ([[custAttrs]]' shape): name
+    * term 2 * (3 - dist), nation +3, segment +2, balance band +1,
+    * threshold >= 6 — [[d_entity_score]]'s weights, shared by the stored
+    * index and streamed screen so the lattice cannot drift. Two
+    * OUTPUT-sized hash joins; per-row integer expression work.
+    */
+  private[queries] def scorePairs(pairs: DataFrame, attrs: DataFrame): DataFrame = {
+    val a = attrs.select(col("key").as("a_key"), col("nat").as("a_nat"),
+      col("seg").as("a_seg"), col("band").as("a_band"))
+    val b = attrs.select(col("key").as("b_key"), col("nat").as("b_nat"),
+      col("seg").as("b_seg"), col("band").as("b_band"))
+    pairs.join(a, "a_key").join(b, "b_key")
+      .select(col("a_key"), col("b_key"),
+        (lit(2) * (lit(3) - col("dist")) +
+          when(col("a_nat") === col("b_nat"), 3).otherwise(0) +
+          when(col("a_seg") === col("b_seg"), 2).otherwise(0) +
+          when(col("a_band") === col("b_band"), 1).otherwise(0)).cast("long").as("score"))
+      .filter(col("score") >= 6)
+  }
+
+  /** STORED scored matching (r16 verdict missing #3): [[d_entity_score]]
+    * answered from PERSISTED state — the tau = 2 deletion-neighborhood
+    * index ([[graft.operators.FastSsIndex]]) plus a stored 4-column
+    * attribute projection that grows with the same base/delta batches,
+    * so the production linkage gate re-scores arrivals without ever
+    * re-reading the source table. Per batch: bucket-pruned candidates →
+    * one levenshtein per surviving pair → the shared [[scorePairs]]
+    * lattice against the stored attributes (entity-sized scan, two
+    * output-sized hash joins; at 100 TB the projection would ride the
+    * index's kb= bucketing, but the join is already output-bound).
+    * Replayed attribute appends fold by the key dedup.
+    */
+  val d_entity_score_index: Query = q("d_entity_score_index",
+    Some(entityScoreOracleSql)) { (s, dir) =>
+    val cust = Tables.load(s, dir, "customer")
+    val ents = cust.select(col("c_custkey").as("key"), col("c_name").as("name"))
+    val root = java.nio.file.Files.createTempDirectory("graft_fss_score_").toString
+    val p = s"$root/idx"
+    graft.operators.FastSsIndex.build(
+      ents.filter(pmod(col("key"), lit(3)) =!= 2), p, tau = 2)
+    custAttrs(cust).filter(pmod(col("key"), lit(3)) =!= 2)
+      .write.mode("append").parquet(s"$root/attrs")
+    graft.operators.FastSsIndex.ingest(
+      ents.filter(pmod(col("key"), lit(3)) === 2), p, batch = 1, tau = 2)
+    custAttrs(cust).filter(pmod(col("key"), lit(3)) === 2)
+      .write.mode("append").parquet(s"$root/attrs")
+    val attrs = s.read.parquet(s"$root/attrs").dropDuplicates("key")
+    val pairs = (0 to 1).map(b => EntityBlockIndex.verifyTypo(
+        graft.operators.FastSsIndex.candidates(s, p, b), tau = 2))
+      .reduce(_ unionByName _)
+      .dropDuplicates("a_key", "b_key")
+    scorePairs(pairs, attrs).orderBy("a_key", "b_key")
+  }
+
+  /** Long-string entity fixture for the PassJoin family (r16 verdict
+    * missing #5 — addresses/titles at 50-200 chars are the common
+    * record-linkage payload, and the fixture's 18-char names never
+    * exercise that regime): document titles (first 120 chars) plus
+    * md5-derived perturbed twins at EXACT edit distances — `% 5 = 0`
+    * one insert (ed exactly 1: length bound meets the single edit),
+    * `% 5 = 1` two deletes (ed exactly 2), `% 5 = 3` two inserts (ed
+    * exactly 2) — so the differential provably exercises the two-edit
+    * long-string contract. Derived in-query from md5 (computable
+    * verbatim in DuckDB, the typoPerturbed discipline).
+    */
+  private[queries] def longTitles(docs: DataFrame): DataFrame = {
+    val base = docs.filter(length(col("text")) >= 60)
+      .select(col("doc_id").as("key"), substring(col("text"), 1, 120).as("name"))
+    val withP = base
+      .withColumn("p", expr("1 + (ascii(substring(md5(name), 1, 1)) % 40)"))
+      .withColumn("q", expr("p + 1 + (ascii(substring(md5(name), 3, 1)) % 10)"))
+      .withColumn("c1", expr("substring(md5(name), 2, 1)"))
+      .withColumn("c2", expr("substring(md5(name), 4, 1)"))
+    val ins1 = withP.filter(expr("key % 5 = 0"))
+      .select((col("key") + lit(10000000L)).as("key"),
+        expr("concat(substring(name, 1, p), c1, substring(name, p + 1, length(name)))")
+          .as("name"))
+    val del2 = withP.filter(expr("key % 5 = 1"))
+      .select((col("key") + lit(20000000L)).as("key"),
+        expr("concat(substring(name, 1, p - 1), substring(name, p + 1, q - p - 1), " +
+          "substring(name, q + 1, length(name)))").as("name"))
+    val ins2 = withP.filter(expr("key % 5 = 3"))
+      .select((col("key") + lit(30000000L)).as("key"),
+        expr("concat(substring(name, 1, p), c1, substring(name, p + 1, q - p), c2, " +
+          "substring(name, q + 1, length(name)))").as("name"))
+    base.unionByName(ins1).unionByName(del2).unionByName(ins2)
+  }
+
+  private[queries] def passjoinOracleSql(cap: String): String =
+    s"""WITH base AS (
+      |  SELECT doc_id AS key, substring(text, 1, 120) AS name
+      |  FROM documents WHERE length(text) >= 60$cap),
+      |withp AS (
+      |  SELECT key, name,
+      |         1 + (ascii(substring(md5(name), 1, 1)) % 40) AS p,
+      |         substring(md5(name), 2, 1) AS c1,
+      |         substring(md5(name), 4, 1) AS c2,
+      |         1 + (ascii(substring(md5(name), 1, 1)) % 40)
+      |           + 1 + (ascii(substring(md5(name), 3, 1)) % 10) AS q
+      |  FROM base),
+      |rel AS (
+      |  SELECT key, name FROM base
+      |  UNION ALL
+      |  SELECT key + 10000000,
+      |         concat(substring(name, 1, p), c1, substring(name, p + 1, length(name)))
+      |  FROM withp WHERE key % 5 = 0
+      |  UNION ALL
+      |  SELECT key + 20000000,
+      |         concat(substring(name, 1, p - 1), substring(name, p + 1, q - p - 1),
+      |                substring(name, q + 1, length(name)))
+      |  FROM withp WHERE key % 5 = 1
+      |  UNION ALL
+      |  SELECT key + 30000000,
+      |         concat(substring(name, 1, p), c1, substring(name, p + 1, q - p), c2,
+      |                substring(name, q + 1, length(name)))
+      |  FROM withp WHERE key % 5 = 3)
+      |SELECT a.key AS a_key, b.key AS b_key,
+      |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      |FROM rel a JOIN rel b
+      |  ON a.key < b.key AND abs(length(a.name) - length(b.name)) <= 2
+      |WHERE levenshtein(a.name, b.name) <= 2
+      |ORDER BY a_key, b_key""".stripMargin
+
+  /** Edit-distance <= 2 matching over LONG strings ([[graft.operators
+    * .PassJoin]] — Li et al. VLDB'11 positional segments, the published
+    * answer where FastSS deletion neighborhoods go quadratic in the
+    * string length): 3 segments per indexed title, a constant ~45 probe
+    * substrings per title regardless of its 120-char length (a tau = 2
+    * neighborhood would be ~7,000 signatures per title), one hash join,
+    * one levenshtein per surviving pair. Completes the entity-matching
+    * matrix's length axis: FastSS short strings, PassJoin long.
+    */
+  val d_passjoin_long: Query = q("d_passjoin_long",
+    Some(passjoinOracleSql(""))) { (s, dir) =>
+    graft.operators.PassJoin.matchPairs(
+        longTitles(Tables.load(s, dir, "documents")), tau = 2)
+      .orderBy("a_key", "b_key")
+  }
+
+  /** d_passjoin_long's doc_id < 500 twin — the key-range-capped
+    * discipline that keeps an sf0.1 differential (the unrestricted
+    * all-pairs oracle is quadratic in DuckDB: 8,000 titles at sf0.1 is
+    * 32M 120-char levenshteins, far past the compare budget; the cap
+    * bounds it at the sf0.01 scale while the Spark side runs the
+    * identical segment/probe/verify plan with the filter pushed to the
+    * parquet scan).
+    */
+  val d_passjoin_capped: Query = q("d_passjoin_capped",
+    Some(passjoinOracleSql(" AND doc_id < 500"))) { (s, dir) =>
+    graft.operators.PassJoin.matchPairs(
+        longTitles(Tables.load(s, dir, "documents").filter(col("doc_id") < 500)),
+        tau = 2)
+      .orderBy("a_key", "b_key")
+  }
+
   /** Deterministic PLANTED-DUPLICATE entity relation — the cluster-
     * resolution fixture (the typoPerturbed injection discipline, pushed
     * to where clustering is non-degenerate): the raw fixture names form
@@ -5382,6 +5548,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     d_entity_index_probe, d_entity_xlen_index_probe, d_entity_ed2_index_probe,
     d_entity_match_capped,
     d_entity_match_osa, d_entity_score, d_entity_score_mp, d_entity_score_mp_capped,
+    d_entity_score_index, d_passjoin_long, d_passjoin_capped,
     d_entity_clusters, d_entity_golden, d_entity_clusters_capped,
     d_entity_golden_capped, d_entity_score_capped, d_entity_osa_capped,
     d_containment, d_containment_collapse, d_containment_probe,

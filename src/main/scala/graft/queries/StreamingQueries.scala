@@ -1206,6 +1206,50 @@ object StreamingQueries {
     * fails loudly instead of silently punching a recall hole. Oracle =
     * d_entity_match_ed2's unrestricted all-pairs join.
     */
+  /** STREAMED scored matching (r16 verdict missing #3) — the production
+    * linkage gate scoring EVERY arriving record: each trigger ingests
+    * its records into the persisted tau = 2 index AND an attribute
+    * projection, probes its own candidates, and lands the pairs that
+    * clear the multi-attribute Fellegi-Sunter lattice (shared
+    * [[NorthStar.scorePairs]] — name distance + nation + segment +
+    * balance band, threshold >= 6), not name distance alone. Wiring is
+    * [[graft.operators.FastSsIndex.screenStream]]'s with its emit hook;
+    * attribute appends precede scoring inside the trigger, so both
+    * endpoints of every pair resolve, and replays fold (key dedup +
+    * pair dedup at read). Oracle: the batch lattice over all pairs with
+    * name candidates <= 2 (d_entity_score's).
+    */
+  val st_entity_score: Query = Query(
+    "st_entity_score",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_entsc_").toString
+      val cust = graft.tables.Tables.load(s, dir, "customer")
+      val feed = cust.select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000").as("band"))
+      for (sl <- 0 to 2)
+        oneFile(feed.filter(pmod(col("key"), lit(3)) === sl),
+          s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, name STRING, nat INT, seg STRING, band BIGINT")
+      val streamed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.FastSsIndex.screenStream(
+        streamed, s"$base/idx", s"$base/matches", s"$base/cp", tau = 2,
+        emit = (pairs, batch) => {
+          batch.select("key", "nat", "seg", "band")
+            .write.mode("append").parquet(s"$base/attrs")
+          NorthStar.scorePairs(pairs,
+            batch.sparkSession.read.parquet(s"$base/attrs").dropDuplicates("key"))
+        })
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/matches")
+        .dropDuplicates("a_key", "b_key")
+        .select("a_key", "b_key", "score")
+        .orderBy("a_key", "b_key")
+    },
+    Some(NorthStar.entityScoreOracleSql))
+
   val st_entity_ed2: Query = Query(
     "st_entity_ed2",
     (s, dir) => {
@@ -1605,5 +1649,5 @@ object StreamingQueries {
     st_sq8_ingest, st_join_ingest, st_scd2_lookup, st_pipeline_ivm,
     st_entity_screen, st_entity_screen_xlen, st_entity_typos, st_entity_ed2,
     st_entity_clusters, st_join_cdc, st_join_cdc_delete,
-    e_scd2_delete, st_scd2_delete)
+    e_scd2_delete, st_scd2_delete, st_entity_score)
 }
