@@ -135,36 +135,17 @@ object FastSsIndex {
     * kerneling writer validates it. A marker-less index (pre-r14) is
     * tau = 1, the only radius that existed.
     */
-  private def tauMarkerPath(path: String) =
-    new org.apache.hadoop.fs.Path(path, "_graft_tau")
+  private def tauMarkerPath(path: String) = RadiusMarker.markerPath(path)
 
-  private def writeTauMarker(spark: SparkSession, path: String, tau: Int): Unit = {
-    val mp = tauMarkerPath(path)
-    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(mp, true)
-    try out.write(tau.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeTauMarker(spark: SparkSession, path: String, tau: Int): Unit =
+    RadiusMarker.write(spark, path, tau)
 
   /** The index's persisted radius (tau = 1 for pre-marker artifacts). */
-  def storedTau(spark: SparkSession, path: String): Int = {
-    val mp = tauMarkerPath(path)
-    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(mp)) 1
-    else {
-      val in = fs.open(mp)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
-    }
-  }
+  def storedTau(spark: SparkSession, path: String): Int =
+    RadiusMarker.stored(spark, path, default = 1)
 
-  private def validateTau(spark: SparkSession, path: String, tau: Int): Unit = {
-    val stored = storedTau(spark, path)
-    require(stored == tau,
-      s"index at $path was built with deletion radius tau=$stored but this writer " +
-        s"kernels at tau=$tau — mixed radii would silently break the edit-distance " +
-        "contract. Rebuild the index at the desired radius.")
-  }
+  private def validateTau(spark: SparkSession, path: String, tau: Int): Unit =
+    RadiusMarker.validate(spark, path, tau, default = 1)
 
   /** Hash the base master list once; write the index as batch 0 under
     * the `bb=` bucket layout.

@@ -64,7 +64,7 @@ object PassJoin {
         greatest(lit(0), col("i") - 1 - (lit(k) - col("rem"))))
       .withColumn("l", col("base") +
         when(col("i") > lit(k) - col("rem"), 1).otherwise(0))
-      .select(col("key"),
+      .select(col("key"), col("name"),
         xxhash64(col("lr"), col("i"), expr("substring(name, p, l)")).as("sig"))
   }
 
@@ -96,7 +96,7 @@ object PassJoin {
       // with lo > hi counts DOWN instead
       .filter(col("lo") <= col("hi"))
       .withColumn("st", explode(sequence(col("lo"), col("hi"))))
-      .select(col("key"),
+      .select(col("key"), col("name"),
         xxhash64(col("lr"), col("i"), expr("substring(name, st, l)")).as("sig"))
   }
 

@@ -1020,6 +1020,45 @@ object NorthStar {
       .orderBy("a_key", "b_key")
   }
 
+  /** The verified pair set from a stored PassJoin index over base/delta
+    * batches — shared by the full lifecycle row and its capped sf0.1
+    * twin.
+    */
+  private def passjoinIndexPairs(s: org.apache.spark.sql.SparkSession,
+                                 ents: DataFrame): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory("graft_pjidx_").toString + "/idx"
+    graft.operators.PassJoinIndex.build(
+      ents.filter(pmod(col("key"), lit(3)) =!= 2), p, tau = 2)
+    graft.operators.PassJoinIndex.ingest(
+      ents.filter(pmod(col("key"), lit(3)) === 2), p, batch = 1, tau = 2)
+    (0 to 1).map(b => EntityBlockIndex.verifyTypo(
+        graft.operators.PassJoinIndex.candidates(s, p, b), tau = 2))
+      .reduce(_ unionByName _)
+      .dropDuplicates("a_key", "b_key")
+      .orderBy("a_key", "b_key")
+  }
+
+  /** d_passjoin_long from the PERSISTED segment index — the stored/
+    * incremental cell of the long-string family ([[graft.operators
+    * .PassJoinIndex]]): base + delta segmented once each, per-batch
+    * probes from the batch's own stored rows (manifest-discovered,
+    * probe-bucket-pruned), the shared verify lattice at tau = 2. Same
+    * all-pairs oracle as the in-query row.
+    */
+  val d_passjoin_index: Query = q("d_passjoin_index",
+    Some(passjoinOracleSql(""))) { (s, dir) =>
+    passjoinIndexPairs(s, longTitles(Tables.load(s, dir, "documents")))
+  }
+
+  /** d_passjoin_index's doc_id < 500 twin — the stored long-string cell
+    * keeps an sf0.1 differential too (d_passjoin_capped's rationale).
+    */
+  val d_passjoin_index_capped: Query = q("d_passjoin_index_capped",
+    Some(passjoinOracleSql(" AND doc_id < 500"))) { (s, dir) =>
+    passjoinIndexPairs(s,
+      longTitles(Tables.load(s, dir, "documents").filter(col("doc_id") < 500)))
+  }
+
   /** Deterministic PLANTED-DUPLICATE entity relation — the cluster-
     * resolution fixture (the typoPerturbed injection discipline, pushed
     * to where clustering is non-degenerate): the raw fixture names form
@@ -5549,6 +5588,7 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     d_entity_match_capped,
     d_entity_match_osa, d_entity_score, d_entity_score_mp, d_entity_score_mp_capped,
     d_entity_score_index, d_passjoin_long, d_passjoin_capped,
+    d_passjoin_index, d_passjoin_index_capped,
     d_entity_clusters, d_entity_golden, d_entity_clusters_capped,
     d_entity_golden_capped, d_entity_score_capped, d_entity_osa_capped,
     d_containment, d_containment_collapse, d_containment_probe,

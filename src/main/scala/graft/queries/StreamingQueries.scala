@@ -1250,6 +1250,36 @@ object StreamingQueries {
     },
     Some(NorthStar.entityScoreOracleSql))
 
+  /** Streamed LONG-STRING screen ([[graft.operators.PassJoinIndex
+    * .screenStream]] — the stored PassJoin lifecycle's continuous shape):
+    * document titles arrive in three slices, each trigger segments and
+    * appends its batch under a real pinned id and probes its own
+    * multi-match-aware substrings against everything stored, landing
+    * verified ed <= 2 pairs. Oracle: the same all-pairs long-title
+    * truth as d_passjoin_long.
+    */
+  val st_passjoin: Query = Query(
+    "st_passjoin",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_pj_").toString
+      val titles = NorthStar.longTitles(graft.tables.Tables.load(s, dir, "documents"))
+      for (sl <- 0 to 2)
+        oneFile(titles.filter(pmod(col("key"), lit(3)) === sl),
+          s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, name STRING")
+      val streamed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.PassJoinIndex.screenStream(
+        streamed, s"$base/idx", s"$base/matches", s"$base/cp", tau = 2)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/matches")
+        .dropDuplicates("a_key", "b_key")
+        .select("a_key", "b_key", "dist")
+        .orderBy("a_key", "b_key")
+    },
+    Some(NorthStar.passjoinOracleSql("")))
+
   val st_entity_ed2: Query = Query(
     "st_entity_ed2",
     (s, dir) => {
@@ -1367,6 +1397,108 @@ object StreamingQueries {
       EventAnalytics.pipelineIvmGate(s, dir, s"$base/agg")
     },
     Some(EventAnalytics.pipelineIvmOracleSql))
+
+  /** The composed CDC pipeline STREAMED — e_pipeline_cdc's production
+    * shape (r16 verdict missing #1, streamed cell): a fact CHANGEFEED
+    * (upserts + deletes, op column) arrives as micro-batches and ONE
+    * trigger advances BOTH maintained stages under the SAME pinned batch
+    * id — the ops apply to the CDC [[graft.operators.JoinView]]
+    * (sign-resolved enriched facts), then exactly that batch's SIGNED
+    * view partition corrects the stored [[graft.operators.AggIndex]]
+    * partials ([[graft.operators.AggIndex.ingestCdc]], state = the
+    * view's own merged read — replay-stable because the view's ledger
+    * no-ops its trigger first, which is precisely ingestCdc's documented
+    * replay contract). The dashboard is CDC-correct the moment each
+    * trigger commits: a deleted fact leaves its (prio, day) cell, an
+    * updated value re-sums it, with no log rescans at either stage.
+    */
+  val st_pipeline_cdc: Query = Query(
+    "st_pipeline_cdc",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_cdcivm_").toString
+      val ord = graft.tables.Tables.load(s, dir, "orders")
+      val a0 = ord.select(col("o_orderkey").as("key"), col("o_orderdate").as("ts"),
+        col("o_custkey").as("user_id"), col("o_totalprice").as("value"))
+      val b0 = ord.select(col("o_orderkey").as("key"), col("o_orderpriority").as("prio"))
+      def feed(s2: org.apache.spark.sql.SparkSession, n: Int) =
+        s2.read.parquet(s"$base/jv/view").filter(col("batch") === n)
+          .select(col("prio").as("event_type"), col("ts"),
+            col("value"), col("user_id"), col("sgn"))
+      def state(s2: org.apache.spark.sql.SparkSession) =
+        graft.operators.JoinView.merged(s2, s"$base/jv")
+          .select(col("prio").as("event_type"), col("ts"),
+            col("value"), col("user_id"))
+      graft.operators.JoinView.build(a0, b0, "key", s"$base/jv", cdc = true)
+      graft.operators.AggIndex.build(feed(s, 0).drop("sgn"), s"$base/agg", cdc = true)
+      // the changefeed: 1 = value corrections, 2 = deletes, 3 = re-insert
+      // half the deleted keys at a new value
+      val ops = Seq(
+        a0.filter(col("key") % 7 === 3).withColumn("value", col("value") + 100)
+          .withColumn("op", lit("u")),
+        a0.filter(col("key") % 13 === 2).withColumn("op", lit("d")),
+        a0.filter(col("key") % 26 === 2).withColumn("value", col("value") + 50)
+          .withColumn("op", lit("u")))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+      val fSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE, op STRING")
+      val streamed = s.readStream.schema(fSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = streamed.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val s2 = b.sparkSession
+          val n = (batchId + 1).toInt // seed holds batch 0
+          val db = b0.limit(0)
+          graft.operators.JoinView.ingestCdc(
+            b.filter(!col("op").eqNullSafe("d")).drop("op"), db, "key",
+            s"$base/jv", batch = n,
+            delA = b.filter(col("op").eqNullSafe("d")).select(col("key")))
+          graft.operators.AggIndex.ingestCdc(feed(s2, n), state(s2), s"$base/agg", n)
+          ()
+        }
+        .option("checkpointLocation", s"$base/cp")
+        .start()
+      try {
+        for ((sl, i) <- ops.zipWithIndex) {
+          oneFile(sl, s"$base/src/s$i.parquet", 1000000000000L + i * 60000L)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // gate: exact distinct from the corrected one-shot join
+      val aCor = a0.filter(col("key") % 13 =!= 2 || col("key") % 26 === 2)
+        .withColumn("value",
+          when(col("key") % 26 === 2, col("value") + 50)
+            .when(col("key") % 7 === 3, col("value") + 100)
+            .otherwise(col("value")))
+      val exact = aCor.join(b0, Seq("key"))
+        .groupBy(col("prio").as("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      graft.operators.AggIndex.merged(s, s"$base/agg")
+        .join(exact, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("cnt"),
+          round(col("sum_v"), 2).cast("double").as("sum_v"),
+          col("min_v"), col("max_v"), col("exact_users"),
+          (abs(col("users") - col("exact_users")).cast("double") <=
+            col("exact_users").cast("double") * 0.05).as("within_5pct"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH a AS (
+           |  SELECT o_orderkey AS key, CAST(o_orderdate AS TIMESTAMP) AS ts,
+           |         o_custkey AS user_id,
+           |         CASE WHEN o_orderkey % 26 = 2 THEN o_totalprice + 50
+           |              WHEN o_orderkey % 7 = 3 THEN o_totalprice + 100
+           |              ELSE o_totalprice END AS value
+           |  FROM orders WHERE o_orderkey % 13 <> 2 OR o_orderkey % 26 = 2),
+           |v AS (SELECT o.o_orderpriority AS event_type, a.ts, a.user_id, a.value
+           |      FROM a JOIN orders o ON a.key = o.o_orderkey)
+           |SELECT event_type,
+           |       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           |       CAST(COUNT(*) AS BIGINT) AS cnt,
+           |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_v,
+           |       MIN(value) AS min_v, MAX(value) AS max_v,
+           |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           |       TRUE AS within_5pct
+           |FROM v GROUP BY event_type, day ORDER BY event_type, day""".stripMargin))
 
   /** Streamed SCD type-2 dimension maintenance — q38_scd2_merge's batch
     * upsert run CONTINUOUSLY ([[graft.operators.Scd2Dim]]): the customer
@@ -1649,5 +1781,6 @@ object StreamingQueries {
     st_sq8_ingest, st_join_ingest, st_scd2_lookup, st_pipeline_ivm,
     st_entity_screen, st_entity_screen_xlen, st_entity_typos, st_entity_ed2,
     st_entity_clusters, st_join_cdc, st_join_cdc_delete,
-    e_scd2_delete, st_scd2_delete, st_entity_score)
+    e_scd2_delete, st_scd2_delete, st_entity_score, st_pipeline_cdc,
+    st_passjoin)
 }
