@@ -899,7 +899,23 @@ object NorthStar {
     */
   val d_entity_score_index: Query = q("d_entity_score_index",
     Some(entityScoreOracleSql)) { (s, dir) =>
-    val cust = Tables.load(s, dir, "customer")
+    scoreIndexPairs(s, Tables.load(s, dir, "customer"))
+  }
+
+  /** d_entity_score_index's keys < 3000 twin — the capped discipline
+    * gives the STORED scored-matching cell an un-excluded sf0.1
+    * differential (its all-pairs oracle is quadratic in DuckDB).
+    */
+  val d_entity_score_index_capped: Query = q("d_entity_score_index_capped",
+    Some(entityScoreCappedOracleSql)) { (s, dir) =>
+    scoreIndexPairs(s, Tables.load(s, dir, "customer").filter(col("c_custkey") < 3000))
+  }
+
+  /** The stored scored-matching lifecycle over a customer frame — one
+    * copy for d_entity_score_index and its capped sf0.1 twin.
+    */
+  private def scoreIndexPairs(s: org.apache.spark.sql.SparkSession,
+                              cust: DataFrame): DataFrame = {
     val ents = cust.select(col("c_custkey").as("key"), col("c_name").as("name"))
     val root = java.nio.file.Files.createTempDirectory("graft_fss_score_").toString
     val p = s"$root/idx"
@@ -1249,7 +1265,9 @@ object NorthStar {
     goldenFrom(cappedClusterLabels(s, dir), Tables.load(s, dir, "customer"))
   }
 
-  val d_entity_score_capped: Query = q("d_entity_score_capped", Some(
+  // lazy: referenced by vals declared EARLIER in this object's init order
+  // (d_entity_score_index_capped) and by StreamingQueries
+  private[queries] lazy val entityScoreCappedOracleSql: String =
     """SELECT a_key, b_key, score FROM (
       |  SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
       |         CAST(2 * (3 - levenshtein(a.c_name, b.c_name))
@@ -1264,7 +1282,10 @@ object NorthStar {
       |   AND abs(length(a.c_name) - length(b.c_name)) <= 2
       |  WHERE levenshtein(a.c_name, b.c_name) <= 2) s
       |WHERE score >= 6
-      |ORDER BY a_key, b_key""".stripMargin)) { (s, dir) =>
+      |ORDER BY a_key, b_key""".stripMargin
+
+  val d_entity_score_capped: Query = q("d_entity_score_capped",
+    Some(entityScoreCappedOracleSql)) { (s, dir) =>
     val cust = Tables.load(s, dir, "customer").filter(col("c_custkey") < 3000)
     val pairs = ed2Match(cust.select(col("c_custkey").as("key"), col("c_name").as("name")))
     val attrs = cust.select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
@@ -5587,7 +5608,8 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     d_entity_index_probe, d_entity_xlen_index_probe, d_entity_ed2_index_probe,
     d_entity_match_capped,
     d_entity_match_osa, d_entity_score, d_entity_score_mp, d_entity_score_mp_capped,
-    d_entity_score_index, d_passjoin_long, d_passjoin_capped,
+    d_entity_score_index, d_entity_score_index_capped,
+    d_passjoin_long, d_passjoin_capped,
     d_passjoin_index, d_passjoin_index_capped,
     d_entity_clusters, d_entity_golden, d_entity_clusters_capped,
     d_entity_golden_capped, d_entity_score_capped, d_entity_osa_capped,

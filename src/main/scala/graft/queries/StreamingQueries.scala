@@ -1219,36 +1219,48 @@ object StreamingQueries {
     * pair dedup at read). Oracle: the batch lattice over all pairs with
     * name candidates <= 2 (d_entity_score's).
     */
+  private def streamedScore(s: org.apache.spark.sql.SparkSession, dir: String,
+                            cap: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_entsc_").toString
+    val cust = graft.tables.Tables.load(s, dir, "customer").filter(cap)
+    val feed = cust.select(col("c_custkey").as("key"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000").as("band"))
+    for (sl <- 0 to 2)
+      oneFile(feed.filter(pmod(col("key"), lit(3)) === sl),
+        s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "key BIGINT, name STRING, nat INT, seg STRING, band BIGINT")
+    val streamed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = graft.operators.FastSsIndex.screenStream(
+      streamed, s"$base/idx", s"$base/matches", s"$base/cp", tau = 2,
+      emit = (pairs, batch) => {
+        batch.select("key", "nat", "seg", "band")
+          .write.mode("append").parquet(s"$base/attrs")
+        NorthStar.scorePairs(pairs,
+          batch.sparkSession.read.parquet(s"$base/attrs").dropDuplicates("key"))
+      })
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$base/matches")
+      .dropDuplicates("a_key", "b_key")
+      .select("a_key", "b_key", "score")
+      .orderBy("a_key", "b_key")
+  }
+
   val st_entity_score: Query = Query(
     "st_entity_score",
-    (s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_entsc_").toString
-      val cust = graft.tables.Tables.load(s, dir, "customer")
-      val feed = cust.select(col("c_custkey").as("key"), col("c_name").as("name"),
-        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
-        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000").as("band"))
-      for (sl <- 0 to 2)
-        oneFile(feed.filter(pmod(col("key"), lit(3)) === sl),
-          s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "key BIGINT, name STRING, nat INT, seg STRING, band BIGINT")
-      val streamed = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-      val q = graft.operators.FastSsIndex.screenStream(
-        streamed, s"$base/idx", s"$base/matches", s"$base/cp", tau = 2,
-        emit = (pairs, batch) => {
-          batch.select("key", "nat", "seg", "band")
-            .write.mode("append").parquet(s"$base/attrs")
-          NorthStar.scorePairs(pairs,
-            batch.sparkSession.read.parquet(s"$base/attrs").dropDuplicates("key"))
-        })
-      try q.processAllAvailable() finally q.stop()
-      s.read.parquet(s"$base/matches")
-        .dropDuplicates("a_key", "b_key")
-        .select("a_key", "b_key", "score")
-        .orderBy("a_key", "b_key")
-    },
+    (s, dir) => streamedScore(s, dir, lit(true)),
     Some(NorthStar.entityScoreOracleSql))
+
+  /** st_entity_score's keys < 3000 twin — the capped discipline gives
+    * the STREAMED scored gate an un-excluded sf0.1 differential.
+    */
+  val st_entity_score_capped: Query = Query(
+    "st_entity_score_capped",
+    (s, dir) => streamedScore(s, dir, col("c_custkey") < 3000),
+    Some(NorthStar.entityScoreCappedOracleSql))
 
   /** Streamed LONG-STRING screen ([[graft.operators.PassJoinIndex
     * .screenStream]] — the stored PassJoin lifecycle's continuous shape):
@@ -1258,27 +1270,40 @@ object StreamingQueries {
     * verified ed <= 2 pairs. Oracle: the same all-pairs long-title
     * truth as d_passjoin_long.
     */
+  private def streamedPassjoin(s: org.apache.spark.sql.SparkSession, dir: String,
+                               cap: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_pj_").toString
+    val titles = NorthStar.longTitles(
+      graft.tables.Tables.load(s, dir, "documents").filter(cap))
+    for (sl <- 0 to 2)
+      oneFile(titles.filter(pmod(col("key"), lit(3)) === sl),
+        s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "key BIGINT, name STRING")
+    val streamed = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+    val q = graft.operators.PassJoinIndex.screenStream(
+      streamed, s"$base/idx", s"$base/matches", s"$base/cp", tau = 2)
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$base/matches")
+      .dropDuplicates("a_key", "b_key")
+      .select("a_key", "b_key", "dist")
+      .orderBy("a_key", "b_key")
+  }
+
   val st_passjoin: Query = Query(
     "st_passjoin",
-    (s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_pj_").toString
-      val titles = NorthStar.longTitles(graft.tables.Tables.load(s, dir, "documents"))
-      for (sl <- 0 to 2)
-        oneFile(titles.filter(pmod(col("key"), lit(3)) === sl),
-          s"$base/src/s$sl.parquet", 1000000000000L + sl * 60000L)
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "key BIGINT, name STRING")
-      val streamed = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
-      val q = graft.operators.PassJoinIndex.screenStream(
-        streamed, s"$base/idx", s"$base/matches", s"$base/cp", tau = 2)
-      try q.processAllAvailable() finally q.stop()
-      s.read.parquet(s"$base/matches")
-        .dropDuplicates("a_key", "b_key")
-        .select("a_key", "b_key", "dist")
-        .orderBy("a_key", "b_key")
-    },
+    (s, dir) => streamedPassjoin(s, dir, lit(true)),
     Some(NorthStar.passjoinOracleSql("")))
+
+  /** st_passjoin's doc_id < 500 twin — the capped discipline for the
+    * streamed long-string screen's sf0.1 row.
+    */
+  val st_passjoin_capped: Query = Query(
+    "st_passjoin_capped",
+    (s, dir) => streamedPassjoin(s, dir, col("doc_id") < 500),
+    Some(NorthStar.passjoinOracleSql(" AND doc_id < 500")))
 
   val st_entity_ed2: Query = Query(
     "st_entity_ed2",
@@ -1781,6 +1806,6 @@ object StreamingQueries {
     st_sq8_ingest, st_join_ingest, st_scd2_lookup, st_pipeline_ivm,
     st_entity_screen, st_entity_screen_xlen, st_entity_typos, st_entity_ed2,
     st_entity_clusters, st_join_cdc, st_join_cdc_delete,
-    e_scd2_delete, st_scd2_delete, st_entity_score, st_pipeline_cdc,
-    st_passjoin)
+    e_scd2_delete, st_scd2_delete, st_entity_score, st_entity_score_capped,
+    st_pipeline_cdc, st_passjoin, st_passjoin_capped)
 }
