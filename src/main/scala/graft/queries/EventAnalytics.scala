@@ -1006,7 +1006,11 @@ object EventAnalytics {
       col("o_custkey").as("user_id"), col("o_totalprice").as("value"))
     val b0 = ord.select(col("o_orderkey").as("key"), col("o_orderpriority").as("prio"))
     val keys = ord.select(col("o_orderkey").as("key"))
-    val root = joinViewCache.computeIfAbsent(s"$dir#pipelinecdc", _ => {
+    // FRESH pipeline per execution (e_join_cdc_lifecycle's headline
+    // discipline): the slot prices the composed CDC lifecycle — both
+    // builds, three view CDC batches, three rollup corrections — not a
+    // memoized fixture's final read
+    val root = {
       val r = java.nio.file.Files.createTempDirectory("graft_jvcdc_ivm_").toString
       def feed(s2: org.apache.spark.sql.SparkSession, n: Int) =
         s2.read.parquet(s"$r/jv/view").filter(col("batch") === n)
@@ -1033,7 +1037,7 @@ object EventAnalytics {
         "key", s"$r/jv")
       AggIndex.ingestCdc(feed(s, 3), state(s), s"$r/agg", batch = 3)
       r
-    })
+    }
     // gate: exact distinct recomputed from the corrected one-shot join
     val aCor = a0.filter(col("key") % 13 =!= 2)
       .withColumn("value",

@@ -1062,7 +1062,7 @@ object NorthStar {
     * all-pairs oracle as the in-query row.
     */
   val d_passjoin_index: Query = q("d_passjoin_index",
-    Some(passjoinOracleSql(""))) { (s, dir) =>
+    Some(passjoinOracleSql("")), headline = true) { (s, dir) =>
     passjoinIndexPairs(s, longTitles(Tables.load(s, dir, "documents")))
   }
 

@@ -346,6 +346,21 @@ class AggIndexSpec extends SparkSpec {
       "compact mid-CDC-lifecycle must not change any answer")
   }
 
+  test("forgetUsers on a CDC table composes: retraction over corrected state") {
+    val p = Files.createTempDirectory("graft_aggidx_cdcf_").toString
+    AggIndex.build(events, p, cdc = true)
+    val dels = events.filter(col("event_id") % 10 === 3).withColumn("sgn", lit(-1))
+    val corrected = events.filter(col("event_id") % 10 =!= 3)
+    AggIndex.ingestCdc(dels, corrected, p, batch = 1)
+    // GDPR on top of CDC: events must be the CURRENT corrected log
+    val gone = col("user_id") % 11 === 5
+    AggIndex.forgetUsers(spark, p, corrected, corrected.filter(gone).select("user_id"))
+    val twin = Files.createTempDirectory("graft_aggidx_cdcf_twin_").toString
+    AggIndex.build(corrected.filter(!gone), twin)
+    assert(rows(AggIndex.merged(spark, p)) == rows(AggIndex.merged(spark, twin)),
+      "retraction over a CDC table must equal a never-ingested corrected build")
+  }
+
   test("ingestCdc on a plain table fails loudly with the rebuild path named") {
     val p = Files.createTempDirectory("graft_aggidx_cdcm_").toString
     AggIndex.build(events, p)

@@ -71,6 +71,21 @@ class PassJoinIndexSpec extends SparkSpec {
       "compaction must physically reclaim the tombstoned rows")
   }
 
+  test("the in-memory batch probe honors the forget contract") {
+    val p = Files.createTempDirectory("graft_pjidx_mem_").toString + "/idx"
+    PassJoinIndex.build(ents(corpus), p, tau = 2)
+    val spark0 = spark
+    import spark0.implicits._
+    PassJoinIndex.forget(spark, p, Seq(2L).toDF("key"))
+    // a tombstoned entity re-arriving as an IN-MEMORY probe batch must
+    // stay hidden (the family-wide re-registration contract)
+    val rearrival = ents(corpus.filter(_._1 == 2L))
+    val pairs = EntityBlockIndex.verifyTypo(
+        PassJoinIndex.candidates(spark, p, batch = 1, Some(rearrival)), tau = 2)
+      .collect()
+    assert(pairs.isEmpty, s"tombstoned re-arrival produced pairs: ${pairs.toSeq}")
+  }
+
   test("a mixed-radius writer fails loudly") {
     val p = Files.createTempDirectory("graft_pjidx_tau_").toString + "/idx"
     PassJoinIndex.build(ents(corpus), p, tau = 2)
