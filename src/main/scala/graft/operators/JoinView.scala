@@ -65,6 +65,108 @@ object JoinView {
   private def keyMarkerPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_join_key")
 
+  /** Fixture-sized day-bucket count for the `pd=` layout — the
+    * [[KeyBuckets.NB]] argument on the TIME axis: a production view picks
+    * a count on the order of its day cardinality, so each bucket holds ~1
+    * day and [[mergedForDays]] prunes to exactly the affected days. Raw
+    * `pd=<day>` directories were the first design and are wrong at BOTH
+    * scales: crossed with `kb=` they explode the directory count (each
+    * batch writes kb x days dirs — a 7-year fixture put every row in its
+    * own partition), and the bucket map bounds it at kb x PDB instead
+    * while keeping the prune factor |days|/PDB. Persisted per table in
+    * the day marker; correctness never depends on the bucket map —
+    * [[mergedForDays]] applies an exact residual day filter after the
+    * prune.
+    */
+  val PDB = 16
+
+  /** Version token of the pd bucket computation (day rendering + hash).
+    * Bump on ANY change to what bytes reach xxhash64 for a given day —
+    * the [[KeyBuckets.HashVersion]] upgrade-axis discipline.
+    */
+  val DayHashVersion = "v1-daystr"
+
+  private def dayColMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_view_day_col")
+
+  /** The day string a timestamp payload column rolls up to — rendered in
+    * the SESSION time zone, matching the day-keyed consumer's rollup key
+    * (AggIndex's `date_format(date_trunc(...))`); the zone is recorded in
+    * the day marker and validated on every write and pruned read, because
+    * a zone change re-days rows near midnight and would silently
+    * mis-bucket them.
+    */
+  private def dayOf(c: Column): Column =
+    date_format(date_trunc("day", c), "yyyy-MM-dd")
+
+  private def pdOf(c: Column, pdb: Int): Column =
+    pmod(xxhash64(dayOf(c)), lit(pdb)).cast("int")
+
+  private def sessionTz(spark: SparkSession): String =
+    spark.conf.get("spark.sql.session.timeZone")
+
+  private def writeDayColMarker(spark: SparkSession, path: String, dayCol: String): Unit = {
+    val mp = dayColMarkerPath(path)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(mp, true)
+    try out.write(s"$dayCol\npdb=$PDB\nhash=$DayHashVersion\ntz=${sessionTz(spark)}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The payload column the view subtable is day-bucketed on (`pd=`), if
+    * [[build]] was given one — root-level marker, so it survives the
+    * per-subtable fold/compact swaps like the join-key marker.
+    */
+  def viewDayCol(spark: SparkSession, path: String): Option[String] =
+    readDayMarker(spark, path).map(_._1)
+
+  /** (dayCol, pdb) with the hash-version and time-zone guards applied —
+    * every pd-addressing writer and pruned reader goes through here, so a
+    * scheme or zone drift fails loudly instead of silently addressing the
+    * wrong buckets.
+    */
+  private def dayLayout(spark: SparkSession, path: String): Option[(String, Int)] =
+    readDayMarker(spark, path).map { case (dc, pdb, hash, tz) =>
+      require(hash == DayHashVersion,
+        s"pd= day-hash scheme mismatch at $path: this writer computes " +
+          s"'$DayHashVersion' but the marker records '$hash' — stored day " +
+          "buckets would be addressed wrongly; rebuild the view")
+      require(tz == sessionTz(spark),
+        s"pd= day layout at $path was written under session time zone '$tz' " +
+          s"but this session uses '${sessionTz(spark)}' — rows near midnight " +
+          "would re-day and mis-bucket; set spark.sql.session.timeZone to " +
+          s"'$tz' (or rebuild the view under the new zone)")
+      (dc, pdb)
+    }
+
+  private def readDayMarker(spark: SparkSession, path: String)
+      : Option[(String, Int, String, String)] = {
+    val mp = dayColMarkerPath(path)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .split('\n').map(_.trim).filter(_.nonEmpty)
+                  finally in.close()
+      def tagged(t: String) = lines.find(_.startsWith(s"$t="))
+        .map(_.stripPrefix(s"$t=")).getOrElse("")
+      Some((lines(0), tagged("pdb").toInt, tagged("hash"), tagged("tz")))
+    }
+  }
+
+  /** The view subtable's partition columns under the current layout. A
+    * day-bucketed view drops `kb=`: no view read prunes on the join key
+    * (the delta rule's pruned reads are the SIDES; merged/mergedForDays
+    * prune on batch/pd), so crossing kb into the layout would only
+    * multiply the directory count kb-fold — measured as the 16x
+    * small-file explosion that sank the first pd design.
+    */
+  private def viewPartCols(spark: SparkSession, path: String): Seq[String] =
+    if (viewDayCol(spark, path).isDefined) Seq("pd", "batch")
+    else Seq("kb", "batch")
+
   private def writeKeyMarker(spark: SparkSession, path: String, key: String): Unit = {
     val mp = keyMarkerPath(path)
     val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -134,6 +236,31 @@ object JoinView {
     df.withColumn("kb", kbOf(df, key)).withColumn("batch", lit(batch))
       .write.partitionBy("kb", "batch").mode("append").parquet(sub)
 
+  /** Append to the VIEW subtable under its persisted layout: plain
+    * `kb=/batch=` or, when [[build]] was given a `dayCol`, `kb=/pd=/batch=`
+    * — the secondary day-bucket partition that makes [[mergedForDays]] a
+    * storage-pruned read. Retraction rows are value-identical to the rows
+    * they cancel ([[cdcTerms]]), so a +1 and its -1 always land under the
+    * SAME pd and the per-bucket sign-sum is self-contained.
+    */
+  private def appendView(spark: SparkSession, df: DataFrame, key: String,
+                         path: String, batch: Int): Unit =
+    dayLayout(spark, path) match {
+      case Some((dc, pdb)) =>
+        // one file per pd directory: without the clustering shuffle every
+        // task writes a file into every directory it has rows for — pd x
+        // tasks files per batch, the small-file explosion that taxes
+        // every later listing. The shuffle is delta-sized (exactly the
+        // rows being appended).
+        df.withColumn("pd", pdOf(col(dc), pdb)).withColumn("batch", lit(batch))
+          .repartition(col("pd"))
+          .write.partitionBy("pd", "batch").mode("append")
+          .parquet(s"$path/view")
+      case None =>
+        df.withColumn("kb", kbOf(df, key)).withColumn("batch", lit(batch))
+          .write.partitionBy("kb", "batch").mode("append").parquet(s"$path/view")
+    }
+
   /** Persist each subtable's schema as a SIBLING sidecar table (one empty
     * parquet file at `<sub>_schema`, beside — not inside — the data dir):
     * an EMPTY side or view — a batch with no appends for one side, a seed
@@ -151,6 +278,19 @@ object JoinView {
     df.withColumn("kb", kbOf(df, key)).withColumn("batch", lit(0))
       .limit(0).coalesce(1)
       .write.mode("overwrite").parquet(schemaSidecarPath(sub))
+
+  /** View-subtable sidecar: under the day layout the partition columns
+    * are (pd INT, batch) — no kb ([[viewPartCols]]'s rationale).
+    */
+  private def writeViewSchemaSidecar(df: DataFrame, key: String, path: String,
+                                     dayCol: Option[String]): Unit = {
+    (dayCol match {
+      case Some(dc) => df.withColumn("pd", pdOf(col(dc), PDB))
+      case None => df.withColumn("kb", kbOf(df, key))
+    }).withColumn("batch", lit(0))
+      .limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(schemaSidecarPath(s"$path/view"))
+  }
 
   private def readSub(spark: SparkSession, sub: String): DataFrame = {
     val sidecar = new org.apache.hadoop.fs.Path(schemaSidecarPath(sub))
@@ -201,8 +341,12 @@ object JoinView {
     */
   private def cleanupOrphans(spark: SparkSession, path: String, committed: Int): Unit = {
     val conf = spark.sessionState.newHadoopConf()
+    val dayView = viewDayCol(spark, path).isDefined
     for (sub <- Seq("a", "b", "view")) {
-      val glob = new org.apache.hadoop.fs.Path(s"$path/$sub/kb=*/batch=*")
+      val pattern =
+        if (sub == "view" && dayView) s"$path/view/pd=*/batch=*"
+        else s"$path/$sub/kb=*/batch=*"
+      val glob = new org.apache.hadoop.fs.Path(pattern)
       val fs = glob.getFileSystem(conf)
       val hits = fs.globStatus(glob)
       if (hits != null) hits.foreach { st =>
@@ -242,8 +386,18 @@ object JoinView {
     * the Debezium row-image shape — and a delta carries at most one row
     * per key.
     */
+  /** `dayCol` (either mode): name a TIMESTAMP payload column and the view
+    * subtable gains a SECONDARY `pd=` day-bucket partition between `kb=`
+    * and `batch=` (bucket = hash(day string) % [[PDB]], scheme + zone
+    * persisted in the day marker) — the layout that makes
+    * [[mergedForDays]] a PartitionFilters-pruned read, so a downstream
+    * day-keyed consumer (the [[AggIndex.ingestCdc]] recompute) reads the
+    * affected days' buckets instead of the whole view. Rows whose
+    * `dayCol` is NULL land in the default partition and are visible only
+    * to full reads.
+    */
   def build(a0: DataFrame, b0: DataFrame, key: String, path: String,
-            cdc: Boolean = false): Unit = {
+            cdc: Boolean = false, dayCol: String = null): Unit = {
     // the sgn column doubles as the persisted mode marker ([[isCdc]]), so
     // a payload column named "sgn" would either be silently clobbered by
     // the CDC writer's withColumn (cdc = true) or misclassify a plain
@@ -258,6 +412,13 @@ object JoinView {
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     val v0 = if (cdc) a0.join(b0, Seq(key)).withColumn("sgn", lit(1))
              else a0.join(b0, Seq(key))
+    val dayOpt = Option(dayCol)
+    dayOpt.foreach { dc =>
+      require(v0.columns.contains(dc),
+        s"dayCol '$dc' is not a view column — name a payload column of either side")
+      require(!a0.columns.contains("pd") && !b0.columns.contains("pd"),
+        "payload column 'pd' collides with the day-partition column — rename it")
+    }
     // CDC sides are signed too: +1 row images, -1 DELETE markers
     // ([[ingestCdc]]'s delA/delB) — the marker row is how a later
     // current-state read learns the key left the side
@@ -269,12 +430,15 @@ object JoinView {
       guardOneRowPerKey(aW, key, "a", 0)
       guardOneRowPerKey(bW, key, "b", 0)
     }
+    // the day marker lands BEFORE any view append so appendView and every
+    // later writer resolve one consistent layout
+    dayOpt.foreach(dc => writeDayColMarker(spark, path, dc))
     writeSchemaSidecar(aW, key, s"$path/a")
     writeSchemaSidecar(bW, key, s"$path/b")
-    writeSchemaSidecar(v0, key, s"$path/view")
+    writeViewSchemaSidecar(v0, key, path, dayOpt)
     append(aW, key, s"$path/a", 0)
     append(bW, key, s"$path/b", 0)
-    append(v0, key, s"$path/view", 0)
+    appendView(spark, v0, key, path, 0)
     writeKeyMarker(spark, path, key)
     KeyBuckets.publish(spark, path)
     markCommitted(spark, path, 0, writer = "build")
@@ -341,7 +505,7 @@ object JoinView {
       readSub(spark, sub).filter(col("batch") === b).drop("kb", "batch")
     val dv = deltaTerms(spark, path,
       justWritten(s"$path/a"), justWritten(s"$path/b"), key, c)
-    append(dv, key, s"$path/view", b)
+    appendView(spark, dv, key, path, b)
     markCommitted(spark, path, b, writer)
     b
   }
@@ -485,10 +649,10 @@ object JoinView {
     guardOneRowPerKey(wb, key, "b", b)
     val dv = cdcTerms(spark, path, wa, wb, key, c)
     // positional append: align the signed delta to the persisted view
-    // schema's column order
+    // schema's column order (pd is writer-derived, not a delta column)
     val viewCols = spark.read.parquet(schemaSidecarPath(s"$path/view")).schema
-      .fieldNames.filterNot(n => n == "kb" || n == "batch")
-    append(dv.select(viewCols.map(col).toIndexedSeq: _*), key, s"$path/view", b)
+      .fieldNames.filterNot(n => n == "kb" || n == "batch" || n == "pd")
+    appendView(spark, dv.select(viewCols.map(col).toIndexedSeq: _*), key, path, b)
     markCommitted(spark, path, b, writer)
     b
   }
@@ -563,12 +727,13 @@ object JoinView {
     AsofFloor.write(spark, path, floor = c,
       rewrite = s"foldCdc (signed history at or below batch $c consolidated)")
     val conf = spark.sessionState.newHadoopConf()
-    def swapIn(sub: String, folded: DataFrame): Unit = {
+    def swapIn(sub: String, folded: DataFrame,
+               partCols: Seq[String] = Seq("kb", "batch")): Unit = {
       val liveP = new org.apache.hadoop.fs.Path(sub)
       val fs = liveP.getFileSystem(conf)
       val tmp = new org.apache.hadoop.fs.Path(sub + ".compact_tmp")
       val trash = new org.apache.hadoop.fs.Path(sub + ".compact_trash")
-      folded.write.partitionBy("kb", "batch").mode("overwrite").parquet(tmp.toString)
+      folded.write.partitionBy(partCols: _*).mode("overwrite").parquet(tmp.toString)
       require(fs.rename(liveP, trash), s"failed to move $sub aside for the fold swap")
       require(fs.rename(tmp, liveP), s"failed to swap folded table into $sub")
       fs.delete(trash, true)
@@ -589,6 +754,9 @@ object JoinView {
         .withColumn("batch", lit(c)))
     }
     val vsub = s"$path/view"
+    // pd rides through the fold as an ordinary grouping column (it is a
+    // pure function of the payload timestamp, so grouping is unchanged)
+    // and the rewrite keeps the day layout
     val payload = readSub(spark, vsub).columns
       .filterNot(Set("sgn", "kb", "batch").contains)
     val resolved = liveRows(vsub).drop("kb", "batch")
@@ -596,8 +764,11 @@ object JoinView {
       .agg(sum("sgn").as("_cnt"))
       .filter(col("_cnt") > 0).drop("_cnt")
       .withColumn("sgn", lit(1))
-    swapIn(vsub, resolved
-      .withColumn("kb", kbOf(resolved, key)).withColumn("batch", lit(c)))
+    val vparts = viewPartCols(spark, path)
+    swapIn(vsub,
+      (if (vparts.contains("kb")) resolved.withColumn("kb", kbOf(resolved, key))
+       else resolved).withColumn("batch", lit(c)),
+      partCols = vparts)
   }
 
   private def appliedMarkerPath(checkpoint: String) =
@@ -711,10 +882,15 @@ object JoinView {
     // omit the forgotten keys instead of failing loudly at the floor.
     // Orphans destined for cleanup raise the floor conservatively — the
     // safe direction (loud where exactness was possible, never silent).
+    // a day-bucketed view carries no kb= ([[viewPartCols]]); its probe
+    // scans the view un-pruned — forget is the rare compliance path, and
+    // the sides' pruned probes answer first in the common case
+    val dayView = viewDayCol(spark, path).isDefined
     val hidesStored = Seq("a", "b", "view").exists { sub =>
-      !live(readSub(spark, s"$path/$sub")
-          .filter(col("kb").isin(buckets.map(Int.box): _*))
-          .drop("kb", "batch"), spark, s"$path/$sub", key)
+      val raw = readSub(spark, s"$path/$sub")
+      val pruned = if (sub == "view" && dayView) raw
+        else raw.filter(col("kb").isin(buckets.map(Int.box): _*))
+      !live(pruned.drop("kb", "pd", "batch"), spark, s"$path/$sub", key)
         .join(idsK, Seq(key), "left_semi").isEmpty
     }
     if (hidesStored)
@@ -743,13 +919,19 @@ object JoinView {
     if (anyTombstones)
       AsofFloor.write(spark, path, floor = committedBatch(spark, path),
         rewrite = "compact (tombstoned keys physically reclaimed from every batch)")
+    val dayView = viewDayCol(spark, path).isDefined
     for (sub <- Seq("a", "b", "view")) {
-      val glob = new org.apache.hadoop.fs.Path(s"$path/$sub/kb=*/batch=*")
+      val pattern =
+        if (sub == "view" && dayView) s"$path/view/pd=*/batch=*"
+        else s"$path/$sub/kb=*/batch=*"
+      val glob = new org.apache.hadoop.fs.Path(pattern)
       val fs = glob.getFileSystem(conf)
       val hits = fs.globStatus(glob)
       // a never-populated side has only the schema sidecar — nothing to do
       if (hits != null && hits.nonEmpty)
-        IndexMaintenance.compact(spark, s"$path/$sub", partitionCols = Seq("kb", "batch"))
+        IndexMaintenance.compact(spark, s"$path/$sub",
+          partitionCols = if (sub == "view" && dayView) Seq("pd", "batch")
+                          else Seq("kb", "batch"))
     }
   }
 
@@ -775,9 +957,15 @@ object JoinView {
     // rewritten (keys-hidden) history as if it were the past
     AsofFloor.check(spark, path, upToBatch)
     val c = committedBatch(spark, path)
-    val raw = live(readSub(spark, s"$path/view")
+    signResolve(live(readSub(spark, s"$path/view")
       .filter(col("batch") <= math.min(c, upToBatch))
-      .drop("kb", "batch"), spark, s"$path/view", joinKey(spark, path))
+      .drop("kb", "batch", "pd"), spark, s"$path/view", joinKey(spark, path)))
+  }
+
+  /** Sign-sum resolve of a (possibly signed) view read: group by payload,
+    * keep sum(sgn) > 0; a plain view passes through.
+    */
+  private def signResolve(raw: DataFrame): DataFrame =
     if (!raw.columns.contains("sgn")) raw
     else {
       val payload = raw.columns.filterNot(_ == "sgn")
@@ -786,6 +974,37 @@ object JoinView {
         .filter(col("_cnt") > 0)
         .drop("_cnt")
     }
+
+  /** The maintained view RESTRICTED to the given days (`yyyy-MM-dd`
+    * strings) — the day-keyed consumer's read ([[AggIndex.ingestCdc]]'s
+    * pruned recompute source). Requires the `pd=` layout ([[build]]'s
+    * `dayCol`): the days' bucket ids land in the scan's PartitionFilters
+    * (spec-pinned), so the read touches |day-buckets|/PDB of the view —
+    * with a production-sized PDB (≈ day cardinality), exactly the
+    * affected days' files. An exact residual day filter runs after the
+    * prune, so correctness never depends on the bucket map, and a +1/-1
+    * retraction pair always shares one pd/day ([[cdcTerms]]'s
+    * value-identical rule) — `mergedForDays(days) ==
+    * merged().filter(day ∈ days)` by construction (JoinViewCdcSpec pins
+    * it). Rows whose dayCol is NULL belong to no day and are never
+    * returned here (full [[merged]] reads still see them).
+    */
+  def mergedForDays(spark: SparkSession, path: String, days: Seq[String]): DataFrame = {
+    val (dc, pdb) = dayLayout(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"view at $path carries no pd= day partition — mergedForDays needs the " +
+        "day layout (build with dayCol = <timestamp payload column>); a full " +
+        "merged() read followed by a day filter stays exact but prunes nothing"))
+    val c = committedBatch(spark, path)
+    // the days' bucket ids, computed by the SAME expression that wrote
+    // them (one tiny local job — |days| rows, driver-bounded like
+    // bucketsOf)
+    import spark.implicits._
+    val pds = days.toDS().select(pdOf(col("value").cast("timestamp"), pdb))
+      .distinct().collect().map(_.getInt(0))
+    signResolve(live(readSub(spark, s"$path/view")
+      .filter(col("batch") <= c && col("pd").isin(pds.map(Int.box): _*))
+      .drop("kb", "batch", "pd"), spark, s"$path/view", joinKey(spark, path))
+      .filter(dayOf(col(dc)).isin(days.map(d => d: Any): _*)))
   }
 
   /** Stream CDC upserts of side `a` into the view — [[ingestStream]]'s

@@ -121,11 +121,44 @@ object PassJoin {
       .join(names.select(col("key").as("b_key"), col("name").as("b_name")), "b_key")
   }
 
+  /** Completion pairs for strings SHORTER than k = tau + 1 characters —
+    * the rows [[segmentEntries]]/[[probeEntries]] exclude (they cannot
+    * partition into k nonempty segments). Their possible partners are
+    * length-bounded: ed <= tau forces |partner| <= (k - 1) + tau =
+    * 2*tau + 1, so the completion is a BROADCAST join of the (assumed
+    * few) short strings against the short-band strings, verified like
+    * every other candidate. On a corpus where short strings are the
+    * COMMON case this broadcast is the wrong tool — that regime belongs
+    * to [[FastSsIndex]] (neighborhoods are cheap exactly there); PassJoin
+    * assumes a long-string corpus and treats shorts as the tail. Closes
+    * the r17 ADVICE gap: a mixed-length corpus no longer silently loses
+    * every pair involving a short string.
+    */
+  private def shortCandidates(ents: DataFrame, tau: Int): DataFrame = {
+    val k = tau + 1
+    val shorts = ents.filter(length(col("name")) < k)
+      .select(col("key").as("sk"), col("name").as("sn"))
+    val partners = ents.filter(length(col("name")) <= 2 * tau + 1)
+      .select(col("key").as("pk"), col("name").as("pn"))
+    partners.join(broadcast(shorts),
+        col("sk") =!= col("pk") &&
+          abs(length(col("sn")) - length(col("pn"))) <= tau)
+      .select(least(col("sk"), col("pk")).as("a_key"),
+        greatest(col("sk"), col("pk")).as("b_key"),
+        when(col("sk") < col("pk"), col("sn")).otherwise(col("pn")).as("a_name"),
+        when(col("sk") < col("pk"), col("pn")).otherwise(col("sn")).as("b_name"))
+      .dropDuplicates("a_key", "b_key")
+  }
+
   /** The verified edit-distance join: `(a_key, b_key, dist)` for every
-    * pair within `tau` — one exact levenshtein per candidate.
+    * pair within `tau` — one exact levenshtein per candidate. Strings
+    * shorter than tau + 1 chars are routed through the broadcast
+    * completion ([[shortCandidates]]) instead of being dropped; the two
+    * candidate sets are disjoint (the main path requires BOTH members
+    * >= tau + 1 chars), so no cross-dedup is needed.
     */
   def matchPairs(ents: DataFrame, tau: Int): DataFrame =
-    candidates(ents, tau)
+    candidates(ents, tau).unionByName(shortCandidates(ents, tau))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
       .filter(col("dist") <= tau)
       .select("a_key", "b_key", "dist")

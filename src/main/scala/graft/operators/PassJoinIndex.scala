@@ -186,5 +186,6 @@ object PassJoinIndex {
     Tombstones.forget(spark, path, ids, idCol = "key")
 
   def compact(spark: SparkSession, path: String): Unit =
-    IndexMaintenance.compact(spark, path, partitionCols = Seq("bb"))
+    IndexMaintenance.compact(spark, path, partitionCols = Seq("bb"),
+      sortCols = Seq("batch")) // the FastSsIndex.compact probe-layout rationale
 }

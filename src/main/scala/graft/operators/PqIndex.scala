@@ -242,6 +242,240 @@ object PqIndex {
     * [[adcRank]] ((a9 desc, vec_id) — ties cannot diverge), same 9-dp /
     * 4-dp lattice.
     */
+  // ——— versioned lifecycle with RETRAIN (r17 verdict missing #3) ———
+  //
+  // The flat lifecycle above freezes its codebook by contract — correct
+  // for replay-safety, but distribution drift degrades recall with no
+  // remedy short of a hand-rolled rebuild (FAISS users reindex on exactly
+  // this cadence). The versioned lifecycle stores codes UNDER VERSION
+  // DIRECTORIES with the codebook persisted beside each version's codes:
+  //
+  //   path/v=N/codes      the code table encoded under codebook N
+  //   path/v=N/_codebook  that codebook (cid, float vector rows)
+  //   path/_graft_pq_current   the current version (atomic OVERWRITE flip)
+  //   path/_tombstones    ROOT-level forget vectors — they outlive retrain
+  //   path/_pins/...      reader snapshot pins ([[withSnapshot]])
+  //
+  // [[retrain]] trains on the CURRENT live corpus, encodes it under
+  // v = N+1, flips the marker, and GCs superseded versions that no
+  // unexpired pin references — readers bracketed by [[withSnapshot]] keep
+  // a consistent (codebook, codes) pair across any concurrent retrain
+  // (the Scd2Dim.withSnapshot pin discipline, whole-version-granular
+  // here because a retrain replaces the whole artifact by design).
+
+  /** Pin TTL — a crashed bracket cannot block version GC forever. */
+  val PinTtlMs: Long = 10 * 60 * 1000L
+
+  /** Deterministic per-subspace k-means codebook ([[IvfIndex.train]]'s
+    * discipline per 16-dim subspace): hash-chosen sample (order by
+    * xxhash64(vec_id), capped), first-KC init, `iters` Lloyd steps under
+    * L2 with ties to the smaller centroid id, empty clusters keep their
+    * centroid. Returns the [[codebookOf]] shape — KC full-dim rows whose
+    * m-th slice is subspace m's c-th centroid — so [[encode]]/[[adcLut]]
+    * apply unchanged.
+    */
+  def trainCodebook(emb: DataFrame, iters: Int = 5,
+                    sampleCap: Int = 4096): Array[Seq[Float]] = {
+    val sample: Array[Array[Float]] = emb
+      .select(col("embedding").as("v"), xxhash64(col("vec_id")).as("h"))
+      .orderBy("h").limit(sampleCap)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(sample.length >= KC,
+      s"pq train: need at least $KC vectors, got ${sample.length}")
+    val subCents: IndexedSeq[IndexedSeq[Array[Double]]] = (0 until M).map { m =>
+      val sub = sample.map(v =>
+        v.slice(m * SubDim, (m + 1) * SubDim).map(_.toDouble))
+      var cents: IndexedSeq[Array[Double]] = sub.take(KC).map(_.clone).toIndexedSeq
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(KC)(new Array[Double](SubDim))
+        val counts = new Array[Int](KC)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < KC) {
+            var d = 0.0; var i = 0
+            while (i < SubDim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          val s = sums(best)
+          var i = 0
+          while (i < SubDim) { s(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = IndexedSeq.tabulate(KC) { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }
+        it += 1
+      }
+      cents
+    }
+    Array.tabulate(KC)(c =>
+      (0 until M).flatMap(m => subCents(m)(c).map(_.toFloat)).toSeq)
+  }
+
+  private def currentMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_pq_current")
+
+  private def codesDir(path: String, v: Int) = s"$path/v=$v/codes"
+  private def cbDir(path: String, v: Int) = s"$path/v=$v/cb"
+
+  /** The live version — fails loudly on a non-versioned root. */
+  def currentVersion(spark: SparkSession, path: String): Int = {
+    val mp = currentMarkerPath(path)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(mp),
+      s"no version marker at $path — not a versioned PQ index (buildVersioned first)")
+    val in = fs.open(mp)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  private def flipCurrent(spark: SparkSession, path: String, v: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val mp = currentMarkerPath(path)
+    val fs = mp.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path, "_graft_pq_current.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(mp),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def saveCodebook(spark: SparkSession, path: String, v: Int,
+                           cb: Array[Seq[Float]]): Unit = {
+    import spark.implicits._
+    cb.zipWithIndex.map { case (vec, c) => (c + 1, vec) }.toSeq
+      .toDF("cid", "vec").coalesce(1)
+      .write.mode("overwrite").parquet(cbDir(path, v))
+  }
+
+  /** The PERSISTED codebook of a version — what makes the frozen-contract
+    * explicit state instead of caller convention, and what a pinned
+    * reader resolves consistently with its codes.
+    */
+  def loadCodebook(spark: SparkSession, path: String, v: Int): Array[Seq[Float]] =
+    spark.read.parquet(cbDir(path, v)).orderBy("cid")
+      .select("vec").collect().map(_.getSeq[Float](0))
+
+  /** Train on the corpus and seed version 1. */
+  def buildVersioned(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val cb = trainCodebook(emb)
+    encode(emb, cb).write.mode("overwrite").parquet(codesDir(path, 1))
+    saveCodebook(spark, path, 1, cb)
+    flipCurrent(spark, path, 1)
+  }
+
+  /** Encode a delta against the CURRENT version's persisted codebook and
+    * append under that version — after a [[retrain]], appends continue
+    * under the new version with no caller change (spec-pinned).
+    */
+  def ingestVersioned(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val v = currentVersion(spark, path)
+    encode(emb, loadCodebook(spark, path, v))
+      .write.mode("append").parquet(codesDir(path, v))
+  }
+
+  /** Forget vectors across ALL versions — root-level tombstones, so a
+    * later retrain cannot resurrect a forgotten id even if the caller's
+    * corpus frame still carries it ([[retrain]] anti-joins them out
+    * before encoding).
+    */
+  def forgetVersioned(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    Tombstones.forget(spark, path, ids, idCol = "vec_id")
+
+  private def readCodesVersioned(spark: SparkSession, path: String, v: Int): DataFrame =
+    Tombstones.applyTo(spark.read.parquet(codesDir(path, v)), spark, path,
+      idCol = "vec_id").dropDuplicates()
+
+  /** Top-N from a version's stored codes + persisted codebook (current
+    * version by default). Probe encoding and ranking are [[adcRank]]'s
+    * lattice verbatim.
+    */
+  def queryVersioned(spark: SparkSession, path: String, probe: Seq[Float],
+                     topN: Int, version: Int = -1): DataFrame = {
+    val v = if (version > 0) version else currentVersion(spark, path)
+    adcRank(readCodesVersioned(spark, path, v),
+      adcLut(probe, loadCodebook(spark, path, v)), topN)
+  }
+
+  private def pinsDir(path: String) = new org.apache.hadoop.fs.Path(path, "_pins")
+
+  private def pinnedVersions(spark: SparkSession, path: String): Set[Int] = {
+    val pd = pinsDir(path)
+    val fs = pd.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(pd)) Set.empty
+    else fs.listStatus(pd).iterator.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.split('\n')
+                  finally in.close()
+      val v = lines(0).trim.toInt
+      val ts = lines(1).trim.toLong
+      if (System.currentTimeMillis() - ts <= PinTtlMs) Some(v) else None
+    }.toSet
+  }
+
+  /** Snapshot bracket: resolves the current version ONCE, registers a pin
+    * holding it, and runs `f` against that version — a concurrent
+    * [[retrain]] can flip and GC freely, but the pinned version's codes
+    * AND codebook survive until the bracket exits (or [[PinTtlMs]]
+    * expires — a crashed reader cannot block reclamation forever, the
+    * Scd2Dim pin contract).
+    */
+  def withSnapshot[A](spark: SparkSession, path: String)(f: Int => A): A = {
+    val v = currentVersion(spark, path)
+    val pd = pinsDir(path)
+    val fs = pd.getFileSystem(spark.sessionState.newHadoopConf())
+    val pin = new org.apache.hadoop.fs.Path(pd,
+      s"pin_${java.util.UUID.randomUUID().toString}")
+    val out = fs.create(pin, true)
+    try out.write(s"$v\n${System.currentTimeMillis()}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try f(v) finally fs.delete(pin, false)
+  }
+
+  /** Retrain on the CURRENT live corpus and atomically swap: train a new
+    * codebook on `emb` (root tombstones anti-joined out first — a
+    * forgotten vector must not re-enter through the retrain), encode
+    * under version N+1, flip the marker, GC superseded versions no
+    * unexpired pin references. `emb` must be the corpus whose vectors the
+    * index currently serves (the index stores lossy codes; only the raw
+    * embeddings can re-encode — [[AggIndex.forgetUsers]]'s
+    * recompute-needs-the-log argument on the vector side). Readers see
+    * either the old consistent pair or the new one, never a mix: the
+    * marker flip is the only publication point, and bracketed readers
+    * pin whatever they resolved. Returns the new version id.
+    */
+  def retrain(spark: SparkSession, path: String, emb: DataFrame): Int = {
+    val v = currentVersion(spark, path)
+    val nv = v + 1
+    val live = Tombstones.applyTo(emb, spark, path, idCol = "vec_id")
+    val cb = trainCodebook(live)
+    encode(live, cb).write.mode("overwrite").parquet(codesDir(path, nv))
+    saveCodebook(spark, path, nv, cb)
+    flipCurrent(spark, path, nv)
+    // GC: versions below the new current that no live pin references
+    val keep = pinnedVersions(spark, path) + nv
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(st => (st.getPath, st.getPath.getName.stripPrefix("v=").toInt))
+      .filter { case (_, k) => k < nv && !keep.contains(k) }
+      .foreach { case (p, _) => fs.delete(p, true) }
+    nv
+  }
+
   def queryBatch(spark: SparkSession, path: String,
                  probes: Seq[(Long, Seq[Float])], cb: Array[Seq[Float]],
                  topN: Int): DataFrame = {

@@ -969,7 +969,10 @@ object NorthStar {
     base.unionByName(ins1).unionByName(del2).unionByName(ins2)
   }
 
-  private[queries] def passjoinOracleSql(cap: String): String =
+  /** The perturbed long-title relation as a DuckDB CTE chain (through
+    * `rel`) — shared by the pair oracles and the scored-gate oracle.
+    */
+  private def passjoinRelCte(cap: String): String =
     s"""WITH base AS (
       |  SELECT doc_id AS key, substring(text, 1, 120) AS name
       |  FROM documents WHERE length(text) >= 60$cap),
@@ -996,12 +999,47 @@ object NorthStar {
       |  SELECT key + 30000000,
       |         concat(substring(name, 1, p), c1, substring(name, p + 1, q - p), c2,
       |                substring(name, q + 1, length(name)))
-      |  FROM withp WHERE key % 5 = 3)
+      |  FROM withp WHERE key % 5 = 3)""".stripMargin
+
+  private[queries] def passjoinOracleSql(cap: String): String =
+    s"""${passjoinRelCte(cap)}
       |SELECT a.key AS a_key, b.key AS b_key,
       |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
       |FROM rel a JOIN rel b
       |  ON a.key < b.key AND abs(length(a.name) - length(b.name)) <= 2
       |WHERE levenshtein(a.name, b.name) <= 2
+      |ORDER BY a_key, b_key""".stripMargin
+
+  /** The long-string SCORED-GATE oracle (r17 verdict missing #4): the
+    * PassJoin pair set pushed through the shared Fellegi-Sunter lattice
+    * against document attributes — a perturbed twin's attributes are its
+    * BASE doc's (`key % 10000000`), exactly what the Spark side's stored
+    * projection records.
+    */
+  private[queries] def passjoinScoreOracleSql(cap: String): String =
+    s"""${passjoinRelCte(cap)},
+      |attrs AS (
+      |  SELECT doc_id AS key, lang, source,
+      |         CAST(n_chars // 40 AS BIGINT) AS band
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.key AS a_key, b.key AS b_key,
+      |         levenshtein(a.name, b.name) AS dist
+      |  FROM rel a JOIN rel b
+      |    ON a.key < b.key AND abs(length(a.name) - length(b.name)) <= 2
+      |  WHERE levenshtein(a.name, b.name) <= 2)
+      |SELECT p.a_key, p.b_key,
+      |       CAST(2 * (3 - p.dist)
+      |            + CASE WHEN aa.lang = ba.lang THEN 3 ELSE 0 END
+      |            + CASE WHEN aa.source = ba.source THEN 2 ELSE 0 END
+      |            + CASE WHEN aa.band = ba.band THEN 1 ELSE 0 END AS BIGINT) AS score
+      |FROM pairs p
+      |JOIN attrs aa ON aa.key = p.a_key % 10000000
+      |JOIN attrs ba ON ba.key = p.b_key % 10000000
+      |WHERE 2 * (3 - p.dist)
+      |      + CASE WHEN aa.lang = ba.lang THEN 3 ELSE 0 END
+      |      + CASE WHEN aa.source = ba.source THEN 2 ELSE 0 END
+      |      + CASE WHEN aa.band = ba.band THEN 1 ELSE 0 END >= 6
       |ORDER BY a_key, b_key""".stripMargin
 
   /** Edit-distance <= 2 matching over LONG strings ([[graft.operators
@@ -1073,6 +1111,87 @@ object NorthStar {
     Some(passjoinOracleSql(" AND doc_id < 500"))) { (s, dir) =>
     passjoinIndexPairs(s,
       longTitles(Tables.load(s, dir, "documents").filter(col("doc_id") < 500)))
+  }
+
+  /** PROBE-ONLY twin of [[d_passjoin_index]] (r17 verdict missing #4):
+    * the same two-batch stored segment index, built once per JVM
+    * ([[memoEntityIndex]]), with only the stored-state probes + verify in
+    * the timed path — a probe-plan regression in the long-string family
+    * moves THIS slot's number instead of hiding inside the
+    * build-dominated lifecycle total ([[d_entity_index_probe]]'s
+    * discipline). Same oracle: the probe set over all batches IS the
+    * full answer.
+    */
+  val d_passjoin_index_probe: Query = q("d_passjoin_index_probe",
+    Some(passjoinOracleSql("")), headline = true) { (s, dir) =>
+    val p = memoEntityIndex(dir, "pj2") { path =>
+      val rel = longTitles(Tables.load(s, dir, "documents"))
+      graft.operators.PassJoinIndex.build(
+        rel.filter(pmod(col("key"), lit(3)) =!= 2), path, tau = 2)
+      graft.operators.PassJoinIndex.ingest(
+        rel.filter(pmod(col("key"), lit(3)) === 2), path, batch = 1, tau = 2)
+    }
+    (0 to 1).map(b => EntityBlockIndex.verifyTypo(
+        graft.operators.PassJoinIndex.candidates(s, p, b), tau = 2))
+      .reduce(_ unionByName _)
+      .dropDuplicates("a_key", "b_key")
+      .orderBy("a_key", "b_key")
+  }
+
+  /** The long-title attribute projection for the scored gate: a
+    * perturbed twin carries its BASE document's attributes (lang /
+    * source / length band — `key % 10000000` recovers the base doc), in
+    * [[custAttrs]]' (key, nat, seg, band) shape so [[scorePairs]] applies
+    * unchanged — the lattice is family-agnostic by construction.
+    */
+  private def titleAttrs(rel: DataFrame, docs: DataFrame): DataFrame =
+    rel.select(col("key"), pmod(col("key"), lit(10000000L)).as("bk"))
+      .join(docs.select(col("doc_id").as("bk"), col("lang").as("nat"),
+        col("source").as("seg"), expr("n_chars div 40").cast("long").as("band")),
+        "bk")
+      .drop("bk")
+
+  /** The stored long-string scored-matching lifecycle — the PassJoin
+    * index and a stored attribute projection growing with the same
+    * base/delta batches, probes verified then pushed through the SHARED
+    * [[scorePairs]] lattice (r17 verdict missing #4: PassJoin pairs now
+    * meet the attribute score exactly like the FastSS families — one
+    * lattice, no weight drift).
+    */
+  private def passjoinScorePairs(s: org.apache.spark.sql.SparkSession,
+                                 docs: DataFrame): DataFrame = {
+    val rel = longTitles(docs)
+    val root = java.nio.file.Files.createTempDirectory("graft_pjscore_").toString
+    val p = s"$root/idx"
+    graft.operators.PassJoinIndex.build(
+      rel.filter(pmod(col("key"), lit(3)) =!= 2), p, tau = 2)
+    titleAttrs(rel.filter(pmod(col("key"), lit(3)) =!= 2), docs)
+      .write.mode("append").parquet(s"$root/attrs")
+    graft.operators.PassJoinIndex.ingest(
+      rel.filter(pmod(col("key"), lit(3)) === 2), p, batch = 1, tau = 2)
+    titleAttrs(rel.filter(pmod(col("key"), lit(3)) === 2), docs)
+      .write.mode("append").parquet(s"$root/attrs")
+    val attrs = s.read.parquet(s"$root/attrs").dropDuplicates("key")
+    val pairs = (0 to 1).map(b => EntityBlockIndex.verifyTypo(
+        graft.operators.PassJoinIndex.candidates(s, p, b), tau = 2))
+      .reduce(_ unionByName _)
+      .dropDuplicates("a_key", "b_key")
+    scorePairs(pairs, attrs).orderBy("a_key", "b_key")
+  }
+
+  /** STORED scored matching over the LONG-STRING family. */
+  val d_passjoin_score_index: Query = q("d_passjoin_score_index",
+    Some(passjoinScoreOracleSql(""))) { (s, dir) =>
+    passjoinScorePairs(s, Tables.load(s, dir, "documents"))
+  }
+
+  /** d_passjoin_score_index's doc_id < 500 twin — un-excluded sf0.1
+    * differential for the long-string scored gate (the capped
+    * discipline; its all-pairs oracle is quadratic in DuckDB).
+    */
+  val d_passjoin_score_index_capped: Query = q("d_passjoin_score_index_capped",
+    Some(passjoinScoreOracleSql(" AND doc_id < 500"))) { (s, dir) =>
+    passjoinScorePairs(s, Tables.load(s, dir, "documents").filter(col("doc_id") < 500))
   }
 
   /** Deterministic PLANTED-DUPLICATE entity relation — the cluster-
@@ -5610,7 +5729,8 @@ ORDER BY a9 DESC, vec_id LIMIT $TopN""")) { (s, dir) =>
     d_entity_match_osa, d_entity_score, d_entity_score_mp, d_entity_score_mp_capped,
     d_entity_score_index, d_entity_score_index_capped,
     d_passjoin_long, d_passjoin_capped,
-    d_passjoin_index, d_passjoin_index_capped,
+    d_passjoin_index, d_passjoin_index_capped, d_passjoin_index_probe,
+    d_passjoin_score_index, d_passjoin_score_index_capped,
     d_entity_clusters, d_entity_golden, d_entity_clusters_capped,
     d_entity_golden_capped, d_entity_score_capped, d_entity_osa_capped,
     d_containment, d_containment_collapse, d_containment_probe,

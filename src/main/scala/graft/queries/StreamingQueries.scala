@@ -1449,11 +1449,14 @@ object StreamingQueries {
         s2.read.parquet(s"$base/jv/view").filter(col("batch") === n)
           .select(col("prio").as("event_type"), col("ts"),
             col("value"), col("user_id"), col("sgn"))
-      def state(s2: org.apache.spark.sql.SparkSession) =
-        graft.operators.JoinView.merged(s2, s"$base/jv")
+      // day-pruned recompute source (the e_pipeline_cdc discipline): each
+      // correction reads only the affected days' pd= partitions
+      def state(s2: org.apache.spark.sql.SparkSession)(days: Seq[String]) =
+        graft.operators.JoinView.mergedForDays(s2, s"$base/jv", days)
           .select(col("prio").as("event_type"), col("ts"),
             col("value"), col("user_id"))
-      graft.operators.JoinView.build(a0, b0, "key", s"$base/jv", cdc = true)
+      graft.operators.JoinView.build(a0, b0, "key", s"$base/jv", cdc = true,
+        dayCol = "ts")
       graft.operators.AggIndex.build(feed(s, 0).drop("sgn"), s"$base/agg", cdc = true)
       // the changefeed: 1 = value corrections, 2 = deletes, 3 = re-insert
       // half the deleted keys at a new value
@@ -1477,7 +1480,8 @@ object StreamingQueries {
             b.filter(!col("op").eqNullSafe("d")).drop("op"), db, "key",
             s"$base/jv", batch = n,
             delA = b.filter(col("op").eqNullSafe("d")).select(col("key")))
-          graft.operators.AggIndex.ingestCdc(feed(s2, n), state(s2), s"$base/agg", n)
+          graft.operators.AggIndex.ingestCdc(feed(s2, n), null, s"$base/agg", n,
+            stateForDays = state(s2))
           ()
         }
         .option("checkpointLocation", s"$base/cp")

@@ -276,6 +276,76 @@ class AggIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("not committed"), s"wrong failure: ${ex.getMessage}")
   }
 
+  // ——— additive layout evolution (r17 verdict missing #2) ———
+
+  test("additive evolution: column added between ingests — old columns exact, new column covers its slice") {
+    val p = Files.createTempDirectory("graft_aggidx_evolve_").toString
+    val oldSlice = events.filter(col("event_id") % 2 === 0)
+    val newSlice = events.filter(col("event_id") % 2 === 1)
+    // v1 writer seeds the table (no vals_hll), the evolved v2 writer
+    // appends — no rebuild, no backfill
+    AggIndex.build(oldSlice, p, schemaVersion = 1)
+    AggIndex.ingest(newSlice, p, batch = 1)
+    assert(AggIndex.layoutVersion(spark, p) == 2, "marker must bump monotonically")
+
+    // NEW READER on OLD ROWS: the v1 rows read as typed nulls; every
+    // pre-existing reader stays exact over FULL history
+    val twin = Files.createTempDirectory("graft_aggidx_evolve_twin_").toString
+    AggIndex.build(events, twin)
+    assert(rows(AggIndex.merged(spark, p)) == rows(AggIndex.merged(spark, twin)),
+      "evolution changed the full-history rollup")
+
+    // the NEW column's estimates cover exactly the post-evolution slice,
+    // with coverage reported, and keys with no v2 rows return NULL
+    val exact = newSlice
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("value")).as("ex"), count(lit(1)).as("exc"))
+    val got = AggIndex.valueCardinalities(spark, p)
+      .join(exact, Seq("event_type", "day"), "left").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (vals, since) = (r.getAs[Any]("vals"), r.getLong(r.fieldIndex("since_cnt")))
+      if (r.isNullAt(r.fieldIndex("ex"))) {
+        assert(vals == null && since == 0L,
+          s"key with no v2 rows must report null estimate / 0 coverage, got $r")
+      } else {
+        val ex = r.getLong(r.fieldIndex("ex"))
+        assert(since == r.getLong(r.fieldIndex("exc")), s"coverage count off: $r")
+        assert(math.abs(vals.asInstanceOf[Long].toDouble - ex) <= math.max(1.0, ex * 0.05),
+          s"v2 estimate off: $r")
+      }
+    }
+
+    // OLD READER on NEW LAYOUT: a v1 binary's explicit schema (no
+    // vals_hll) reads the evolved table — extra columns are invisible,
+    // answers unchanged
+    val v1Schema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(p).schema.filterNot(_.name == "vals_hll"))
+    val v1Read = spark.read.schema(v1Schema).parquet(p)
+    assert(v1Read.agg(sum("cnt")).collect()(0).getLong(0) ==
+      events.count(), "v1-schema read of the evolved table lost rows")
+
+    // compact preserves both the merged answers and the v2 coverage
+    val valsBefore = AggIndex.valueCardinalities(spark, p)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getAs[Any]("vals")), r.getLong(3))).toSet
+    AggIndex.compact(spark, p)
+    assert(rows(AggIndex.merged(spark, p)) == rows(AggIndex.merged(spark, twin)))
+    val valsAfter = AggIndex.valueCardinalities(spark, p)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getAs[Any]("vals")), r.getLong(3))).toSet
+    assert(valsAfter == valsBefore, "compact changed the v2 coverage")
+
+    // FOREIGN (newer) layout fails loudly, read and write
+    val mp = java.nio.file.Paths.get(p, "_graft_layout")
+    java.nio.file.Files.write(mp, "3".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      AggIndex.merged(spark, p).collect()
+    }
+    assert(e.getMessage.contains("upgrade"))
+  }
+
   // ——— CDC changefeed maintenance (ingestCdc, r16 verdict missing #1) ———
 
   private def dayCol = date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
@@ -326,6 +396,46 @@ class AggIndexSpec extends SparkSpec {
     val before = spark.read.parquet(p).count()
     AggIndex.ingestCdc(changes, corrected, p, batch = 1)
     assert(spark.read.parquet(p).count() == before, "replay must no-op by ledger")
+  }
+
+  test("ingestCdc stateForDays: recompute asks for exactly the affected days, answers unchanged") {
+    val upd = events.filter(col("event_id") % 10 === 7)
+    val changes = upd.withColumn("sgn", lit(-1))
+      .unionByName(upd.withColumn("value", col("value") * 2).withColumn("sgn", lit(1)))
+    val corrected = events.withColumn("value",
+      when(col("event_id") % 10 === 7, col("value") * 2).otherwise(col("value")))
+    val expectDays = upd.select(dayCol.as("d")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+    val pruned = Files.createTempDirectory("graft_aggidx_cdc_days_").toString
+    AggIndex.build(events, pruned, cdc = true)
+    var asked: Set[String] = null
+    AggIndex.ingestCdc(changes, null, pruned, batch = 1,
+      stateForDays = { days =>
+        asked = days.toSet
+        corrected.filter(dayCol.isin(days.map(d => d: Any): _*))
+      })
+    assert(asked == expectDays,
+      s"stateForDays asked for $asked, expected the retraction days $expectDays")
+
+    val full = Files.createTempDirectory("graft_aggidx_cdc_full_").toString
+    AggIndex.build(events, full, cdc = true)
+    AggIndex.ingestCdc(changes, corrected, full, batch = 1)
+    assert(rows(AggIndex.merged(spark, pruned)) == rows(AggIndex.merged(spark, full)),
+      "day-pruned recompute diverged from the full-state path")
+
+    // an insert-only batch never touches the state source at all
+    val ins = events.limit(5).withColumn("ts",
+      col("ts") + expr("INTERVAL 365 DAYS")).withColumn("sgn", lit(1))
+    AggIndex.ingestCdc(ins, null, pruned, batch = 2,
+      stateForDays = { _ =>
+        fail("insert-only batch must not read state"); null
+      })
+    // and passing neither source fails loudly
+    val e = intercept[IllegalArgumentException] {
+      AggIndex.ingestCdc(changes, null, pruned, batch = 3)
+    }
+    assert(e.getMessage.contains("stateForDays"))
   }
 
   test("CDC + compact composes: consolidation preserves replacement semantics") {

@@ -286,4 +286,39 @@ class IndexMaintenanceSpec extends SparkSpec {
     // and the rescued tombstone is LIVE-effective immediately
     assert(Tombstones.live(spark, path).where("doc_id = 7").count() == 0)
   }
+
+  test("sortCols compaction: rows invariant, batch probes skip non-matching files") {
+    val spark0 = spark
+    import spark0.implicits._
+    def mk(path: String, sortCols: Seq[String]): Unit = {
+      // 8 batches x 4k rows, appended batch-at-a-time like an ingest
+      // stream would
+      for (b <- 0 until 8)
+        (0 until 4000).map(i => (b * 10000L + i, s"sig$i", b))
+          .toDF("key", "sig", "batch")
+          .write.mode("append").parquet(path)
+      IndexMaintenance.compact(spark, path, targetBytes = 48L * 1024,
+        sortCols = sortCols)
+    }
+    val sorted = java.nio.file.Files.createTempDirectory("graft_cpt_sort_").toString
+    val plain = java.nio.file.Files.createTempDirectory("graft_cpt_plain_").toString
+    mk(sorted, Seq("batch")); mk(plain, Nil)
+    // same row set either way — sorting permutes, never edits
+    assert(spark.read.parquet(sorted).collect().map(_.toString).sorted.toSeq ==
+      spark.read.parquet(plain).collect().map(_.toString).sorted.toSeq)
+    // the probe shape every index runs: filter batch = N. Over the
+    // range-clustered rewrite the pushed filter's file/row-group min-max
+    // skip the other batches' files; over the shuffle rewrite every file
+    // carries every batch and the scan decodes everything.
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("batch") === 3)
+      val scans = fileScans(df)
+      assert(scans.nonEmpty)
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val (s, p) = (scanRows(sorted), scanRows(plain))
+    assert(s < p / 2,
+      s"sorted compaction must skip non-matching batches at the scan: sorted=$s plain=$p")
+    assert(s >= 4000, s"the matching batch itself must survive: $s")
+  }
 }

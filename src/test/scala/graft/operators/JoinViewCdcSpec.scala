@@ -309,4 +309,93 @@ class JoinViewCdcSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == 5L && r._2 != "a5''"),
       "stale row image survived a streamed upsert")
   }
+
+  // ------------------------------------------------------------------
+  // pd= day layout (r17 verdict #1): the pruned recompute source for
+  // day-keyed consumers
+  // ------------------------------------------------------------------
+
+  private def mkAts(rows: Seq[(Long, String, String)]): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("k", "av", "d")
+      .withColumn("ts", col("d").cast("timestamp")).drop("d")
+  }
+
+  private def dayOfK(k: Long): String = f"2024-01-${(k % 4) + 1}%02d"
+
+  private val A0ts = (1L to 16L).map(k => (k, s"a$k", s"${dayOfK(k)} 08:00:00"))
+
+  private def dayViewSet(df: DataFrame): Set[(Long, String, java.sql.Timestamp, Long)] =
+    df.select("k", "av", "ts", "bv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3))).toSet
+
+  test("mergedForDays equals the day-filtered merge and prunes the view scan at storage") {
+    val path = Files.createTempDirectory("graft_jvcdc_day_").toString
+    val spark0 = spark
+    import spark0.implicits._
+    JoinView.build(mkAts(A0ts), mkB((1L to 16L).map(k => (k, k * 100))), "k",
+      path, cdc = true, dayCol = "ts")
+    // update a day-2 key, delete a day-3 key — corrections land under the
+    // SAME pd as the rows they retract (value-identical retractions)
+    JoinView.ingestCdc(mkAts(Seq((5L, "a5'", s"${dayOfK(5L)} 09:00:00"))),
+      mkB(Nil), "k", path, delA = Seq(6L).toDF("k"))
+    val days = Seq(dayOfK(5L)) // "2024-01-02"
+    val got = JoinView.mergedForDays(spark, path, days)
+    val want = JoinView.merged(spark, path)
+      .filter(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .isin(days.map(d => d: Any): _*))
+    assert(dayViewSet(got) == dayViewSet(want),
+      "mergedForDays diverges from the day-filtered full merge")
+    assert(dayViewSet(got).nonEmpty && dayViewSet(got).contains(
+      (5L, "a5'", java.sql.Timestamp.valueOf(s"${dayOfK(5L)} 09:00:00"), 500L)))
+    // storage pruning: the pd filter must land in PartitionFilters and
+    // select strictly fewer partitions than the full merged read
+    val prunedParts = {
+      val scans = fileScans(got).filter(
+        _.relation.location.rootPaths.exists(_.toString.endsWith("/view")))
+      assert(scans.nonEmpty, "no view scan in mergedForDays plan")
+      scans.foreach(sc =>
+        assert(sc.partitionFilters.exists(_.toString.contains("pd")),
+          s"pd filter not in PartitionFilters: ${sc.partitionFilters}"))
+      scans.map(_.selectedPartitions.partitionCount).sum
+    }
+    val fullParts = fileScans(JoinView.merged(spark, path)).filter(
+      _.relation.location.rootPaths.exists(_.toString.endsWith("/view")))
+      .map(_.selectedPartitions.partitionCount).sum
+    assert(prunedParts < fullParts,
+      s"mergedForDays read not pruned: $prunedParts vs full $fullParts partitions")
+  }
+
+  test("mergedForDays on a view without the day layout fails loudly") {
+    val path = Files.createTempDirectory("graft_jvcdc_noday_").toString
+    JoinView.build(mkA(A0), mkB(B0), "k", path, cdc = true)
+    val e = intercept[IllegalArgumentException] {
+      JoinView.mergedForDays(spark, path, Seq("2024-01-01"))
+    }
+    assert(e.getMessage.contains("dayCol"))
+  }
+
+  test("foldCdc and compact preserve the pd= layout; mergedForDays stays exact") {
+    val path = Files.createTempDirectory("graft_jvcdc_dayfold_").toString
+    val spark0 = spark
+    import spark0.implicits._
+    JoinView.build(mkAts(A0ts), mkB((1L to 16L).map(k => (k, k * 100))), "k",
+      path, cdc = true, dayCol = "ts")
+    JoinView.ingestCdc(mkAts(Seq((9L, "a9'", s"${dayOfK(9L)} 10:00:00"))),
+      mkB(Seq(3L -> 333L)), "k", path, delA = Seq(2L).toDF("k"))
+    val before = dayViewSet(JoinView.mergedForDays(spark, path, Seq(dayOfK(9L))))
+    JoinView.foldCdc(spark, path)
+    assert(dayViewSet(JoinView.mergedForDays(spark, path, Seq(dayOfK(9L)))) == before,
+      "fold changed the per-day resolve")
+    JoinView.compact(spark, path)
+    assert(dayViewSet(JoinView.mergedForDays(spark, path, Seq(dayOfK(9L)))) == before,
+      "compact changed the per-day resolve")
+    // post-fold upserts keep landing under the day layout
+    JoinView.ingestCdc(mkAts(Seq((9L, "a9''", s"${dayOfK(9L)} 11:00:00"))),
+      mkB(Nil), "k", path)
+    val after = dayViewSet(JoinView.mergedForDays(spark, path, Seq(dayOfK(9L))))
+    assert(after.exists(r => r._1 == 9L && r._2 == "a9''") &&
+      !after.exists(r => r._1 == 9L && r._2 != "a9''"))
+  }
 }

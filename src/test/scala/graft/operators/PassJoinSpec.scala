@@ -76,11 +76,15 @@ class PassJoinSpec extends SparkSpec {
     assert(run(rows, 2) == brute(rows, 2))
   }
 
-  test("strings shorter than tau + 1 are excluded symmetrically, not crashed") {
+  test("mixed-length corpus: short strings route through the completion, full parity") {
+    // r17 ADVICE: matchPairs must not silently lose pairs involving
+    // strings shorter than tau + 1 — they ride the broadcast completion.
+    // Covers short-short ((1,2) ed 0, (1,5) ed 1), short-long at the
+    // length boundary ((5, "abc") vs k = 3 is main-path territory for
+    // "abc" but completion for "a"), and long-long unchanged.
     val rows = Seq((1L, "ab"), (2L, "ab"), (3L, "a long enough string here"),
-      (4L, "a long enough string hereX"))
-    // tau = 2: k = 3 > len("ab") — the short pair is out of contract on
-    // BOTH sides (probe and index), the long pair still matches
-    assert(run(rows, 2) == Set((3L, 4L, 1L)))
+      (4L, "a long enough string hereX"), (5L, "a"), (6L, "abc"), (7L, "abcd"))
+    for (tau <- Seq(1, 2))
+      assert(run(rows, tau) == brute(rows, tau), s"tau=$tau diverged on mixed lengths")
   }
 }
