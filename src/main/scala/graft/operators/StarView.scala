@@ -486,6 +486,83 @@ object StarView {
     }
   }
 
+  private def appliedMarkerPath(checkpoint: String) =
+    new org.apache.hadoop.fs.Path(checkpoint, "graft_applied_batchid")
+
+  private def readApplied(spark: SparkSession, checkpoint: String): Long = {
+    val mp = appliedMarkerPath(checkpoint)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) -1L
+    else {
+      val in = fs.open(mp)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeApplied(spark: SparkSession, checkpoint: String, batchId: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val mp = appliedMarkerPath(checkpoint)
+    val fs = mp.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(checkpoint, "graft_applied_batchid.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(mp),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Stream a FULL CHANGEFEED of the FACT side into the star view — the
+    * production interleave (facts stream continuously, dims change by
+    * batch ingests between stream runs): each trigger's rows split on
+    * `opCol` ('d' = delete, only the pk is read; anything else — incl. a
+    * NULL op, null-safe — is an upsert row image) and apply atomically
+    * through one [[ingestCdc]] call under a REAL pinned batch id.
+    * Exactly-once is [[JoinView.cdcStream]]'s two-marker wiring verbatim:
+    * the checkpoint-local applied marker no-ops replays, and the ledger's
+    * writer line distinguishes this checkpoint's own crash window (no-op)
+    * from a foreign writer having taken the id space (fail loudly — a
+    * silent no-op would drop the micro-batch).
+    */
+  def cdcStream(da: DataFrame, path: String, checkpoint: String,
+                opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    da.writeStream
+      .foreachBatch { (batchDf: DataFrame, batchId: Long) =>
+        val spark = batchDf.sparkSession
+        val (factKey, dimKeys, _) = meta(spark, path)
+        val base = IndexStream.pinnedBase(batchDf,
+          committedBatch(spark, path) + 1, checkpoint)
+        if (batchId > readApplied(spark, checkpoint)) {
+          val b = base + batchId.toInt
+          val c = committedBatch(spark, path)
+          if (b == c + 1) {
+            val emptyDims = dimKeys.indices.map(i =>
+              readSub(spark, s"$path/d$i").drop("kb", "batch", "sgn").limit(0))
+            ingestCdc(
+              batchDf.filter(!col(opCol).eqNullSafe("d")).drop(opCol),
+              emptyDims, path, batch = b, writer = checkpoint,
+              factDeletes = batchDf.filter(col(opCol).eqNullSafe("d"))
+                .select(col(factKey)))
+            writeApplied(spark, checkpoint, batchId)
+          } else if (b == c && committedWriter(spark, path).contains(checkpoint)) {
+            // crash window: we committed b, lost the applied-marker write
+            writeApplied(spark, checkpoint, batchId)
+          } else {
+            throw new IllegalStateException(
+              s"star ledger at $c (writer ${committedWriter(spark, path).getOrElse("?")}) " +
+                s"but this checkpoint's pinned id space expects batch $b — the view " +
+                "was advanced outside this checkpoint while it was stopped; a silent " +
+                "no-op would drop this micro-batch. Restart with a FRESH checkpoint " +
+                "(the view data itself is intact).")
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Compact every subtable in place (kb/batch layout preserved) — folds
     * the CDC -1/+1 recompute pairs away and bounds file counts.
     */

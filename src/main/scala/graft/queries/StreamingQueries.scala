@@ -1437,6 +1437,82 @@ object StreamingQueries {
     * trigger commits: a deleted fact leaves its (prio, day) cell, an
     * updated value re-sums it, with no log rescans at either stage.
     */
+  /** The N-WAY star view fed by a streamed fact changefeed
+    * ([[graft.operators.StarView.cdcStream]] — the e_join3_cdc family's
+    * streamed twin): fact upserts, deletes, and re-inserts arrive one
+    * trigger each while the three dims stay batch-ingested state; the
+    * sign-resolved star rollup after the stream must equal the one-shot
+    * latest-state 3-way join. Same two-marker exactly-once wiring as
+    * every other streamed CDC cell.
+    */
+  val st_join3_cdc: Query = Query(
+    "st_join3_cdc",
+    (s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_star3_").toString
+      val li = graft.tables.Tables.load(s, dir, "lineitem")
+      val fact = li
+        .groupBy((col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("pk"))
+        .agg(min(col("l_orderkey")).as("l_orderkey"),
+          min(col("l_partkey")).as("l_partkey"),
+          min(col("l_suppkey")).as("l_suppkey"),
+          min(col("l_quantity")).as("qty"))
+      val dO = graft.tables.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority").as("prio"))
+      val dP = graft.tables.Tables.load(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand").as("brand"))
+      val dS = graft.tables.Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"),
+          col("s_nationkey").cast("long").as("snation"))
+      graft.operators.StarView.build(fact, "pk",
+        Seq("l_orderkey" -> dO, "l_partkey" -> dP, "l_suppkey" -> dS),
+        s"$base/star", cdc = true)
+      // 1: value upserts; 2: deletes; 3: re-insert half the deleted keys
+      // at a new value (an ordinary +1 image out-batching the delete)
+      val ops = Seq(
+        fact.filter(col("pk") % 17 === 0)
+          .withColumn("qty", col("qty") + 5).withColumn("op", lit("u")),
+        fact.filter(col("l_orderkey") % 19 === 3).withColumn("op", lit("d")),
+        fact.filter(col("l_orderkey") % 38 === 3)
+          .withColumn("qty", col("qty") + 9).withColumn("op", lit("u")))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+      val fSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "pk BIGINT, l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, " +
+          "qty DOUBLE, op STRING")
+      val streamed = s.readStream.schema(fSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val q = graft.operators.StarView.cdcStream(streamed, s"$base/star", s"$base/cp")
+      try {
+        for ((sl, i) <- ops.zipWithIndex) {
+          oneFile(sl, s"$base/src/s$i.parquet", 1000000000000L + i * 60000L)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      graft.operators.StarView.merged(s, s"$base/star")
+        .groupBy("prio", "brand", "snation")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("qty").cast("decimal(18,6)")), 2).cast("double").as("sum_qty"))
+        .orderBy("prio", "brand", "snation")
+    },
+    Some("""WITH l AS (
+           |  SELECT l_orderkey*8 + l_linenumber AS pk, MIN(l_orderkey) AS l_orderkey,
+           |         MIN(l_partkey) AS l_partkey, MIN(l_suppkey) AS l_suppkey,
+           |         MIN(l_quantity) AS qty0
+           |  FROM lineitem GROUP BY 1),
+           |f AS (
+           |  SELECT pk, l_orderkey, l_partkey, l_suppkey,
+           |         CASE WHEN l_orderkey % 38 = 3 THEN qty0 + 9
+           |              WHEN pk % 17 = 0 THEN qty0 + 5 ELSE qty0 END AS qty
+           |  FROM l WHERE l_orderkey % 19 <> 3 OR l_orderkey % 38 = 3)
+           |SELECT o.o_orderpriority AS prio, p.p_brand AS brand,
+           |       CAST(s.s_nationkey AS BIGINT) AS snation,
+           |       CAST(COUNT(*) AS BIGINT) AS cnt,
+           |       CAST(ROUND(SUM(CAST(f.qty AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+           |FROM f
+           |JOIN orders o ON f.l_orderkey = o.o_orderkey
+           |JOIN part p ON f.l_partkey = p.p_partkey
+           |JOIN supplier s ON f.l_suppkey = s.s_suppkey
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
   val st_pipeline_cdc: Query = Query(
     "st_pipeline_cdc",
     (s, dir) => {
@@ -1811,5 +1887,5 @@ object StreamingQueries {
     st_entity_screen, st_entity_screen_xlen, st_entity_typos, st_entity_ed2,
     st_entity_clusters, st_join_cdc, st_join_cdc_delete,
     e_scd2_delete, st_scd2_delete, st_entity_score, st_entity_score_capped,
-    st_pipeline_cdc, st_passjoin, st_passjoin_capped)
+    st_pipeline_cdc, st_join3_cdc, st_passjoin, st_passjoin_capped)
 }
