@@ -136,13 +136,24 @@ object PassJoin {
     */
   private def shortCandidates(ents: DataFrame, tau: Int): DataFrame = {
     val k = tau + 1
+    // each short string enumerates its partner LENGTHS (|sn| +- tau, a
+    // bounded explode of <= 2*tau + 1 rows per short) so the completion
+    // joins on an EQUI key (pl = length(pn)) and plans as a broadcast
+    // HASH join — the length-band predicate alone has no equality and
+    // planned as BroadcastNestedLoopJoin, the all-pairs shape
+    // PlanAuditSpec bans (caught there; results are identical, the
+    // length-band is just enumerated instead of tested)
     val shorts = ents.filter(length(col("name")) < k)
       .select(col("key").as("sk"), col("name").as("sn"))
+      .withColumn("pl", explode(sequence(
+        greatest(length(col("sn")) - tau, lit(0)),
+        length(col("sn")) + tau)))
     val partners = ents.filter(length(col("name")) <= 2 * tau + 1)
-      .select(col("key").as("pk"), col("name").as("pn"))
+      .select(col("key").as("pk"), col("name").as("pn"),
+        length(col("name")).as("pl"))
     partners.join(broadcast(shorts),
-        col("sk") =!= col("pk") &&
-          abs(length(col("sn")) - length(col("pn"))) <= tau)
+        Seq("pl"))
+      .filter(col("sk") =!= col("pk"))
       .select(least(col("sk"), col("pk")).as("a_key"),
         greatest(col("sk"), col("pk")).as("b_key"),
         when(col("sk") < col("pk"), col("sn")).otherwise(col("pn")).as("a_name"),
