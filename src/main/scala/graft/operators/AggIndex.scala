@@ -392,45 +392,62 @@ object AggIndex {
     val keyed = changes.select(col("event_type"),
       date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
       col("ts"), col("value"), col("user_id"), col("sgn"))
+    // persisted: the retraction key set is reused FOUR times below (the
+    // insert-path anti-join, the affected-days collect, the recompute
+    // semi-join, the empty-replacement anti-join) — without the persist
+    // each use re-scans the changefeed (r18: at batch cadence that is 4
+    // feed scans per correction for a rollup-keys-sized frame)
     val retractKeys = keyed.filter(col("sgn") === -1)
       .select(Keys.map(col): _*).distinct()
-    val insertOnly = keyed.join(retractKeys, Keys, "left_anti")
-      .select("event_type", "ts", "value", "user_id") // all sgn = +1 rows
-    val insPart = partials(insertOnly).withColumn("rep", lit(false))
-    // day-pruned state source: ask for exactly the affected days (the
-    // collect is bounded by the batch's distinct retraction days); with
-    // no retractions the source is never touched at all
-    val stateSrc =
-      if (stateForDays == null) state
-      else {
-        val days = retractKeys.select(col("day")).distinct()
-          .collect().map(_.getString(0)).toSeq
-        if (days.isEmpty) changes
-          .select("event_type", "ts", "value", "user_id").limit(0)
-        else stateForDays(days)
-      }
-    val repInput = stateSrc
-      .withColumn("_day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
-      .join(retractKeys.withColumnRenamed("day", "_day"),
-        Seq("event_type", "_day"), "left_semi")
-      .drop("_day")
-    val repPart = partials(repInput).withColumn("rep", lit(true))
-    // typed off the persisted schema, the signedSide marker pattern
-    val aggFields = aggSchema(spark).fields
-      .filterNot(f => (Keys ++ Seq("batch", "rep")).contains(f.name))
-    // emptiness probed off the key projection, not the sketch partials —
-    // the recompute's expensive aggregate is evaluated exactly once
-    val presentKeys = repInput.select(col("event_type"),
-      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day")).distinct()
-    val emptyReps = retractKeys
-      .join(presentKeys, Keys, "left_anti")
-      .select(Keys.map(col) ++ aggFields.toIndexedSeq.map(f =>
-        (if (f.name == "cnt") lit(0L).cast(f.dataType)
-         else lit(null).cast(f.dataType)).as(f.name)): _*)
-      .withColumn("rep", lit(true))
-    insPart.unionByName(repPart).unionByName(emptyReps)
-      .withColumn("batch", lit(batch))
-      .write.mode("append").parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val insertOnly = keyed.join(retractKeys, Keys, "left_anti")
+        .select("event_type", "ts", "value", "user_id") // all sgn = +1 rows
+      val insPart = partials(insertOnly).withColumn("rep", lit(false))
+      // day-pruned state source: ask for exactly the affected days (the
+      // collect is bounded by the batch's distinct retraction days); with
+      // no retractions the source is never touched at all
+      val stateSrc =
+        if (stateForDays == null) state
+        else {
+          val days = retractKeys.select(col("day")).distinct()
+            .collect().map(_.getString(0)).toSeq
+          if (days.isEmpty) changes
+            .select("event_type", "ts", "value", "user_id").limit(0)
+          else stateForDays(days)
+        }
+      val repInput = stateSrc
+        .withColumn("_day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+        .join(retractKeys.withColumnRenamed("day", "_day"),
+          Seq("event_type", "_day"), "left_semi")
+        .drop("_day")
+      // persisted: the replacement partials feed BOTH the appended rows
+      // and (via their key projection) the empty-replacement anti-join —
+      // without the persist the two subtrees each evaluate the recompute's
+      // STATE READ, the single expensive term of a correction batch (r18:
+      // one full pruned-state scan per correction instead of two). The
+      // frame is rollup-keys-sized, so the persist is tiny.
+      val repPart = partials(repInput).withColumn("rep", lit(true))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // typed off the persisted schema, the signedSide marker pattern
+        val aggFields = aggSchema(spark).fields
+          .filterNot(f => (Keys ++ Seq("batch", "rep")).contains(f.name))
+        // emptiness probed off the replacement partials' OWN key set (one
+        // row per recomputed key by construction) — the recompute's
+        // expensive aggregate is evaluated exactly once
+        val presentKeys = repPart.select(Keys.map(col): _*)
+        val emptyReps = retractKeys
+          .join(presentKeys, Keys, "left_anti")
+          .select(Keys.map(col) ++ aggFields.toIndexedSeq.map(f =>
+            (if (f.name == "cnt") lit(0L).cast(f.dataType)
+             else lit(null).cast(f.dataType)).as(f.name)): _*)
+          .withColumn("rep", lit(true))
+        insPart.unionByName(repPart).unionByName(emptyReps)
+          .withColumn("batch", lit(batch))
+          .write.mode("append").parquet(path)
+      } finally repPart.unpersist()
+    } finally retractKeys.unpersist()
     markCommitted(spark, path, batch)
   }
 

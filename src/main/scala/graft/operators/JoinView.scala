@@ -232,8 +232,14 @@ object JoinView {
     if (lines.length < 2) None else Some(lines(1).trim)
   }
 
+  // one file per kb directory per batch (r18; [[appendView]]'s day-layout
+  // rationale applied to the kb writers too): without the clustering
+  // repartition each task opens a file in every kb= directory it has rows
+  // for — tasks x NB files per subtable per batch, and every later pruned
+  // read lists and opens all of them. The shuffle is delta-sized.
   private def append(df: DataFrame, key: String, sub: String, batch: Int): Unit =
     df.withColumn("kb", kbOf(df, key)).withColumn("batch", lit(batch))
+      .repartition(col("kb"))
       .write.partitionBy("kb", "batch").mode("append").parquet(sub)
 
   /** Append to the VIEW subtable under its persisted layout: plain
@@ -410,35 +416,44 @@ object JoinView {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    val v0 = if (cdc) a0.join(b0, Seq(key)).withColumn("sgn", lit(1))
-             else a0.join(b0, Seq(key))
-    val dayOpt = Option(dayCol)
-    dayOpt.foreach { dc =>
-      require(v0.columns.contains(dc),
-        s"dayCol '$dc' is not a view column — name a payload column of either side")
-      require(!a0.columns.contains("pd") && !b0.columns.contains("pd"),
-        "payload column 'pd' collides with the day-partition column — rename it")
-    }
-    // CDC sides are signed too: +1 row images, -1 DELETE markers
-    // ([[ingestCdc]]'s delA/delB) — the marker row is how a later
-    // current-state read learns the key left the side
-    val aW = if (cdc) a0.withColumn("sgn", lit(1)) else a0
-    val bW = if (cdc) b0.withColumn("sgn", lit(1)) else b0
-    if (cdc) {
-      // the row-image contract starts at the base: one live row per key
-      // per side, else every later current-state resolve ties
-      guardOneRowPerKey(aW, key, "a", 0)
-      guardOneRowPerKey(bW, key, "b", 0)
-    }
-    // the day marker lands BEFORE any view append so appendView and every
-    // later writer resolve one consistent layout
-    dayOpt.foreach(dc => writeDayColMarker(spark, path, dc))
-    writeSchemaSidecar(aW, key, s"$path/a")
-    writeSchemaSidecar(bW, key, s"$path/b")
-    writeViewSchemaSidecar(v0, key, path, dayOpt)
-    append(aW, key, s"$path/a", 0)
-    append(bW, key, s"$path/b", 0)
-    appendView(spark, v0, key, path, 0)
+    // r18: each side is consumed up to three times below (CDC guard, its
+    // own append, the seed join) — without a persist every use re-runs
+    // the caller's upstream plan (the e_pipeline_cdc sides are each a
+    // projection of a table scan, re-scanned per use). Build-scoped,
+    // unpersisted before returning.
+    val aP = a0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bP = b0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v0 = if (cdc) aP.join(bP, Seq(key)).withColumn("sgn", lit(1))
+               else aP.join(bP, Seq(key))
+      val dayOpt = Option(dayCol)
+      dayOpt.foreach { dc =>
+        require(v0.columns.contains(dc),
+          s"dayCol '$dc' is not a view column — name a payload column of either side")
+        require(!a0.columns.contains("pd") && !b0.columns.contains("pd"),
+          "payload column 'pd' collides with the day-partition column — rename it")
+      }
+      // CDC sides are signed too: +1 row images, -1 DELETE markers
+      // ([[ingestCdc]]'s delA/delB) — the marker row is how a later
+      // current-state read learns the key left the side
+      val aW = if (cdc) aP.withColumn("sgn", lit(1)) else aP
+      val bW = if (cdc) bP.withColumn("sgn", lit(1)) else bP
+      if (cdc) {
+        // the row-image contract starts at the base: one live row per key
+        // per side, else every later current-state resolve ties
+        guardOneRowPerKey(aW, key, "a", 0)
+        guardOneRowPerKey(bW, key, "b", 0)
+      }
+      // the day marker lands BEFORE any view append so appendView and every
+      // later writer resolve one consistent layout
+      dayOpt.foreach(dc => writeDayColMarker(spark, path, dc))
+      writeSchemaSidecar(aW, key, s"$path/a")
+      writeSchemaSidecar(bW, key, s"$path/b")
+      writeViewSchemaSidecar(v0, key, path, dayOpt)
+      append(aW, key, s"$path/a", 0)
+      append(bW, key, s"$path/b", 0)
+      appendView(spark, v0, key, path, 0)
+    } finally { aP.unpersist(); bP.unpersist() }
     writeKeyMarker(spark, path, key)
     KeyBuckets.publish(spark, path)
     markCommitted(spark, path, 0, writer = "build")
@@ -637,22 +652,33 @@ object JoinView {
     require(b == c + 1,
       s"batch $b skips ahead of ledger $c at $path — a foreign writer is interleaving")
     cleanupOrphans(spark, path, c)
-    append(signedSide(spark, da, delA, key, s"$path/a"), key, s"$path/a", b)
-    append(signedSide(spark, db, delB, key, s"$path/b"), key, s"$path/b", b)
+    // provably-empty signed sides skip their append AND the guard over
+    // the nothing they would have written (r18): a one-sided CDC batch —
+    // the common cadence — paid an empty write-job round trip and an
+    // empty guard job on the untouched side every batch
+    val aSigned = signedSide(spark, da, delA, key, s"$path/a")
+    val bSigned = signedSide(spark, db, delB, key, s"$path/b")
+    val aApp = !PlanProbes.provablyEmpty(aSigned)
+    val bApp = !PlanProbes.provablyEmpty(bSigned)
+    if (aApp) append(aSigned, key, s"$path/a", b)
+    if (bApp) append(bSigned, key, s"$path/b", b)
     def justWritten(sub: String) =
       readSub(spark, sub).filter(col("batch") === b).drop("kb", "batch")
     val wa = justWritten(s"$path/a")
     val wb = justWritten(s"$path/b")
     // contract check on the rows that actually landed; a violation aborts
     // BEFORE the ledger advances, so the bad batch stays invisible
-    guardOneRowPerKey(wa, key, "a", b)
-    guardOneRowPerKey(wb, key, "b", b)
-    val dv = cdcTerms(spark, path, wa, wb, key, c)
-    // positional append: align the signed delta to the persisted view
-    // schema's column order (pd is writer-derived, not a delta column)
-    val viewCols = spark.read.parquet(schemaSidecarPath(s"$path/view")).schema
-      .fieldNames.filterNot(n => n == "kb" || n == "batch" || n == "pd")
-    appendView(spark, dv.select(viewCols.map(col).toIndexedSeq: _*), key, path, b)
+    if (aApp) guardOneRowPerKey(wa, key, "a", b)
+    if (bApp) guardOneRowPerKey(wb, key, "b", b)
+    val keep = scala.collection.mutable.Buffer.empty[DataFrame]
+    try {
+      val dv = cdcTerms(spark, path, wa, wb, key, c, keep, aApp, bApp)
+      // positional append: align the signed delta to the persisted view
+      // schema's column order (pd is writer-derived, not a delta column)
+      val viewCols = spark.read.parquet(schemaSidecarPath(s"$path/view")).schema
+        .fieldNames.filterNot(n => n == "kb" || n == "batch" || n == "pd")
+      appendView(spark, dv.select(viewCols.map(col).toIndexedSeq: _*), key, path, b)
+    } finally keep.foreach(_.unpersist())
     markCommitted(spark, path, b, writer)
     b
   }
@@ -662,15 +688,36 @@ object JoinView {
     * plan-assert the pruned current-state reads.
     */
   private def cdcTerms(spark: SparkSession, path: String, da: DataFrame,
-                       db: DataFrame, key: String, committed: Int): DataFrame = {
+                       db: DataFrame, key: String, committed: Int,
+                       keep: scala.collection.mutable.Buffer[DataFrame] = null,
+                       aApp: Boolean = true, bApp: Boolean = true)
+      : DataFrame = {
+    // r18: the three state intermediates below are each consumed TWICE
+    // (touched by the retract semi-join AND the insert semi-join; each
+    // current side by the retract join AND its post-state anti-join) —
+    // without a persist each use re-runs the bucket-pruned scan + the
+    // latest-row window, doubling the batch's state-read cost. ingestCdc
+    // passes `keep` and unpersists after the view append lands;
+    // plan-inspection callers ([[cdcDeltaView]]) pass none and get the
+    // plain lazy frames.
+    def pin(df: DataFrame): DataFrame =
+      if (keep == null) df
+      else {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        keep += p; p
+      }
     // da/db are SIGNED side deltas ([[signedSide]]): +1 row images,
     // -1 delete markers. A delete is the retract term with the key simply
     // NOT re-entering the post-state: the anti-join below already removes
     // every touched key from the current state, and only +1 rows re-enter.
-    val buckets = (bucketsOf(da, key) ++ bucketsOf(db, key)).distinct
-    val touched = da.select(col(key)).unionByName(db.select(col(key))).distinct()
-    val aCur = currentPruned(spark, s"$path/a", committed, buckets, key)
-    val bCur = currentPruned(spark, s"$path/b", committed, buckets, key)
+    // non-appended sides contribute no buckets/keys by construction —
+    // skip their collect jobs (the frames themselves stay in the plan;
+    // an empty parquet read folds away)
+    val buckets = ((if (aApp) bucketsOf(da, key) else Array.empty[Int]) ++
+      (if (bApp) bucketsOf(db, key) else Array.empty[Int])).distinct
+    val touched = pin(da.select(col(key)).unionByName(db.select(col(key))).distinct())
+    val aCur = pin(currentPruned(spark, s"$path/a", committed, buckets, key))
+    val bCur = pin(currentPruned(spark, s"$path/b", committed, buckets, key))
     val retract = aCur.join(bCur, Seq(key))
       .join(touched, Seq(key), "left_semi")
       .withColumn("sgn", lit(-1))

@@ -165,13 +165,27 @@ object StarView {
     spark.read.schema(schema).parquet(sub)
   }
 
+  // one file per kb directory per batch (r18; [[JoinView.appendView]]'s
+  // day-layout rationale applied to every kb writer): without the
+  // clustering repartition each of the writer's tasks opens a file in
+  // every kb= directory it has rows for — tasks x NB files per subtable
+  // per batch, and every later pruned read lists and opens all of them.
+  // The shuffle is delta-sized (exactly the rows being appended).
   private def append(df: DataFrame, key: String, sub: String, batch: Int): Unit =
     df.withColumn("kb", kbOf(df, key)).withColumn("batch", lit(batch))
+      .repartition(col("kb"))
       .write.partitionBy("kb", "batch").mode("append").parquet(sub)
 
   /** Bounded collect: at most NB bucket ids in a delta. */
   private def bucketsOf(delta: DataFrame, key: String): Array[Int] =
     delta.select(kbOf(delta, key).as("kb")).distinct().collect().map(_.getInt(0))
+
+  /** See [[PlanProbes.provablyEmpty]] — true for the `.limit(0)` frames
+    * callers pass for untouched sides; a star batch touching one side
+    * paid an empty write-job round trip for every other side (r18).
+    */
+  private def provablyEmpty(df: DataFrame): Boolean =
+    PlanProbes.provablyEmpty(df)
 
   private def storedPruned(spark: SparkSession, sub: String, committed: Int,
                            buckets: Array[Int]): DataFrame =
@@ -220,22 +234,38 @@ object StarView {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    val v0 = dims.foldLeft(fact) { case (acc, (k, d)) => acc.join(d, Seq(k)) }
-    val sgn1 = (df: DataFrame) => if (cdc) df.withColumn("sgn", lit(1)) else df
-    if (cdc) {
-      guardOneRowPerKey(fact, factKey, "f", 0)
-      dims.foreach { case (k, d) => guardOneRowPerKey(d, k, s"dim($k)", 0) }
+    // r18: the fact frame is consumed k + 3 times below (guard, its own
+    // append, one ki projection per dim, the seed join) and each dim
+    // twice — without a persist every use re-runs the caller's upstream
+    // plan (e_join3_cdc's fact is itself an aggregation over lineitem:
+    // six re-aggregations per build). Build-scoped, unpersisted before
+    // returning.
+    val factP = fact.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dimsP = dims.map { case (k, d) =>
+      k -> d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    writeSidecar(sgn1(fact), factKey, s"$path/f")
-    append(sgn1(fact), factKey, s"$path/f", 0)
-    for (((k, d), i) <- dims.zipWithIndex) {
-      writeSidecar(sgn1(d), k, s"$path/d$i")
-      append(sgn1(d), k, s"$path/d$i", 0)
-      writeSidecar(kiRows(fact, factKey, k), k, s"$path/ki$i")
-      append(kiRows(fact, factKey, k), k, s"$path/ki$i", 0)
+    try {
+      val v0 = dimsP.foldLeft(factP: DataFrame) { case (acc, (k, d)) =>
+        acc.join(d, Seq(k))
+      }
+      val sgn1 = (df: DataFrame) => if (cdc) df.withColumn("sgn", lit(1)) else df
+      if (cdc) {
+        guardOneRowPerKey(factP, factKey, "f", 0)
+        dimsP.foreach { case (k, d) => guardOneRowPerKey(d, k, s"dim($k)", 0) }
+      }
+      writeSidecar(sgn1(factP), factKey, s"$path/f")
+      append(sgn1(factP), factKey, s"$path/f", 0)
+      for (((k, d), i) <- dimsP.zipWithIndex) {
+        writeSidecar(sgn1(d), k, s"$path/d$i")
+        append(sgn1(d), k, s"$path/d$i", 0)
+        writeSidecar(kiRows(factP, factKey, k), k, s"$path/ki$i")
+        append(kiRows(factP, factKey, k), k, s"$path/ki$i", 0)
+      }
+      writeSidecar(sgn1(v0), factKey, s"$path/view")
+      append(sgn1(v0), factKey, s"$path/view", 0)
+    } finally {
+      factP.unpersist(); dimsP.foreach(_._2.unpersist())
     }
-    writeSidecar(sgn1(v0), factKey, s"$path/view")
-    append(sgn1(v0), factKey, s"$path/view", 0)
     writeMeta(spark, path, factKey, dimKeys, cdc)
     KeyBuckets.publish(spark, path)
     markCommitted(spark, path, 0, writer = "build")
@@ -271,57 +301,93 @@ object StarView {
       s"batch $b skips ahead of ledger $c at $path — a foreign writer is interleaving")
     cleanupOrphans(spark, path, dimKeys, c)
     // single-evaluation: land the deltas first, derive terms from the
-    // just-written rows (JoinView's discipline)
-    append(factDelta, factKey, s"$path/f", b)
-    for (((k, dd), i) <- dimKeys.zip(dimDeltas).zipWithIndex) {
-      append(dd, k, s"$path/d$i", b)
-      append(kiRows(factDelta, factKey, k), k, s"$path/ki$i", b)
+    // just-written rows (JoinView's discipline). Provably-empty sides
+    // (the `.limit(0)` frames callers pass for untouched sides) skip
+    // their append outright — an empty partitioned write lands no files
+    // but still costs a full job round trip, and a star batch touching
+    // one side paid that for every other side (r18).
+    val fAppended = !provablyEmpty(factDelta)
+    // the fact delta is consumed 1 + k times (its append, one ki
+    // projection per dim) — persist across them (r18; the caller's frame
+    // may be an expensive derivation), released before returning
+    val fd = if (fAppended)
+      factDelta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else factDelta
+    if (fAppended) append(fd, factKey, s"$path/f", b)
+    val dimAppended = dimKeys.zip(dimDeltas).zipWithIndex.map { case ((k, dd), i) =>
+      val nonEmpty = !provablyEmpty(dd)
+      if (nonEmpty) append(dd, k, s"$path/d$i", b)
+      if (fAppended) append(kiRows(fd, factKey, k), k, s"$path/ki$i", b)
+      nonEmpty
     }
+    if (fAppended) fd.unpersist()
     def written(sub: String) =
       readSub(spark, sub).filter(col("batch") === b).drop("kb", "batch")
-    val df0 = written(s"$path/f")
-    val dds = dimKeys.indices.map(i => written(s"$path/d$i"))
-    // term for the FACT side: Δf ⋈ every dim's OLD state, each dim pruned
-    // to Δf's key buckets
-    val factTerm = dimKeys.zipWithIndex.foldLeft(df0) { case (acc, (k, i)) =>
-      acc.join(storedPruned(spark, s"$path/d$i", c, bucketsOf(df0, k)), Seq(k))
+    // r18: every just-written delta read below is consumed several times
+    // (bucket collects + the term joins) — pin each for the batch's scope
+    // so the per-use cost is a cache read, not a re-scan; and derive ALL
+    // of a term's dim-key bucket sets from the term's own fact rows in
+    // one place instead of re-evaluating the accumulating join per dim
+    // (the old fold's bucketsOf(acc) re-ran the whole join chain once
+    // per later dim — quadratic in k). Joining further dims only DROPS
+    // rows, so the first term frame's bucket sets are supersets of every
+    // later acc's: pruning with them reads no less, and never misses.
+    val keep = scala.collection.mutable.Buffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      keep += p; p
     }
-    // term for dim i: f_new ⋈ d1_new ⋈ … ⋈ Δdi ⋈ d{i+1}_old ⋈ … — the
-    // affected fact rows found through ki (pruned, output-sized), then
-    // earlier dims NEW, later dims OLD, each pruned to the accumulating
-    // term's key buckets
-    val dimTerms = dimKeys.zipWithIndex.map { case (ki, i) =>
-      val dd = dds(i)
-      if (dd.isEmpty) None else {
-        val kiNew = readSub(spark, s"$path/ki$i")
-          .filter(col("batch") <= b &&
-            col("kb").isin(bucketsOf(dd, ki).map(Int.box): _*))
-          .drop("kb", "batch")
-        val pks = kiNew.join(dd.select(col(ki)), Seq(ki), "left_semi")
-          .select(col(factKey)).distinct()
-        val fNew = readSub(spark, s"$path/f")
-          .filter(col("batch") <= b &&
-            col("kb").isin(bucketsOf(pks, factKey).map(Int.box): _*))
-          .drop("kb", "batch")
-          .join(pks, Seq(factKey), "left_semi")
-        val withDi = fNew.join(dd, Seq(ki))
-        val term = dimKeys.zipWithIndex.filterNot(_._2 == i)
-          .foldLeft(withDi) { case (acc, (k, j)) =>
-            val upTo = if (j < i) b else c // earlier sides NEW, later OLD
-            acc.join(readSub(spark, s"$path/d$j")
-              .filter(col("batch") <= upTo &&
-                col("kb").isin(bucketsOf(acc, k).map(Int.box): _*))
-              .drop("kb", "batch"), Seq(k))
-          }
-        Some(term)
+    try {
+      // term for the FACT side: Δf ⋈ every dim's OLD state, each dim
+      // pruned to Δf's key buckets
+      val factTerm =
+        if (!fAppended) None
+        else {
+          val df0 = pin(written(s"$path/f"))
+          Some(dimKeys.zipWithIndex.foldLeft(df0) { case (acc, (k, i)) =>
+            acc.join(storedPruned(spark, s"$path/d$i", c, bucketsOf(df0, k)), Seq(k))
+          })
+        }
+      // term for dim i: f_new ⋈ d1_new ⋈ … ⋈ Δdi ⋈ d{i+1}_old ⋈ … — the
+      // affected fact rows found through ki (pruned, output-sized), then
+      // earlier dims NEW, later dims OLD, each pruned to the term's
+      // fact-row bucket supersets
+      val dimTerms = dimKeys.zipWithIndex.map { case (ki, i) =>
+        if (!dimAppended(i)) None else {
+          val dd = pin(written(s"$path/d$i"))
+          val kiNew = readSub(spark, s"$path/ki$i")
+            .filter(col("batch") <= b &&
+              col("kb").isin(bucketsOf(dd, ki).map(Int.box): _*))
+            .drop("kb", "batch")
+          val pks = pin(kiNew.join(dd.select(col(ki)), Seq(ki), "left_semi")
+            .select(col(factKey)).distinct())
+          val fNew = readSub(spark, s"$path/f")
+            .filter(col("batch") <= b &&
+              col("kb").isin(bucketsOf(pks, factKey).map(Int.box): _*))
+            .drop("kb", "batch")
+            .join(pks, Seq(factKey), "left_semi")
+          val withDi = pin(fNew.join(dd, Seq(ki)))
+          val term = dimKeys.zipWithIndex.filterNot(_._2 == i)
+            .foldLeft(withDi) { case (acc, (k, j)) =>
+              val upTo = if (j < i) b else c // earlier sides NEW, later OLD
+              acc.join(readSub(spark, s"$path/d$j")
+                .filter(col("batch") <= upTo &&
+                  col("kb").isin(bucketsOf(withDi, k).map(Int.box): _*))
+                .drop("kb", "batch"), Seq(k))
+            }
+          Some(term)
+        }
       }
-    }
-    val viewCols = spark.read.parquet(schemaSidecarPath(s"$path/view")).schema
-      .fieldNames.filterNot(n => n == "kb" || n == "batch")
-    val dv = (factTerm +: dimTerms.flatten)
-      .map(_.select(viewCols.map(col).toIndexedSeq: _*))
-      .reduce(_ unionByName _)
-    append(dv, factKey, s"$path/view", b)
+      val terms = (factTerm +: dimTerms).flatten
+      if (terms.nonEmpty) {
+        val viewCols = spark.read.parquet(schemaSidecarPath(s"$path/view")).schema
+          .fieldNames.filterNot(n => n == "kb" || n == "batch")
+        val dv = terms
+          .map(_.select(viewCols.map(col).toIndexedSeq: _*))
+          .reduce(_ unionByName _)
+        append(dv, factKey, s"$path/view", b)
+      }
+    } finally keep.foreach(_.unpersist())
     markCommitted(spark, path, b, writer)
     b
   }
@@ -395,24 +461,45 @@ object StarView {
     require(b == c + 1,
       s"batch $b skips ahead of ledger $c at $path — a foreign writer is interleaving")
     cleanupOrphans(spark, path, dimKeys, c)
-    append(signedSide(spark, factDelta, factDeletes, factKey, s"$path/f"),
-      factKey, s"$path/f", b)
-    for (((k, dd), i) <- dimKeys.zip(dimDeltas).zipWithIndex) {
-      append(signedSide(spark, dd, dimDels(i), k, s"$path/d$i"), k, s"$path/d$i", b)
+    // provably-empty signed sides skip their append (and the guard over
+    // the nothing they would have written) — [[ingest]]'s r18 rationale:
+    // the empty write's job round trip per untouched side dominated
+    // batches that touch one side
+    val fKiNonEmpty = !provablyEmpty(factDelta)
+    // the fact delta is consumed 1 + k times (the signed append, one ki
+    // projection per dim) — persist across them (r18), released below
+    val fd = if (fKiNonEmpty)
+      factDelta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else factDelta
+    val fSigned = signedSide(spark, fd, factDeletes, factKey, s"$path/f")
+    val fAppended = fKiNonEmpty || !provablyEmpty(fSigned)
+    if (fAppended) append(fSigned, factKey, s"$path/f", b)
+    val dimAppended = dimKeys.zip(dimDeltas).zipWithIndex.map { case ((k, dd), i) =>
+      val signed = signedSide(spark, dd, dimDels(i), k, s"$path/d$i")
+      val nonEmpty = !provablyEmpty(signed)
+      if (nonEmpty) append(signed, k, s"$path/d$i", b)
       // ki gains entries for the batch's +1 fact images only (markers
       // carry null dim keys — useless as index entries)
-      append(kiRows(factDelta, factKey, k), k, s"$path/ki$i", b)
+      if (fKiNonEmpty) append(kiRows(fd, factKey, k), k, s"$path/ki$i", b)
+      nonEmpty
     }
+    if (fKiNonEmpty) fd.unpersist()
     def written(sub: String) =
       readSub(spark, sub).filter(col("batch") === b).drop("kb", "batch")
     val wf = written(s"$path/f")
-    guardOneRowPerKey(wf, factKey, "f", b)
+    if (fAppended) guardOneRowPerKey(wf, factKey, "f", b)
     val wds = dimKeys.indices.map(i => written(s"$path/d$i"))
-    dimKeys.zip(wds).foreach { case (k, wd) => guardOneRowPerKey(wd, k, s"dim($k)", b) }
-    val dv = cdcTerms(spark, path, factKey, dimKeys, wf, wds, c)
-    val viewCols = spark.read.parquet(schemaSidecarPath(s"$path/view")).schema
-      .fieldNames.filterNot(n => n == "kb" || n == "batch")
-    append(dv.select(viewCols.map(col).toIndexedSeq: _*), factKey, s"$path/view", b)
+    dimKeys.zip(wds).zipWithIndex.foreach { case ((k, wd), i) =>
+      if (dimAppended(i)) guardOneRowPerKey(wd, k, s"dim($k)", b)
+    }
+    val keep = scala.collection.mutable.Buffer.empty[DataFrame]
+    try {
+      val dv = cdcTerms(spark, path, factKey, dimKeys, wf, wds, c,
+        fAppended, dimAppended, keep)
+      val viewCols = spark.read.parquet(schemaSidecarPath(s"$path/view")).schema
+        .fieldNames.filterNot(n => n == "kb" || n == "batch")
+      append(dv.select(viewCols.map(col).toIndexedSeq: _*), factKey, s"$path/view", b)
+    } finally keep.foreach(_.unpersist())
     markCommitted(spark, path, b, writer)
     b
   }
@@ -422,13 +509,29 @@ object StarView {
     */
   private def cdcTerms(spark: SparkSession, path: String, factKey: String,
                        dimKeys: Seq[String], wf: DataFrame,
-                       wds: Seq[DataFrame], committed: Int): DataFrame = {
+                       wds: Seq[DataFrame], committed: Int,
+                       fAppended: Boolean, dimAppended: Seq[Boolean],
+                       keep: scala.collection.mutable.Buffer[DataFrame])
+      : DataFrame = {
+    // r18: pks is consumed three times (its bucket collect, the retract
+    // semi-join, the insert semi-join) and the fact's current image once
+    // per dim bucket set plus the insert join — pin both for the batch's
+    // scope (the caller unpersists after the view append). Dim bucket
+    // sets all derive from fCur's OWN columns in one place: joining
+    // further dims only DROPS rows, so fCur's set is a superset of every
+    // later acc's — pruning with it is never wrong, and the old
+    // bucketsOf(acc) re-ran the accumulating join chain once per dim.
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      keep += p; p
+    }
     // affected pks: the fact delta's own keys, plus every dim delta's
     // ki-mapped pks (ki pruned to the delta's key buckets; stale entries
-    // only add no-op recomputes)
+    // only add no-op recomputes). Sides that appended nothing this batch
+    // contribute nothing by construction and are skipped plan-side.
     val dimPks = dimKeys.zipWithIndex.flatMap { case (k, i) =>
       val wd = wds(i)
-      if (wd.isEmpty) None else Some {
+      if (!dimAppended(i)) None else Some {
         readSub(spark, s"$path/ki$i")
           .filter(col("batch") <= committed + 1 &&
             col("kb").isin(bucketsOf(wd, k).map(Int.box): _*))
@@ -437,7 +540,9 @@ object StarView {
           .select(col(factKey))
       }
     }
-    val pks = (wf.select(col(factKey)) +: dimPks).reduce(_ unionByName _).distinct()
+    val fPks = if (fAppended) Seq(wf.select(col(factKey))) else Seq.empty
+    val pks = pin((fPks ++ dimPks).reduceOption(_ unionByName _)
+      .getOrElse(wf.select(col(factKey))).distinct())
     val pkBuckets = bucketsOf(pks, factKey)
     // retract: the view's CURRENT rows for the affected pks — sign-resolve
     // restricted to the pks' buckets, so retractions are value-identical
@@ -453,13 +558,14 @@ object StarView {
       .agg(sum("sgn").as("_cnt")).filter(col("_cnt") > 0).drop("_cnt")
       .withColumn("sgn", lit(-1))
     // insert: the affected pks' CURRENT star join — fact current images
-    // for the pks, each dim's current image pruned to the surviving
-    // rows' key buckets
-    val fCur = currentPruned(spark, s"$path/f", factKey, committed + 1,
-      Some(pkBuckets)).join(pks, Seq(factKey), "left_semi")
-    val insert = dimKeys.zipWithIndex.foldLeft(fCur) { case (acc, (k, i)) =>
+    // for the pks, each dim's current image pruned to fCur's key-bucket
+    // supersets
+    val fCur = pin(currentPruned(spark, s"$path/f", factKey, committed + 1,
+      Some(pkBuckets)).join(pks, Seq(factKey), "left_semi"))
+    val dimBuckets = dimKeys.map(k => bucketsOf(fCur, k))
+    val insert = dimKeys.zipWithIndex.foldLeft(fCur: DataFrame) { case (acc, (k, i)) =>
       acc.join(currentPruned(spark, s"$path/d$i", k, committed + 1,
-        Some(bucketsOf(acc, k))), Seq(k))
+        Some(dimBuckets(i))), Seq(k))
     }.withColumn("sgn", lit(1))
     retract.unionByName(insert.select((vPayload.map(col) :+ col("sgn")).toIndexedSeq: _*))
   }
