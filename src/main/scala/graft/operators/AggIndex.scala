@@ -267,6 +267,7 @@ object AggIndex {
       .withColumn("batch", lit(0))
     (if (cdc) p0.withColumn("rep", lit(false)) else p0)
       .write.mode("overwrite").parquet(path)
+    modeCache.remove(path) // build is the only mode transition
     writeLayoutMarker(events.sparkSession, path, schemaVersion)
     markCommitted(events.sparkSession, path, 0)
   }
@@ -275,20 +276,34 @@ object AggIndex {
     * schema (the `rep` column is the marker).
     */
   def isCdcTable(spark: SparkSession, path: String): Boolean =
-    try spark.read.parquet(path).schema.fieldNames.contains("rep")
-    catch { case _: org.apache.spark.sql.AnalysisException => false }
+    // memoized (r18): the rep-column mode marker is fixed at build, and
+    // this consult was a full-table footer-inference job per call (every
+    // ingest and every merged read makes it)
+    modeCache.computeIfAbsent(path, p =>
+      try spark.read.parquet(p).schema.fieldNames.contains("rep")
+      catch { case _: org.apache.spark.sql.AnalysisException => false })
+
+  private val modeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** The CURRENT code layout's partial-row schema, derived from
     * [[partials]] itself (one empty plan, cached) so column types can
     * never drift from the writer's expressions.
     */
   private def aggSchema(spark: SparkSession): org.apache.spark.sql.types.StructType = {
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "event_type STRING, ts TIMESTAMP, value DOUBLE, user_id BIGINT"))
-    partials(empty).schema
+    // constant per code version — memoized (r18): each call analyzed the
+    // full partials expression tree on the driver
+    if (aggSchemaMemo == null) aggSchemaMemo = {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type STRING, ts TIMESTAMP, value DOUBLE, user_id BIGINT"))
+      partials(empty).schema
+    }
+    aggSchemaMemo
   }
+
+  @volatile private var aggSchemaMemo: org.apache.spark.sql.types.StructType = null
 
   /** EVERY stored read comes through here ([[CurrentLayout]] scaladoc):
     * imposes the current layout as an explicit schema — rows persisted

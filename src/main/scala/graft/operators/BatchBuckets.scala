@@ -97,7 +97,18 @@ private[operators] object BatchBuckets {
     }
     val r = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // one file per bb directory per batch (r18): without the clustering
+      // repartition every kernel task opens a file in each bb= directory
+      // it has rows for — tasks x BB files per batch, and every probe's
+      // leaf-file listing walks all of them. The shuffle is batch-sized;
+      // the persisted `r` stays cached UPSTREAM of it, so the manifest
+      // and the in-memory probe (`use`) read the cache, not a re-kernel.
+      // EXPLICIT partition count: a bare repartition(col) is an
+      // AQE-coalescable shuffle — measured coalesced to 2-4 tasks at
+      // sf0.1 (64 MB advisory), serializing the parquet encode;
+      // repartition(n, col) pins the count, one writer task per bucket.
       r.withColumn("batch", lit(batch))
+        .repartition(64, col("bb"))
         .write.partitionBy("bb")
         .mode("append").parquet(path)
       write(r, path, batch, overwrite = overwriteManifest)

@@ -76,7 +76,9 @@ object EntityBlockIndex {
     def parityStr(rem: Int) = expr(
       s"""concat_ws('', filter(transform(split(name, ''),
          |  (ch, i) -> CASE WHEN i % 2 = $rem THEN ch END), x -> x IS NOT NULL))""".stripMargin)
-    val b = entities.select(col("key"), col("name"), length(col("name")).as("len"),
+    // kernel parallelism: [[FastSsIndex.spread]]'s rationale (r18)
+    val b = FastSsIndex.spread(entities)
+      .select(col("key"), col("name"), length(col("name")).as("len"),
         explode(array(
           struct(lit(0).as("part"), parityStr(0).as("v")),
           struct(lit(1).as("part"), parityStr(1).as("v")))).as("p"))

@@ -70,12 +70,25 @@ object FastSsIndex {
       |      xxhash64(concat(substring(name, 1, i - 1), substring(name, i + 1))))
       |  ELSE array() END))""".stripMargin
 
+  /** Spread the entity rows across the session's full parallelism before
+    * kerneling (r18): the corpora these kernels read are one-or-few-file
+    * parquet scans, so the explode (L+1 rows per entity at tau = 1,
+    * ~C(L,2) at tau = 2) and everything fused into its stage ran on 1-3
+    * tasks — measured 5.8 s wall / 16.5 s task time on 3 tasks for one
+    * sf0.1 build where 32 tasks finish in under a second. The shuffle
+    * moved is the NARROW pre-kernel (key, name) projection, negligible
+    * against the kernel's output; on a many-file production scan the
+    * repartition is a cheap rebalance of the same rows.
+    */
+  private[operators] def spread(entities: DataFrame): DataFrame =
+    entities.repartition(entities.sparkSession.sparkContext.defaultParallelism)
+
   /** `(key, name, sig, bb)` signature rows for `(key, name)` entities —
     * length(name) + 1 rows (minus duplicate deletions) per entity. The
     * ONLY place the signature kernel runs in this lifecycle.
     */
   def signatures(entities: DataFrame): DataFrame =
-    entities.select(col("key"), col("name"), explode(expr(sigExpr)).as("sig"))
+    spread(entities).select(col("key"), col("name"), explode(expr(sigExpr)).as("sig"))
       .withColumn("bb", pmod(col("sig"), lit(BB)).cast("int"))
 
   /** The tau = 2 deletion neighborhood: identity, every single-character
@@ -112,7 +125,7 @@ object FastSsIndex {
     * the radius-generic lifecycle below, same row shape by design).
     */
   def signatures2(entities: DataFrame): DataFrame =
-    entities.select(col("key"), col("name"), explode(expr(sig2Expr)).as("sig"))
+    spread(entities).select(col("key"), col("name"), explode(expr(sig2Expr)).as("sig"))
       .withColumn("bb", pmod(col("sig"), lit(BB)).cast("int"))
 
   /** The kernel for a given radius — tau = 1 ([[signatures]]) or tau = 2

@@ -238,8 +238,9 @@ object JoinView {
   // for — tasks x NB files per subtable per batch, and every later pruned
   // read lists and opens all of them. The shuffle is delta-sized.
   private def append(df: DataFrame, key: String, sub: String, batch: Int): Unit =
-    df.withColumn("kb", kbOf(df, key)).withColumn("batch", lit(batch))
-      .repartition(col("kb"))
+    PlanProbes.clusteredBy(
+        df.withColumn("kb", kbOf(df, key)).withColumn("batch", lit(batch)),
+        col("kb"), NB, col(key))
       .write.partitionBy("kb", "batch").mode("append").parquet(sub)
 
   /** Append to the VIEW subtable under its persisted layout: plain
@@ -258,8 +259,14 @@ object JoinView {
         // tasks files per batch, the small-file explosion that taxes
         // every later listing. The shuffle is delta-sized (exactly the
         // rows being appended).
-        df.withColumn("pd", pdOf(col(dc), pdb)).withColumn("batch", lit(batch))
-          .repartition(col("pd"))
+        // salted clustering (r18; [[PlanProbes.clusteredBy]]): the bare
+        // repartition(col("pd")) here was AQE-coalescable — measured
+        // collapsing the view encode to one task — and a pd-count pin
+        // alone caps the writers at PDB; the salt keeps every core busy
+        // at <= cores/PDB files per directory
+        PlanProbes.clusteredBy(
+            df.withColumn("pd", pdOf(col(dc), pdb)).withColumn("batch", lit(batch)),
+            col("pd"), pdb, col(key))
           .write.partitionBy("pd", "batch").mode("append")
           .parquet(s"$path/view")
       case None =>
@@ -280,10 +287,12 @@ object JoinView {
     */
   private def schemaSidecarPath(sub: String): String = s"${sub}_schema"
 
-  private def writeSchemaSidecar(df: DataFrame, key: String, sub: String): Unit =
+  private def writeSchemaSidecar(df: DataFrame, key: String, sub: String): Unit = {
     df.withColumn("kb", kbOf(df, key)).withColumn("batch", lit(0))
       .limit(0).coalesce(1)
       .write.mode("overwrite").parquet(schemaSidecarPath(sub))
+    SchemaCache.invalidate(schemaSidecarPath(sub))
+  }
 
   /** View-subtable sidecar: under the day layout the partition columns
     * are (pd INT, batch) — no kb ([[viewPartCols]]'s rationale).
@@ -296,6 +305,7 @@ object JoinView {
     }).withColumn("batch", lit(0))
       .limit(0).coalesce(1)
       .write.mode("overwrite").parquet(schemaSidecarPath(s"$path/view"))
+    SchemaCache.invalidate(schemaSidecarPath(s"$path/view"))
   }
 
   private def readSub(spark: SparkSession, sub: String): DataFrame = {
@@ -314,7 +324,9 @@ object JoinView {
       throw new IllegalStateException(
         s"no schema sidecar at $sidecar — not a JoinView subtable (build first)")
     }
-    val schema = spark.read.parquet(schemaSidecarPath(sub)).schema
+    // memoized (r18): the sidecar is immutable between (re)builds and
+    // this schema consult was a footer-inference job per readSub call
+    val schema = SchemaCache.parquetSchema(spark, schemaSidecarPath(sub))
     spark.read.schema(schema).parquet(sub)
   }
 
@@ -463,8 +475,8 @@ object JoinView {
     * view schema (the sgn column is the marker; no extra sidecar).
     */
   def isCdc(spark: SparkSession, path: String): Boolean =
-    spark.read.parquet(schemaSidecarPath(s"$path/view"))
-      .schema.fieldNames.contains("sgn")
+    SchemaCache.parquetSchema(spark, schemaSidecarPath(s"$path/view"))
+      .fieldNames.contains("sgn")
 
   /** Side-layout version guard (r16 ADVICE; the [[KeyBuckets]] /
     * `_graft_tau` upgrade-axis discipline applied to the signed-side
@@ -675,7 +687,7 @@ object JoinView {
       val dv = cdcTerms(spark, path, wa, wb, key, c, keep, aApp, bApp)
       // positional append: align the signed delta to the persisted view
       // schema's column order (pd is writer-derived, not a delta column)
-      val viewCols = spark.read.parquet(schemaSidecarPath(s"$path/view")).schema
+      val viewCols = SchemaCache.parquetSchema(spark, schemaSidecarPath(s"$path/view"))
         .fieldNames.filterNot(n => n == "kb" || n == "batch" || n == "pd")
       appendView(spark, dv.select(viewCols.map(col).toIndexedSeq: _*), key, path, b)
     } finally keep.foreach(_.unpersist())

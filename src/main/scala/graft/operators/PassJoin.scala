@@ -55,7 +55,8 @@ object PassJoin {
     */
   def segmentEntries(ents: DataFrame, tau: Int): DataFrame = {
     val k = tau + 1
-    ents.filter(length(col("name")) >= k)
+    // kernel parallelism: [[FastSsIndex.spread]]'s rationale (r18)
+    FastSsIndex.spread(ents).filter(length(col("name")) >= k)
       .withColumn("lr", length(col("name")))
       .withColumn("i", explode(sequence(lit(1), lit(k))))
       .withColumn("base", expr(s"lr div $k"))
@@ -76,7 +77,8 @@ object PassJoin {
     */
   def probeEntries(ents: DataFrame, tau: Int): DataFrame = {
     val k = tau + 1
-    ents.filter(length(col("name")) >= k)
+    // kernel parallelism: [[FastSsIndex.spread]]'s rationale (r18)
+    FastSsIndex.spread(ents).filter(length(col("name")) >= k)
       .withColumn("ls", length(col("name")))
       .withColumn("lr", explode(sequence(
         greatest(col("ls") - tau, lit(k)), col("ls") + tau)))

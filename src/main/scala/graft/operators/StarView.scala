@@ -151,17 +151,21 @@ object StarView {
 
   private def schemaSidecarPath(sub: String): String = s"${sub}_schema"
 
-  private def writeSidecar(df: DataFrame, key: String, sub: String): Unit =
+  private def writeSidecar(df: DataFrame, key: String, sub: String): Unit = {
     df.withColumn("kb", kbOf(df, key)).withColumn("batch", lit(0))
       .limit(0).coalesce(1)
       .write.mode("overwrite").parquet(schemaSidecarPath(sub))
+    SchemaCache.invalidate(schemaSidecarPath(sub))
+  }
 
   private def readSub(spark: SparkSession, sub: String): DataFrame = {
     val sidecar = new org.apache.hadoop.fs.Path(schemaSidecarPath(sub))
     val fs = sidecar.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(sidecar),
       s"no schema sidecar at $sidecar — not a StarView subtable (build first)")
-    val schema = spark.read.parquet(schemaSidecarPath(sub)).schema
+    // memoized (r18): the sidecar is immutable between (re)builds and
+    // this schema consult was a footer-inference job per readSub call
+    val schema = SchemaCache.parquetSchema(spark, schemaSidecarPath(sub))
     spark.read.schema(schema).parquet(sub)
   }
 
@@ -172,8 +176,10 @@ object StarView {
   // per batch, and every later pruned read lists and opens all of them.
   // The shuffle is delta-sized (exactly the rows being appended).
   private def append(df: DataFrame, key: String, sub: String, batch: Int): Unit =
-    df.withColumn("kb", kbOf(df, key)).withColumn("batch", lit(batch))
-      .repartition(col("kb"))
+    // salted clustering (r18; [[PlanProbes.clusteredBy]]'s rationale)
+    PlanProbes.clusteredBy(
+        df.withColumn("kb", kbOf(df, key)).withColumn("batch", lit(batch)),
+        col("kb"), KeyBuckets.NB, col(key))
       .write.partitionBy("kb", "batch").mode("append").parquet(sub)
 
   /** Bounded collect: at most NB bucket ids in a delta. */
@@ -380,7 +386,7 @@ object StarView {
       }
       val terms = (factTerm +: dimTerms).flatten
       if (terms.nonEmpty) {
-        val viewCols = spark.read.parquet(schemaSidecarPath(s"$path/view")).schema
+        val viewCols = SchemaCache.parquetSchema(spark, schemaSidecarPath(s"$path/view"))
           .fieldNames.filterNot(n => n == "kb" || n == "batch")
         val dv = terms
           .map(_.select(viewCols.map(col).toIndexedSeq: _*))
@@ -496,7 +502,7 @@ object StarView {
     try {
       val dv = cdcTerms(spark, path, factKey, dimKeys, wf, wds, c,
         fAppended, dimAppended, keep)
-      val viewCols = spark.read.parquet(schemaSidecarPath(s"$path/view")).schema
+      val viewCols = SchemaCache.parquetSchema(spark, schemaSidecarPath(s"$path/view"))
         .fieldNames.filterNot(n => n == "kb" || n == "batch")
       append(dv.select(viewCols.map(col).toIndexedSeq: _*), factKey, s"$path/view", b)
     } finally keep.foreach(_.unpersist())

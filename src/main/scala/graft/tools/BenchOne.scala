@@ -9,6 +9,11 @@ package graft.tools
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0); val n = if (args.length > 1) args(1).toInt else 5
+    // warm passes before timing (default 3): a single warm run under-warms
+    // JIT/codegen-heavy lifecycle slots (Bench.scala's convergence-warmup
+    // rationale) — A/B medians taken at warm=1 showed a descending ramp
+    // inside the timed runs themselves
+    val warm = if (args.length > 2) args(2).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.Sessions.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,7 +23,10 @@ object BenchOne {
       q(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    exec() // warm
+    (1 to warm).foreach { i =>
+      val t = exec()
+      System.err.println(f"[benchone-warm] $name pass $i: $t%.2f")
+    }
     val ts = (1 to n).map(_ => exec())
     println(f"[benchone] $name: ${ts.map(t => f"$t%.2f").mkString(" ")} median=${ts.sorted.apply(n/2)}%.2f")
     spark.stop()
