@@ -110,7 +110,19 @@ object Bench {
       .mkString("{", ",", "}")
     // sentinels are diagnostics, not engine cost: excluded from the total
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Record contract (r18 verdict item 1): the driver's parser has read
+    // null from the sbt-wrapped stdout since r15. Ship the record on two
+    // redundant channels: (a) a file the driver (and the round log) can
+    // read back verbatim, (b) the bare JSON as the process's final stdout
+    // line — build.sbt routes forked run output straight through
+    // (StdoutOutput), so the line is no longer "[info]"-prefixed.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "./bench_last.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
+    println(json)
   }
 }

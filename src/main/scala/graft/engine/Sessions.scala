@@ -21,6 +21,15 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE coalesce CACHED plan output too (r19; default false): the
+      // CDC/IVM operators pin their batch-scoped state intermediates
+      // (persist), and with this off every pinned frame materializes at
+      // the full spark.sql.shuffle.partitions count and every consumer
+      // stage pays that many tasks regardless of data size — measured as
+      // dozens of 32-task stages over KB-sized cached deltas per
+      // lifecycle. Size-adaptive at any scale: big caches stay parallel
+      // (64 MB advisory target), tiny ones stop fanning out.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

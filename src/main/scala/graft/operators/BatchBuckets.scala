@@ -79,7 +79,8 @@ private[operators] object BatchBuckets {
     * every prefix of it.
     */
   private[operators] def appendBatch(rows: DataFrame, path: String, batch: Int,
-      overwriteData: Boolean = false, overwriteManifest: Boolean = false,
+      nBuckets: Int, overwriteData: Boolean = false,
+      overwriteManifest: Boolean = false,
       use: DataFrame => Unit = _ => ()): Unit = {
     // overwriteData must truncate the WHOLE root, independent of the
     // session's partitionOverwriteMode (r14 ADVICE): under `dynamic`, a
@@ -103,12 +104,14 @@ private[operators] object BatchBuckets {
       // leaf-file listing walks all of them. The shuffle is batch-sized;
       // the persisted `r` stays cached UPSTREAM of it, so the manifest
       // and the in-memory probe (`use`) read the cache, not a re-kernel.
-      // EXPLICIT partition count: a bare repartition(col) is an
-      // AQE-coalescable shuffle — measured coalesced to 2-4 tasks at
-      // sf0.1 (64 MB advisory), serializing the parquet encode;
-      // repartition(n, col) pins the count, one writer task per bucket.
-      r.withColumn("batch", lit(batch))
-        .repartition(64, col("bb"))
+      // [[PlanProbes.clusteredBy]] (r19, ADVICE): pins the partition
+      // count so AQE cannot coalesce the parquet encode to 1-4 tasks
+      // (measured r18), keeps one file per bucket per batch, and sizes
+      // any extra salt parallelism to the data instead of the former
+      // hardcoded 64 — same effective shape here (BB = 64 >= local
+      // cores), scale-adaptive beyond it.
+      PlanProbes.clusteredBy(r.withColumn("batch", lit(batch)),
+          col("bb"), nBuckets, col("key"))
         .write.partitionBy("bb")
         .mode("append").parquet(path)
       write(r, path, batch, overwrite = overwriteManifest)

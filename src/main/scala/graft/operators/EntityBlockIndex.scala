@@ -139,11 +139,11 @@ object EntityBlockIndex {
     // kernel run lands the data AND the bucket manifest probes use for
     // discovery instead of scanning every bb= partition's footers
     BatchBuckets.appendBatch(blocks(entities), path, batch = 0,
-      overwriteData = true, overwriteManifest = true)
+      nBuckets = BB, overwriteData = true, overwriteManifest = true)
 
   /** Block ONLY the delta; append its rows as `batch`. */
   def ingest(entities: DataFrame, path: String, batch: Int): Unit =
-    BatchBuckets.appendBatch(blocks(entities), path, batch)
+    BatchBuckets.appendBatch(blocks(entities), path, batch, nBuckets = BB)
 
   /** Next free batch id — the shared fail-loud implementation. */
   def nextBatch(spark: SparkSession, path: String): Int =
@@ -261,7 +261,7 @@ object EntityBlockIndex {
         // the shared discipline persists the trigger's blocks across the
         // append, the manifest, AND the probe (`use`) — one kernel run,
         // no per-trigger index re-read to rediscover just-written rows
-        BatchBuckets.appendBatch(blocks(df), path, b, use = blk =>
+        BatchBuckets.appendBatch(blocks(df), path, b, nBuckets = BB, use = blk =>
           verifyTypo(candidates(df.sparkSession, path, b, Some(blk)))
             .withColumn("batch", lit(b))
             .write.mode("append").parquet(outPath))

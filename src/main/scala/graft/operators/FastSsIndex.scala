@@ -177,13 +177,13 @@ object FastSsIndex {
     fs.delete(root, true)
     writeTauMarker(spark, path, tau)
     BatchBuckets.appendBatch(sigsFor(entities, tau), path, batch = 0,
-      overwriteManifest = true)
+      nBuckets = BB, overwriteManifest = true)
   }
 
   /** Hash ONLY the delta; append its rows as `batch`. */
   def ingest(entities: DataFrame, path: String, batch: Int, tau: Int = 1): Unit = {
     validateTau(entities.sparkSession, path, tau)
-    BatchBuckets.appendBatch(sigsFor(entities, tau), path, batch)
+    BatchBuckets.appendBatch(sigsFor(entities, tau), path, batch, nBuckets = BB)
   }
 
   /** Next free batch id — the shared fail-loud implementation. */
@@ -378,7 +378,7 @@ object FastSsIndex {
         val b = base + batchId.toInt
         // shared discipline ([[BatchBuckets.appendBatch]]): append,
         // bucket manifest, and probe share one kernel run
-        BatchBuckets.appendBatch(sigsFor(df, tau), path, b,
+        BatchBuckets.appendBatch(sigsFor(df, tau), path, b, nBuckets = BB,
           use = sigs =>
             emit(EntityBlockIndex.verifyTypo(
                 candidates(df.sparkSession, path, b, Some(sigs)), tau = tau), df)

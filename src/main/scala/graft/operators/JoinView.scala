@@ -250,8 +250,13 @@ object JoinView {
     * they cancel ([[cdcTerms]]), so a +1 and its -1 always land under the
     * SAME pd and the per-bucket sign-sum is self-contained.
     */
+  /** `sizeHint`: pre-join delta bytes for the clustering salt — the view
+    * delta is a JOIN, whose Catalyst size estimate is a product (huge for
+    * a KB-sized delta); see [[PlanProbes.clusteredBy]].
+    */
   private def appendView(spark: SparkSession, df: DataFrame, key: String,
-                         path: String, batch: Int): Unit =
+                         path: String, batch: Int,
+                         sizeHint: Option[BigInt] = None): Unit =
     dayLayout(spark, path) match {
       case Some((dc, pdb)) =>
         // one file per pd directory: without the clustering shuffle every
@@ -266,7 +271,7 @@ object JoinView {
         // at <= cores/PDB files per directory
         PlanProbes.clusteredBy(
             df.withColumn("pd", pdOf(col(dc), pdb)).withColumn("batch", lit(batch)),
-            col("pd"), pdb, col(key))
+            col("pd"), pdb, col(key), sizeHint)
           .write.partitionBy("pd", "batch").mode("append")
           .parquet(s"$path/view")
       case None =>
@@ -352,6 +357,23 @@ object JoinView {
   private def bucketsOf(delta: DataFrame, key: String): Array[Int] =
     delta.select(kbOf(delta, key).as("kb")).distinct().collect().map(_.getInt(0))
 
+  /** The delta's key-bucket ids AND the one-row-per-key contract check
+    * from ONE pass over the just-written rows (r19; guide §2.4 "fewer
+    * passes"): these were two separate collect jobs per side per CDC
+    * batch — a per-key count grouped up to its <= NB buckets answers
+    * both. The detailed per-key probe re-runs only on violation, to
+    * build [[guardOneRowPerKey]]'s message (failure path).
+    */
+  private def bucketsAndGuard(d: DataFrame, key: String, side: String,
+                              batch: Int): Array[Int] = {
+    val kbC = KeyBuckets.kb(col(key), d.schema(key).dataType)
+    val rows = d.groupBy(col(key)).agg(count(lit(1)).as("_c"))
+      .groupBy(kbC.as("kb")).agg(max(col("_c")).as("_m"))
+      .collect()
+    if (rows.exists(_.getLong(1) > 1)) guardOneRowPerKey(d, key, side, batch)
+    rows.map(_.getInt(0))
+  }
+
   /** Delete `batch > committed` partition directories — orphans of a
     * writer that died between its appends and its commit. Run before
     * re-appending under the same id so a retry cannot double-materialize.
@@ -378,9 +400,13 @@ object JoinView {
     * factored out so JoinViewSpec can plan-assert the pruned stored reads.
     */
   private def deltaTerms(spark: SparkSession, path: String, da: DataFrame,
-                         db: DataFrame, key: String, committed: Int): DataFrame = {
-    val aOld = storedPruned(spark, s"$path/a", committed, bucketsOf(db, key), key)
-    val bOld = storedPruned(spark, s"$path/b", committed, bucketsOf(da, key), key)
+                         db: DataFrame, key: String, committed: Int,
+                         daBuckets: Option[Array[Int]] = None,
+                         dbBuckets: Option[Array[Int]] = None): DataFrame = {
+    val aOld = storedPruned(spark, s"$path/a", committed,
+      dbBuckets.getOrElse(bucketsOf(db, key)), key)
+    val bOld = storedPruned(spark, s"$path/b", committed,
+      daBuckets.getOrElse(bucketsOf(da, key)), key)
     da.join(bOld, Seq(key))
       .unionByName(aOld.join(db, Seq(key)))
       .unionByName(da.join(db, Seq(key)))
@@ -428,6 +454,11 @@ object JoinView {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    // a rebuild may change subtable schemas — drop every stale memo under
+    // the deleted root NOW (r19, ADVICE: relying on the per-sidecar
+    // invalidation later in this build leaves a window where a failed
+    // build would serve stale cached schemas)
+    SchemaCache.invalidatePrefix(path)
     // r18: each side is consumed up to three times below (CDC guard, its
     // own append, the seed join) — without a persist every use re-runs
     // the caller's upstream plan (the e_pipeline_cdc sides are each a
@@ -452,19 +483,27 @@ object JoinView {
       val bW = if (cdc) bP.withColumn("sgn", lit(1)) else bP
       if (cdc) {
         // the row-image contract starts at the base: one live row per key
-        // per side, else every later current-state resolve ties
-        guardOneRowPerKey(aW, key, "a", 0)
-        guardOneRowPerKey(bW, key, "b", 0)
+        // per side, else every later current-state resolve ties. The two
+        // guards are independent — overlap them ([[Par]], r19).
+        Par.run(Seq(
+          () => guardOneRowPerKey(aW, key, "a", 0),
+          () => guardOneRowPerKey(bW, key, "b", 0)))
       }
       // the day marker lands BEFORE any view append so appendView and every
       // later writer resolve one consistent layout
       dayOpt.foreach(dc => writeDayColMarker(spark, path, dc))
-      writeSchemaSidecar(aW, key, s"$path/a")
-      writeSchemaSidecar(bW, key, s"$path/b")
-      writeViewSchemaSidecar(v0, key, path, dayOpt)
-      append(aW, key, s"$path/a", 0)
-      append(bW, key, s"$path/b", 0)
-      appendView(spark, v0, key, path, 0)
+      // the three sidecar/append chains target DIFFERENT subtable
+      // directories and read only the build-scoped persists — overlap
+      // them ([[Par]], r19); racing persist materialization is
+      // block-level-locked, each side still computes once
+      Par.run(Seq(
+        () => { writeSchemaSidecar(aW, key, s"$path/a")
+                append(aW, key, s"$path/a", 0) },
+        () => { writeSchemaSidecar(bW, key, s"$path/b")
+                append(bW, key, s"$path/b", 0) },
+        () => { writeViewSchemaSidecar(v0, key, path, dayOpt)
+                appendView(spark, v0, key, path, 0, sizeHint = Some(
+                  PlanProbes.statsBytes(aP) + PlanProbes.statsBytes(bP))) }))
     } finally { aP.unpersist(); bP.unpersist() }
     writeKeyMarker(spark, path, key)
     KeyBuckets.publish(spark, path)
@@ -525,14 +564,27 @@ object JoinView {
     // then derive the delta-rule terms from the just-written batch=b
     // partitions — a non-deterministic or expensive input is computed
     // once, and the rows joined into the view are byte-identical to the
-    // rows recorded in a/ and b/ by construction
-    append(da, key, s"$path/a", b)
-    append(db, key, s"$path/b", b)
+    // rows recorded in a/ and b/ by construction. The two sides' append
+    // + bucket-collect chains are independent — overlap them ([[Par]],
+    // r19).
     def justWritten(sub: String) =
       readSub(spark, sub).filter(col("batch") === b).drop("kb", "batch")
+    var aBuckets, bBuckets = Array.empty[Int]
+    Par.run(Seq(
+      () => {
+        append(da, key, s"$path/a", b)
+        aBuckets = bucketsOf(justWritten(s"$path/a"), key)
+      },
+      () => {
+        append(db, key, s"$path/b", b)
+        bBuckets = bucketsOf(justWritten(s"$path/b"), key)
+      }))
     val dv = deltaTerms(spark, path,
-      justWritten(s"$path/a"), justWritten(s"$path/b"), key, c)
-    appendView(spark, dv, key, path, b)
+      justWritten(s"$path/a"), justWritten(s"$path/b"), key, c,
+      daBuckets = Some(aBuckets), dbBuckets = Some(bBuckets))
+    appendView(spark, dv, key, path, b, sizeHint = Some(
+      PlanProbes.statsBytes(justWritten(s"$path/a")) +
+        PlanProbes.statsBytes(justWritten(s"$path/b"))))
     markCommitted(spark, path, b, writer)
     b
   }
@@ -672,24 +724,35 @@ object JoinView {
     val bSigned = signedSide(spark, db, delB, key, s"$path/b")
     val aApp = !PlanProbes.provablyEmpty(aSigned)
     val bApp = !PlanProbes.provablyEmpty(bSigned)
-    if (aApp) append(aSigned, key, s"$path/a", b)
-    if (bApp) append(bSigned, key, s"$path/b", b)
     def justWritten(sub: String) =
       readSub(spark, sub).filter(col("batch") === b).drop("kb", "batch")
+    // the two sides' append + contract-check/bucket-collect chains are
+    // independent of each other — overlap them ([[Par]], r19); within a
+    // side the probe runs on the rows that actually landed, and a
+    // violation still aborts BEFORE the ledger advances, so the bad
+    // batch stays invisible
+    var aBuckets, bBuckets = Array.empty[Int]
+    Par.run(Seq(
+      if (!aApp) null else () => {
+        append(aSigned, key, s"$path/a", b)
+        aBuckets = bucketsAndGuard(justWritten(s"$path/a"), key, "a", b)
+      },
+      if (!bApp) null else () => {
+        append(bSigned, key, s"$path/b", b)
+        bBuckets = bucketsAndGuard(justWritten(s"$path/b"), key, "b", b)
+      }))
     val wa = justWritten(s"$path/a")
     val wb = justWritten(s"$path/b")
-    // contract check on the rows that actually landed; a violation aborts
-    // BEFORE the ledger advances, so the bad batch stays invisible
-    if (aApp) guardOneRowPerKey(wa, key, "a", b)
-    if (bApp) guardOneRowPerKey(wb, key, "b", b)
     val keep = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
-      val dv = cdcTerms(spark, path, wa, wb, key, c, keep, aApp, bApp)
+      val dv = cdcTerms(spark, path, wa, wb, key, c, keep, aApp, bApp,
+        buckets = Some((aBuckets ++ bBuckets).distinct))
       // positional append: align the signed delta to the persisted view
       // schema's column order (pd is writer-derived, not a delta column)
       val viewCols = SchemaCache.parquetSchema(spark, schemaSidecarPath(s"$path/view"))
         .fieldNames.filterNot(n => n == "kb" || n == "batch" || n == "pd")
-      appendView(spark, dv.select(viewCols.map(col).toIndexedSeq: _*), key, path, b)
+      appendView(spark, dv.select(viewCols.map(col).toIndexedSeq: _*), key, path, b,
+        sizeHint = Some(PlanProbes.statsBytes(wa) + PlanProbes.statsBytes(wb)))
     } finally keep.foreach(_.unpersist())
     markCommitted(spark, path, b, writer)
     b
@@ -702,7 +765,8 @@ object JoinView {
   private def cdcTerms(spark: SparkSession, path: String, da: DataFrame,
                        db: DataFrame, key: String, committed: Int,
                        keep: scala.collection.mutable.Buffer[DataFrame] = null,
-                       aApp: Boolean = true, bApp: Boolean = true)
+                       aApp: Boolean = true, bApp: Boolean = true,
+                       buckets: Option[Array[Int]] = None)
       : DataFrame = {
     // r18: the three state intermediates below are each consumed TWICE
     // (touched by the retract semi-join AND the insert semi-join; each
@@ -724,12 +788,15 @@ object JoinView {
     // every touched key from the current state, and only +1 rows re-enter.
     // non-appended sides contribute no buckets/keys by construction —
     // skip their collect jobs (the frames themselves stay in the plan;
-    // an empty parquet read folds away)
-    val buckets = ((if (aApp) bucketsOf(da, key) else Array.empty[Int]) ++
-      (if (bApp) bucketsOf(db, key) else Array.empty[Int])).distinct
+    // an empty parquet read folds away). ingestCdc passes the bucket
+    // sets its combined append-probe already collected (r19 — zero
+    // extra jobs here); plan-inspection callers compute them.
+    val bkts = buckets.getOrElse(
+      ((if (aApp) bucketsOf(da, key) else Array.empty[Int]) ++
+        (if (bApp) bucketsOf(db, key) else Array.empty[Int])).distinct)
     val touched = pin(da.select(col(key)).unionByName(db.select(col(key))).distinct())
-    val aCur = pin(currentPruned(spark, s"$path/a", committed, buckets, key))
-    val bCur = pin(currentPruned(spark, s"$path/b", committed, buckets, key))
+    val aCur = pin(currentPruned(spark, s"$path/a", committed, bkts, key))
+    val bCur = pin(currentPruned(spark, s"$path/b", committed, bkts, key))
     val retract = aCur.join(bCur, Seq(key))
       .join(touched, Seq(key), "left_semi")
       .withColumn("sgn", lit(-1))
@@ -799,35 +866,41 @@ object JoinView {
     }
     def liveRows(sub: String) =
       live(readSub(spark, sub).filter(col("batch") <= c), spark, sub, key)
-    for (side <- Seq("a", "b")) {
-      val sub = s"$path/$side"
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(key)).orderBy(col("batch").desc)
-      swapIn(sub, liveRows(sub)
-        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-        .drop("_rn")
-        // a key whose latest row is a -1 delete marker has left the side:
-        // the fold drops it (and the marker) entirely — post-fold state
-        // is exactly what currentPruned resolves
-        .filter(col("sgn") === 1)
-        .withColumn("batch", lit(c)))
-    }
-    val vsub = s"$path/view"
-    // pd rides through the fold as an ordinary grouping column (it is a
-    // pure function of the payload timestamp, so grouping is unchanged)
-    // and the rewrite keeps the day layout
-    val payload = readSub(spark, vsub).columns
-      .filterNot(Set("sgn", "kb", "batch").contains)
-    val resolved = liveRows(vsub).drop("kb", "batch")
-      .groupBy(payload.map(col).toIndexedSeq: _*)
-      .agg(sum("sgn").as("_cnt"))
-      .filter(col("_cnt") > 0).drop("_cnt")
-      .withColumn("sgn", lit(1))
-    val vparts = viewPartCols(spark, path)
-    swapIn(vsub,
-      (if (vparts.contains("kb")) resolved.withColumn("kb", kbOf(resolved, key))
-       else resolved).withColumn("batch", lit(c)),
-      partCols = vparts)
+    // the three subtable folds read/write disjoint directories and each
+    // independently preserves every read — overlap them ([[Par]], r19);
+    // a crash between swaps was always benign (scaladoc above)
+    val folds: Seq[() => Unit] = Seq[() => Unit](
+      () => {
+        val vsub = s"$path/view"
+        // pd rides through the fold as an ordinary grouping column (it is
+        // a pure function of the payload timestamp, so grouping is
+        // unchanged) and the rewrite keeps the day layout
+        val payload = readSub(spark, vsub).columns
+          .filterNot(Set("sgn", "kb", "batch").contains)
+        val resolved = liveRows(vsub).drop("kb", "batch")
+          .groupBy(payload.map(col).toIndexedSeq: _*)
+          .agg(sum("sgn").as("_cnt"))
+          .filter(col("_cnt") > 0).drop("_cnt")
+          .withColumn("sgn", lit(1))
+        val vparts = viewPartCols(spark, path)
+        swapIn(vsub,
+          (if (vparts.contains("kb")) resolved.withColumn("kb", kbOf(resolved, key))
+           else resolved).withColumn("batch", lit(c)),
+          partCols = vparts)
+      }) ++ Seq("a", "b").map(side => () => {
+        val sub = s"$path/$side"
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(col("batch").desc)
+        swapIn(sub, liveRows(sub)
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .drop("_rn")
+          // a key whose latest row is a -1 delete marker has left the
+          // side: the fold drops it (and the marker) entirely — post-fold
+          // state is exactly what currentPruned resolves
+          .filter(col("sgn") === 1)
+          .withColumn("batch", lit(c)))
+      })
+    Par.run(folds)
   }
 
   private def appliedMarkerPath(checkpoint: String) =
@@ -1054,12 +1127,31 @@ object JoinView {
         "day layout (build with dayCol = <timestamp payload column>); a full " +
         "merged() read followed by a day filter stays exact but prunes nothing"))
     val c = committedBatch(spark, path)
-    // the days' bucket ids, computed by the SAME expression that wrote
-    // them (one tiny local job — |days| rows, driver-bounded like
-    // bucketsOf)
-    import spark.implicits._
-    val pds = days.toDS().select(pdOf(col("value").cast("timestamp"), pdb))
-      .distinct().collect().map(_.getInt(0))
+    // the days' bucket ids. Canonical `yyyy-MM-dd` strings (the contract,
+    // and the only form the residual day filter below can ever match)
+    // hash on the DRIVER through Catalyst's own XxHash64 expression —
+    // byte-identical to the written `pd=` addressing by construction, and
+    // one less Spark job per correction batch (r19; this ran a |days|-row
+    // job per call). Anything non-canonical falls back to the exact
+    // written expression as a tiny local job.
+    val canonical = days.forall(_.matches("""\d{4}-\d{2}-\d{2}"""))
+    val pds =
+      if (canonical) days.map { d =>
+        // seed 42 = the xxhash64() SQL function's fixed seed — the same
+        // expression class the pd= writer evaluates
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(d),
+            org.apache.spark.sql.types.StringType)), 42L)
+          .eval(null).asInstanceOf[Long]
+        val m = h % pdb
+        (if (m < 0) m + pdb else m).toInt
+      }.distinct.toArray
+      else {
+        import spark.implicits._
+        days.toDS().select(pdOf(col("value").cast("timestamp"), pdb))
+          .distinct().collect().map(_.getInt(0))
+      }
     signResolve(live(readSub(spark, s"$path/view")
       .filter(col("batch") <= c && col("pd").isin(pds.map(Int.box): _*))
       .drop("kb", "batch", "pd"), spark, s"$path/view", joinKey(spark, path))

@@ -72,14 +72,14 @@ object PassJoinIndex {
     fs.delete(root, true)
     RadiusMarker.write(spark, path, tau)
     BatchBuckets.appendBatch(segsFor(entities, tau), path, batch = 0,
-      overwriteManifest = true)
+      nBuckets = BB, overwriteManifest = true)
   }
 
   /** Segment ONLY the delta; append its rows as `batch`. */
   def ingest(entities: DataFrame, path: String, batch: Int,
              tau: Int = DefaultTau): Unit = {
     RadiusMarker.validate(entities.sparkSession, path, tau, default = DefaultTau)
-    BatchBuckets.appendBatch(segsFor(entities, tau), path, batch)
+    BatchBuckets.appendBatch(segsFor(entities, tau), path, batch, nBuckets = BB)
   }
 
   def nextBatch(spark: SparkSession, path: String): Int =
@@ -163,7 +163,7 @@ object PassJoinIndex {
     entities.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val b = base + batchId.toInt
-        BatchBuckets.appendBatch(segsFor(df, tau), path, b,
+        BatchBuckets.appendBatch(segsFor(df, tau), path, b, nBuckets = BB,
           use = segs =>
             EntityBlockIndex.verifyTypo(
                 candidates(df.sparkSession, path, b,

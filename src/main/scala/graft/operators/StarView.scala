@@ -175,11 +175,14 @@ object StarView {
   // every kb= directory it has rows for — tasks x NB files per subtable
   // per batch, and every later pruned read lists and opens all of them.
   // The shuffle is delta-sized (exactly the rows being appended).
-  private def append(df: DataFrame, key: String, sub: String, batch: Int): Unit =
-    // salted clustering (r18; [[PlanProbes.clusteredBy]]'s rationale)
+  private def append(df: DataFrame, key: String, sub: String, batch: Int,
+                     sizeHint: Option[BigInt] = None): Unit =
+    // salted clustering (r18; [[PlanProbes.clusteredBy]]'s rationale);
+    // view appends pass the pre-join delta bytes as the sizing hint —
+    // Catalyst's join size estimate is a product (r19)
     PlanProbes.clusteredBy(
         df.withColumn("kb", kbOf(df, key)).withColumn("batch", lit(batch)),
-        col("kb"), KeyBuckets.NB, col(key))
+        col("kb"), KeyBuckets.NB, col(key), sizeHint)
       .write.partitionBy("kb", "batch").mode("append").parquet(sub)
 
   /** Bounded collect: at most NB bucket ids in a delta. */
@@ -240,6 +243,11 @@ object StarView {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    // a rebuild may change subtable schemas — drop every stale memo under
+    // the deleted root NOW (r19, ADVICE: relying on the per-sidecar
+    // invalidation later in this build leaves a window where a failed
+    // build would serve stale cached schemas)
+    SchemaCache.invalidatePrefix(path)
     // r18: the fact frame is consumed k + 3 times below (guard, its own
     // append, one ki projection per dim, the seed join) and each dim
     // twice — without a persist every use re-runs the caller's upstream
@@ -256,19 +264,30 @@ object StarView {
       }
       val sgn1 = (df: DataFrame) => if (cdc) df.withColumn("sgn", lit(1)) else df
       if (cdc) {
-        guardOneRowPerKey(factP, factKey, "f", 0)
-        dimsP.foreach { case (k, d) => guardOneRowPerKey(d, k, s"dim($k)", 0) }
+        // contract guards fail BEFORE any files land; independent of each
+        // other — overlap them ([[Par]], r19)
+        Par.run((() => guardOneRowPerKey(factP, factKey, "f", 0)) +:
+          dimsP.map { case (k, d) =>
+            () => guardOneRowPerKey(d, k, s"dim($k)", 0) })
       }
-      writeSidecar(sgn1(factP), factKey, s"$path/f")
-      append(sgn1(factP), factKey, s"$path/f", 0)
-      for (((k, d), i) <- dimsP.zipWithIndex) {
-        writeSidecar(sgn1(d), k, s"$path/d$i")
-        append(sgn1(d), k, s"$path/d$i", 0)
-        writeSidecar(kiRows(factP, factKey, k), k, s"$path/ki$i")
-        append(kiRows(factP, factKey, k), k, s"$path/ki$i", 0)
-      }
-      writeSidecar(sgn1(v0), factKey, s"$path/view")
-      append(sgn1(v0), factKey, s"$path/view", 0)
+      // the 2k + 4 sidecar/append writes all target DIFFERENT directories
+      // and read only the build-scoped persisted frames — one batch of
+      // overlapped jobs instead of a serial chain of 2k + 4 (r19; the
+      // first actions race to materialize the persists, which Spark's
+      // block-level locking serializes per partition — each input is
+      // still computed once)
+      Par.run(Seq[() => Unit](
+        () => { writeSidecar(sgn1(factP), factKey, s"$path/f")
+                append(sgn1(factP), factKey, s"$path/f", 0) },
+        () => { writeSidecar(sgn1(v0), factKey, s"$path/view")
+                append(sgn1(v0), factKey, s"$path/view", 0,
+                  sizeHint = Some(PlanProbes.statsBytes(factP))) }) ++
+        dimsP.zipWithIndex.flatMap { case ((k, d), i) => Seq[() => Unit](
+          () => { writeSidecar(sgn1(d), k, s"$path/d$i")
+                  append(sgn1(d), k, s"$path/d$i", 0) },
+          () => { writeSidecar(kiRows(factP, factKey, k), k, s"$path/ki$i")
+                  append(kiRows(factP, factKey, k), k, s"$path/ki$i", 0) })
+        })
     } finally {
       factP.unpersist(); dimsP.foreach(_._2.unpersist())
     }
@@ -285,6 +304,20 @@ object StarView {
       s"CDC delta batch $batch side $side carries multiple rows for key " +
         s"${if (dup.isEmpty) "?" else dup.head.get(0)} — the row-image contract " +
         "allows at most ONE upsert-or-delete per key per side per batch")
+  }
+
+  /** The delta's key-bucket ids AND the one-row-per-key contract check
+    * from ONE pass over the just-written rows (r19; [[JoinView]]'s
+    * bucketsAndGuard) — these were two collect jobs per side per batch.
+    */
+  private def bucketsAndGuard(d: DataFrame, key: String, side: String,
+                              batch: Int): Array[Int] = {
+    val kbC = KeyBuckets.kb(col(key), d.schema(key).dataType)
+    val rows = d.groupBy(col(key)).agg(count(lit(1)).as("_c"))
+      .groupBy(kbC.as("kb")).agg(max(col("_c")).as("_m"))
+      .collect()
+    if (rows.exists(_.getLong(1) > 1)) guardOneRowPerKey(d, key, side, batch)
+    rows.map(_.getInt(0))
   }
 
   /** Apply one batch of APPENDS (plain mode; any subset of sides may be
@@ -319,13 +352,21 @@ object StarView {
     val fd = if (fAppended)
       factDelta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else factDelta
-    if (fAppended) append(fd, factKey, s"$path/f", b)
-    val dimAppended = dimKeys.zip(dimDeltas).zipWithIndex.map { case ((k, dd), i) =>
-      val nonEmpty = !provablyEmpty(dd)
-      if (nonEmpty) append(dd, k, s"$path/d$i", b)
-      if (fAppended) append(kiRows(fd, factKey, k), k, s"$path/ki$i", b)
-      nonEmpty
+    // all of a batch's side/key-index appends target DIFFERENT subtable
+    // directories — overlap them ([[Par]], r19) instead of paying each
+    // small write job's fixed latency serially
+    val dimAppended = dimKeys.zip(dimDeltas).map { case (_, dd) =>
+      !provablyEmpty(dd)
     }
+    Par.run(
+      Seq(if (!fAppended) null
+          else () => append(fd, factKey, s"$path/f", b)) ++
+      dimKeys.zip(dimDeltas).zipWithIndex.flatMap { case ((k, dd), i) => Seq(
+        if (!dimAppended(i)) null
+        else () => append(dd, k, s"$path/d$i", b),
+        if (!fAppended) null
+        else () => append(kiRows(fd, factKey, k), k, s"$path/ki$i", b))
+      })
     if (fAppended) fd.unpersist()
     def written(sub: String) =
       readSub(spark, sub).filter(col("batch") === b).drop("kb", "batch")
@@ -391,7 +432,9 @@ object StarView {
         val dv = terms
           .map(_.select(viewCols.map(col).toIndexedSeq: _*))
           .reduce(_ unionByName _)
-        append(dv, factKey, s"$path/view", b)
+        val hint = (written(s"$path/f") +: dimKeys.indices.map(i =>
+          written(s"$path/d$i"))).map(PlanProbes.statsBytes).sum
+        append(dv, factKey, s"$path/view", b, sizeHint = Some(hint))
       }
     } finally keep.foreach(_.unpersist())
     markCommitted(spark, path, b, writer)
@@ -479,32 +522,42 @@ object StarView {
     else factDelta
     val fSigned = signedSide(spark, fd, factDeletes, factKey, s"$path/f")
     val fAppended = fKiNonEmpty || !provablyEmpty(fSigned)
-    if (fAppended) append(fSigned, factKey, s"$path/f", b)
-    val dimAppended = dimKeys.zip(dimDeltas).zipWithIndex.map { case ((k, dd), i) =>
-      val signed = signedSide(spark, dd, dimDels(i), k, s"$path/d$i")
-      val nonEmpty = !provablyEmpty(signed)
-      if (nonEmpty) append(signed, k, s"$path/d$i", b)
-      // ki gains entries for the batch's +1 fact images only (markers
-      // carry null dim keys — useless as index entries)
-      if (fKiNonEmpty) append(kiRows(fd, factKey, k), k, s"$path/ki$i", b)
-      nonEmpty
+    val dimSigned = dimKeys.zip(dimDeltas).zipWithIndex.map { case ((k, dd), i) =>
+      signedSide(spark, dd, dimDels(i), k, s"$path/d$i")
     }
-    if (fKiNonEmpty) fd.unpersist()
+    val dimAppended = dimSigned.map(s => !provablyEmpty(s))
     def written(sub: String) =
       readSub(spark, sub).filter(col("batch") === b).drop("kb", "batch")
+    // every side's append + contract-check chain, and the fact's ki
+    // appends, are independent of each other — overlap them ([[Par]],
+    // r19); a guard violation still aborts BEFORE the ledger advances
+    val wdBuckets = Array.fill(dimKeys.size)(Array.empty[Int])
+    Par.run(
+      Seq(if (!fAppended) null else () => {
+            append(fSigned, factKey, s"$path/f", b)
+            guardOneRowPerKey(written(s"$path/f"), factKey, "f", b)
+          }) ++
+      dimKeys.zipWithIndex.flatMap { case (k, i) => Seq(
+        if (!dimAppended(i)) null else () => {
+          append(dimSigned(i), k, s"$path/d$i", b)
+          wdBuckets(i) = bucketsAndGuard(written(s"$path/d$i"), k, s"dim($k)", b)
+        },
+        // ki gains entries for the batch's +1 fact images only (markers
+        // carry null dim keys — useless as index entries)
+        if (!fKiNonEmpty) null
+        else () => append(kiRows(fd, factKey, k), k, s"$path/ki$i", b))
+      })
+    if (fKiNonEmpty) fd.unpersist()
     val wf = written(s"$path/f")
-    if (fAppended) guardOneRowPerKey(wf, factKey, "f", b)
     val wds = dimKeys.indices.map(i => written(s"$path/d$i"))
-    dimKeys.zip(wds).zipWithIndex.foreach { case ((k, wd), i) =>
-      if (dimAppended(i)) guardOneRowPerKey(wd, k, s"dim($k)", b)
-    }
     val keep = scala.collection.mutable.Buffer.empty[DataFrame]
     try {
       val dv = cdcTerms(spark, path, factKey, dimKeys, wf, wds, c,
-        fAppended, dimAppended, keep)
+        fAppended, dimAppended, keep, wdBuckets = Some(wdBuckets.toSeq))
       val viewCols = SchemaCache.parquetSchema(spark, schemaSidecarPath(s"$path/view"))
         .fieldNames.filterNot(n => n == "kb" || n == "batch")
-      append(dv.select(viewCols.map(col).toIndexedSeq: _*), factKey, s"$path/view", b)
+      append(dv.select(viewCols.map(col).toIndexedSeq: _*), factKey, s"$path/view", b,
+        sizeHint = Some((wf +: wds).map(PlanProbes.statsBytes).sum))
     } finally keep.foreach(_.unpersist())
     markCommitted(spark, path, b, writer)
     b
@@ -517,7 +570,8 @@ object StarView {
                        dimKeys: Seq[String], wf: DataFrame,
                        wds: Seq[DataFrame], committed: Int,
                        fAppended: Boolean, dimAppended: Seq[Boolean],
-                       keep: scala.collection.mutable.Buffer[DataFrame])
+                       keep: scala.collection.mutable.Buffer[DataFrame],
+                       wdBuckets: Option[Seq[Array[Int]]] = None)
       : DataFrame = {
     // r18: pks is consumed three times (its bucket collect, the retract
     // semi-join, the insert semi-join) and the fact's current image once
@@ -538,9 +592,13 @@ object StarView {
     val dimPks = dimKeys.zipWithIndex.flatMap { case (k, i) =>
       val wd = wds(i)
       if (!dimAppended(i)) None else Some {
+        // ingestCdc passes the bucket sets its combined append-probe
+        // already collected (r19 — zero extra jobs here);
+        // plan-inspection callers compute them
+        val wb = wdBuckets.map(_(i)).getOrElse(bucketsOf(wd, k))
         readSub(spark, s"$path/ki$i")
           .filter(col("batch") <= committed + 1 &&
-            col("kb").isin(bucketsOf(wd, k).map(Int.box): _*))
+            col("kb").isin(wb.map(Int.box): _*))
           .drop("kb", "batch")
           .join(wd.select(col(k)), Seq(k), "left_semi")
           .select(col(factKey))
@@ -568,7 +626,18 @@ object StarView {
     // supersets
     val fCur = pin(currentPruned(spark, s"$path/f", factKey, committed + 1,
       Some(pkBuckets)).join(pks, Seq(factKey), "left_semi"))
-    val dimBuckets = dimKeys.map(k => bucketsOf(fCur, k))
+    // ALL k dim-key bucket sets in ONE collect over the pinned fCur (r19;
+    // this was one bucketsOf job per dim): each set is <= NB values, so
+    // one collect_set aggregate per dim key in a single pass answers all
+    val dimBuckets: Seq[Array[Int]] =
+      if (dimKeys.isEmpty) Seq.empty
+      else {
+        val sets = dimKeys.zipWithIndex.map { case (k, i) =>
+          collect_set(kbOf(fCur, k)).as(s"_b$i")
+        }
+        val row = fCur.agg(sets.head, sets.tail: _*).collect()(0)
+        dimKeys.indices.map(i => row.getSeq[Int](i).toArray)
+      }
     val insert = dimKeys.zipWithIndex.foldLeft(fCur: DataFrame) { case (acc, (k, i)) =>
       acc.join(currentPruned(spark, s"$path/d$i", k, committed + 1,
         Some(dimBuckets(i))), Seq(k))

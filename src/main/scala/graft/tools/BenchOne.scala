@@ -15,7 +15,9 @@ object BenchOne {
     // inside the timed runs themselves
     val warm = if (args.length > 2) args(2).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.engine.Sessions.builder(master = "local[32]", shufflePartitions = 32).getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.engine.Sessions.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val q = graft.SparkEntry.queries(name)
     def exec(): Double = {

@@ -44,6 +44,12 @@ trait SparkSpec extends AnyFunSuite {
 object SparkTestSession {
   lazy val get: SparkSession = {
     val s = graft.engine.Sessions.builder(master = "local[4]", shufflePartitions = 4)
+      // per-JVM warehouse (r19): `sbt test` now runs suites in PARALLEL
+      // forked JVM groups (build.sbt testGrouping) — catalog writes
+      // (saveAsTable / CREATE DATABASE without LOCATION) from two groups
+      // would otherwise race on the shared cwd ./spark-warehouse
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_test_wh_").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
